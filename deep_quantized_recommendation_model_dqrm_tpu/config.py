@@ -1,0 +1,216 @@
+"""Configuration dataclasses for the DQRM-TPU framework.
+
+Replaces the reference's ~70-flag argparse surface duplicated across 20 driver
+scripts (reference: dlrm_s_pytorch.py:907-1021, dlrm_s_pytorch_comm_grad.py:
+1027-1137) with typed, hashable configs that can be closed over by jitted
+functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+def dash_separated_ints(value: str) -> Tuple[int, ...]:
+    """Parse '13-512-256-64-16' into a tuple of ints.
+
+    Reference behavior: dlrm_s_pytorch.py:736-747 (`dash_separated_ints`).
+    """
+    try:
+        return tuple(int(v) for v in value.split("-"))
+    except ValueError as e:
+        raise ValueError(f"{value} is not a valid dash-separated list of ints") from e
+
+
+def dash_separated_floats(value: str) -> Tuple[float, ...]:
+    """Parse '0.5-0.25' into a tuple of floats (dlrm_s_pytorch.py:750-759)."""
+    try:
+        return tuple(float(v) for v in value.split("-"))
+    except ValueError as e:
+        raise ValueError(f"{value} is not a valid dash-separated list of floats") from e
+
+
+@dataclass(frozen=True)
+class QuantConfig:
+    """Quantization-aware-training configuration.
+
+    Mirrors the reference's QAT flags (dlrm_s_pytorch_comm_grad.py:1120-1137):
+    `--quantization_flag`, `--embedding_bit`, `--weight_bit`,
+    `--quantize_activation`, `--quantize_act_and_lin`, `--linear_channel`,
+    plus the periodic scale-update period of the paper's §3.2.
+    """
+
+    enabled: bool = False
+    # Bit widths. Reference defaults: INT4 embeddings + INT4 MLP weights.
+    embedding_bit: int = 4
+    weight_bit: int = 4
+    bias_bit: int = 32
+    activation_bit: int = 8
+    # Quantize activations between MLP layers (QuantAct chains,
+    # quant_modules.py:465-637); requires `quantize_mlp`.
+    quantize_activation: bool = False
+    # Quantize MLP weights at all (False = embedding-only QAT, paper Table 2).
+    quantize_mlp: bool = True
+    # Per-output-channel MLP weight scales (`--linear_channel`,
+    # quant_modules.py:106-112).
+    mlp_channelwise: bool = False
+    # Periodic scale update period for embedding tables (paper §3.2:
+    # Kaggle 200, Terabyte 1000; quant_modules.py:279-291). 1 = every step.
+    scale_update_period: int = 200
+    # Integer feature interaction (`--modify_feature_interaction`,
+    # dlrm_s_pytorch_comm_grad.py:744-792): quantize interaction inputs to
+    # INT16 and compute the bmm on integers, rescaling by scale^2.
+    modify_feature_interaction: bool = False
+    interaction_bit: int = 16
+    # Activation range tracking momentum (QuantAct, quant_modules.py:491).
+    # -1.0 means running extremum min/max.
+    act_range_momentum: float = 0.95
+    # Alternate QAT schemes for baseline comparison (paper Table 3):
+    # "hawq" (default DQRM), "pact" (DoReFa-style tanh STE,
+    # quant_pact_dorefa.py), "lsq" (learned step size, quantizer/lsq.py).
+    quant_scheme: str = "hawq"
+
+    def __post_init__(self):
+        if self.quant_scheme not in ("hawq", "pact", "lsq"):
+            raise ValueError(f"unknown quant scheme {self.quant_scheme!r}")
+
+
+@dataclass(frozen=True)
+class DLRMConfig:
+    """DLRM architecture configuration.
+
+    Mirrors `DLRM_Net.__init__` (dlrm_s_pytorch.py:288-389): bottom MLP over
+    dense features, per-table embedding lookups, pairwise interaction,
+    top MLP ending in a sigmoid output.
+    """
+
+    # ln_emb: rows per sparse embedding table (`--arch-embedding-size`).
+    table_sizes: Tuple[int, ...] = (4, 3, 2)
+    # m_spa: embedding dimension (`--arch-sparse-feature-size`).
+    embedding_dim: int = 4
+    # ln_bot / ln_top (`--arch-mlp-bot/top`); bot[0] = dense feature count,
+    # top[-1] = 1 (the click logit).
+    mlp_bot: Tuple[int, ...] = (4, 3, 4)
+    mlp_top: Tuple[int, ...] = (8, 4, 2, 1)
+    # `--arch-interaction-op`: "dot" | "cat".
+    interaction: str = "dot"
+    # `--arch-interaction-itself`: include self-interaction diagonal.
+    interact_itself: bool = False
+    # Sigmoid placement: reference puts Sigmoid on layer `sigmoid_top`
+    # (last top layer) and ReLU elsewhere (dlrm_s_pytorch.py:229-233).
+    # We always emit logits from the top MLP and apply sigmoid in
+    # predict/loss for numerical stability; `loss_threshold` clamps
+    # probabilities like dlrm_s_pytorch.py:607-614.
+    loss_threshold: float = 0.0
+    # Max pooling size per lookup (Criteo = 1 index per feature). P>1
+    # batches use a mask for variable-length bags.
+    pooling_size: int = 1
+    # Sparse-index hashing modulus (`--max-ind-range`): applied in data
+    # pipeline, recorded here for checkpoints.
+    max_ind_range: int = -1
+    quant: QuantConfig = QuantConfig()
+
+    def __post_init__(self):
+        if self.interaction not in ("dot", "cat"):
+            raise ValueError(
+                f"unsupported interaction {self.interaction!r}"
+            )  # dlrm_s_pytorch.py:500-508
+        if self.mlp_bot[-1] != self.embedding_dim and self.interaction == "dot":
+            raise ValueError(
+                "bottom MLP output dim must equal embedding dim for dot "
+                f"interaction: {self.mlp_bot[-1]} != {self.embedding_dim}"
+            )  # mirrors arch sanity checks dlrm_s_pytorch.py:1161-1198
+
+    @property
+    def num_tables(self) -> int:
+        return len(self.table_sizes)
+
+    @property
+    def num_dense(self) -> int:
+        return self.mlp_bot[0]
+
+    @property
+    def top_input_dim(self) -> int:
+        """Input width of the top MLP (arch check dlrm_s_pytorch.py:1164-1181)."""
+        num_fea = self.num_tables + 1
+        d = self.mlp_bot[-1]
+        if self.interaction == "dot":
+            offset = 1 if self.interact_itself else 0
+            return (num_fea * (num_fea - 1)) // 2 + num_fea * offset + d
+        return num_fea * d
+
+    def validate_top(self) -> None:
+        if self.mlp_top[0] != self.top_input_dim:
+            raise ValueError(
+                f"top MLP input {self.mlp_top[0]} != expected {self.top_input_dim}"
+            )
+
+
+def kaggle_config(quant: Optional[QuantConfig] = None) -> DLRMConfig:
+    """Criteo Kaggle architecture (README.md run commands:
+    --arch-sparse-feature-size=16 --arch-mlp-bot=13-512-256-64-16
+    --arch-mlp-top=512-256-1), 26 tables with the Kaggle cardinalities."""
+    table_sizes = (
+        1460, 583, 10131227, 2202608, 305, 24, 12517, 633, 3, 93145, 5683,
+        8351593, 3194, 27, 14992, 5461306, 10, 5652, 2173, 4, 7046547, 18,
+        15, 286181, 105, 142572,
+    )
+    return DLRMConfig(
+        table_sizes=table_sizes,
+        embedding_dim=16,
+        mlp_bot=(13, 512, 256, 64, 16),
+        mlp_top=(367, 512, 256, 1),
+        interaction="dot",
+        quant=quant or QuantConfig(),
+    )
+
+
+def terabyte_config(quant: Optional[QuantConfig] = None) -> DLRMConfig:
+    """Criteo Terabyte arch (README.md:57: d=64, bot 13-512-256-64,
+    top 512-512-256-1, --max-ind-range=10000000)."""
+    table_sizes = (
+        9980333, 36084, 17217, 7378, 20134, 3, 7112, 1442, 61, 9758201,
+        1333352, 313829, 10, 2208, 11156, 122, 4, 970, 14, 9994222,
+        7267859, 9946608, 415421, 12420, 101, 36,
+    )
+    quant = quant or QuantConfig(scale_update_period=1000)
+    return DLRMConfig(
+        table_sizes=table_sizes,
+        embedding_dim=64,
+        mlp_bot=(13, 512, 256, 64),
+        mlp_top=(415, 512, 512, 256, 1),
+        interaction="dot",
+        max_ind_range=10000000,
+        quant=quant,
+    )
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop configuration (dlrm_s_pytorch.py argparse run section)."""
+
+    batch_size: int = 128  # `--mini-batch-size`
+    test_batch_size: int = 16384  # `--test-mini-batch-size`
+    nepochs: int = 1
+    learning_rate: float = 0.01
+    optimizer: str = "sgd"  # sgd | adagrad | rwsadagrad
+    # LRPolicyScheduler (dlrm_s_pytorch.py:160-194)
+    lr_num_warmup_steps: int = 0
+    lr_decay_start_step: int = 0
+    lr_num_decay_steps: int = 0
+    print_freq: int = 1024
+    test_freq: int = -1
+    seed: int = 123  # `--numpy-rand-seed`
+    # DQRM gradient-communication compression (§2.3 of the survey):
+    grad_quant_bits: int = 8  # INT8 gradient all-reduce
+    grad_sparse: bool = True  # sparse embedding-gradient exchange
+    error_compensation: bool = False  # MLP error feedback
+    weight_sync_period: int = 200  # periodic full-weight allreduce (comm_grad.py:1977)
+    # FP32 pretrain epochs before enabling quantization
+    # (`--pretrain_and_quantize`, comm_grad.py:1850-1853).
+    pretrain_epochs: int = 0
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)

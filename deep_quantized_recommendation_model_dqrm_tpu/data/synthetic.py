@@ -1,0 +1,107 @@
+"""Synthetic data generation — the `--data-generation=random` path.
+
+Mirrors `make_random_data_and_loader` / `RandomDataset`
+(dlrm_data_pytorch.py:766-968): uniform dense features, per-table uniform
+sparse indices with variable pooling, uniform binary targets. Two flavors:
+
+- host-side numpy batches (`RandomBatchLoader`) matching the reference's
+  DataLoader interface for the training drivers;
+- on-device generation (`random_batches_on_device`) for benchmarking the pure
+  compute path without host-transfer noise.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_quantized_recommendation_model_dqrm_tpu.config import DLRMConfig
+from deep_quantized_recommendation_model_dqrm_tpu.models.dlrm import Batch
+
+
+def random_batch(
+    config: DLRMConfig,
+    batch_size: int,
+    rng: np.random.RandomState,
+    num_indices_per_lookup: Optional[int] = None,
+    variable_pooling: bool = False,
+) -> Batch:
+    """One synthetic batch with static [T, B, P] index layout.
+
+    Reference generator (dlrm_data_pytorch.py:1086-1130): dense ~ U(0,1),
+    indices ~ U(0, rows_k) per table; pooling size drawn per lookup when
+    `variable_pooling` (masked here instead of offset-encoded).
+    """
+    T = config.num_tables
+    P = num_indices_per_lookup or config.pooling_size
+    dense = rng.uniform(0.0, 1.0, size=(batch_size, config.num_dense)).astype(np.float32)
+    indices = np.stack(
+        [
+            rng.randint(0, rows, size=(batch_size, P)).astype(np.int32)
+            for rows in config.table_sizes
+        ]
+    )
+    labels = rng.randint(0, 2, size=(batch_size,)).astype(np.float32)
+    mask = None
+    if variable_pooling and P > 1:
+        lengths = rng.randint(1, P + 1, size=(T, batch_size))
+        mask = (np.arange(P)[None, None, :] < lengths[:, :, None]).astype(np.float32)
+    return Batch(
+        dense=jnp.asarray(dense),
+        indices=jnp.asarray(indices),
+        labels=jnp.asarray(labels),
+        mask=jnp.asarray(mask) if mask is not None else None,
+    )
+
+
+class RandomBatchLoader:
+    """Iterable of synthetic batches (the reference's random-data DataLoader,
+    dlrm_data_pytorch.py:897-968)."""
+
+    def __init__(
+        self,
+        config: DLRMConfig,
+        batch_size: int,
+        num_batches: int,
+        seed: int = 123,
+        variable_pooling: bool = False,
+    ):
+        self.config = config
+        self.batch_size = batch_size
+        self.num_batches = num_batches
+        self.seed = seed
+        self.variable_pooling = variable_pooling
+
+    def __len__(self) -> int:
+        return self.num_batches
+
+    def __iter__(self) -> Iterator[Batch]:
+        rng = np.random.RandomState(self.seed)
+        for _ in range(self.num_batches):
+            yield random_batch(
+                self.config,
+                self.batch_size,
+                rng,
+                variable_pooling=self.variable_pooling,
+            )
+
+
+def random_batches_on_device(
+    config: DLRMConfig, batch_size: int, key: jax.Array
+) -> Batch:
+    """Generate one batch entirely on device (for benchmarks; jit-safe)."""
+    kd, ki, kl = jax.random.split(key, 3)
+    dense = jax.random.uniform(kd, (batch_size, config.num_dense), jnp.float32)
+    P = config.pooling_size
+    keys = jax.random.split(ki, config.num_tables)
+    indices = jnp.stack(
+        [
+            jax.random.randint(k, (batch_size, P), 0, rows, jnp.int32)
+            for k, rows in zip(keys, config.table_sizes)
+        ]
+    )
+    labels = jax.random.bernoulli(kl, 0.5, (batch_size,)).astype(jnp.float32)
+    return Batch(dense=dense, indices=indices, labels=labels, mask=None)

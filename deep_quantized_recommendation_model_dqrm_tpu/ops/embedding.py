@@ -1,0 +1,116 @@
+"""Embedding lookup ops: gather + sum-pool and sparse-gradient extraction.
+
+TPU-native replacement for `nn.EmbeddingBag(mode="sum", sparse=True)`
+(reference: dlrm_s_pytorch.py:269-276, quant_modules.py:264). The reference
+relies on ATen's fused gather+pool kernel and sparse-COO gradients; on TPU:
+
+- forward is a `jnp.take` gather (XLA lowers to a dynamic-gather that streams
+  rows from HBM) followed by a masked sum over the pooling axis — fused by XLA
+  into one pass;
+- the "sparse gradient" is never a materialized COO tensor: autodiff of
+  `take` produces a scatter-add, and for DQRM's compressed gradient exchange
+  we instead capture the per-lookup row gradients as (indices, values) pairs
+  via `pooled_lookup_sparse` below, exactly the information content of the
+  reference's `torch.sparse_coo_tensor` grads
+  (sgd_quantized_gradients_parallel_comm.py:850-890).
+
+Batch layout: `indices[B, P]` int32 row ids, `mask[B, P]` float {0,1} for
+variable-length bags (Criteo has P=1, mask all ones — the `lS_o = arange(B)`
+offset form of dlrm_data_pytorch.py:328-345 collapses to this).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def pooled_lookup(
+    table: jax.Array,  # [rows, D]
+    indices: jax.Array,  # [B, P] int32
+    mask: Optional[jax.Array] = None,  # [B, P] float
+) -> jax.Array:  # [B, D]
+    """Sum-pooled embedding lookup (EmbeddingBag mode="sum")."""
+    rows = jnp.take(table, indices, axis=0)  # [B, P, D]
+    if mask is not None:
+        rows = rows * mask[..., None].astype(rows.dtype)
+    return jnp.sum(rows, axis=1)
+
+
+def pooled_lookup_sparse(
+    table: jax.Array,
+    indices: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Like `pooled_lookup` but the backward never densifies into the table.
+
+    Gradients are cut at the gathered rows: callers that need table updates
+    use `rows_grad_from_pooled` to obtain the (ids, values) sparse gradient
+    and apply it with `apply_sparse_grad`. This mirrors the reference's
+    sparse=True EmbeddingBag + manual weight update path
+    (sgd_quantized_gradients_parallel_comm.py:601-685) and avoids allocating
+    a dense [rows, D] gradient for 10M-row tables.
+    """
+    return pooled_lookup(jax.lax.stop_gradient(table), indices, mask)
+
+
+def rows_grad_from_pooled(
+    g_pooled: jax.Array,  # [B, D] gradient w.r.t. pooled output
+    indices: jax.Array,  # [B, P]
+    mask: Optional[jax.Array] = None,  # [B, P]
+) -> Tuple[jax.Array, jax.Array]:
+    """Sparse gradient of the table as (ids[B*P], values[B*P, D]).
+
+    d pooled[b] / d table[indices[b,p]] = mask[b,p] * I, so each (b,p) lookup
+    contributes g_pooled[b] * mask[b,p] to row indices[b,p]. Duplicate ids are
+    legal — consumers either scatter-add or segment-sum them, matching
+    `torch.sparse_coo_tensor(...).coalesce()` semantics
+    (sgd_quantized_gradients_parallel_comm.py:257-320).
+    """
+    B, P = indices.shape
+    vals = jnp.broadcast_to(g_pooled[:, None, :], (B, P, g_pooled.shape[-1]))
+    if mask is not None:
+        vals = vals * mask[..., None].astype(vals.dtype)
+    return indices.reshape(B * P), vals.reshape(B * P, -1)
+
+
+def apply_sparse_grad(
+    table: jax.Array,  # [rows, D]
+    ids: jax.Array,  # [K]
+    values: jax.Array,  # [K, D]
+    step_size: jax.Array | float,
+) -> jax.Array:
+    """table[ids] -= step_size * values, scatter-add over duplicates.
+
+    The manual SGD apply of the reference (`weight_update_parallel_comm`,
+    sgd_quantized_gradients_parallel_comm.py:601-640). `.at[].add` donates in
+    place under jit.
+    """
+    return table.at[ids].add(-step_size * values, mode="drop")
+
+
+def coalesce_sparse_grad(
+    ids: jax.Array,  # [K]
+    values: jax.Array,  # [K, D]
+    num_rows: int,
+    max_unique: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Deduplicate a sparse gradient into at most `max_unique` rows.
+
+    Static-shape analogue of `torch.sparse.coalesce()`: sorts ids, segment-sums
+    duplicate rows, and returns (unique_ids[max_unique], values[max_unique, D])
+    padded with id = num_rows (out-of-range => dropped by scatter mode="drop").
+    Used to bound communication volume before the compressed exchange.
+    """
+    order = jnp.argsort(ids)
+    sids = ids[order]
+    svals = values[order]
+    # Segment start markers -> unique slot assignment.
+    is_new = jnp.concatenate([jnp.ones((1,), jnp.int32), (sids[1:] != sids[:-1]).astype(jnp.int32)])
+    slot = jnp.cumsum(is_new) - 1  # [K], 0-based slot per element
+    slot = jnp.minimum(slot, max_unique - 1)
+    uniq_vals = jnp.zeros((max_unique, values.shape[-1]), values.dtype).at[slot].add(svals)
+    uniq_ids = jnp.full((max_unique,), num_rows, dtype=sids.dtype).at[slot].set(sids)
+    return uniq_ids, uniq_vals

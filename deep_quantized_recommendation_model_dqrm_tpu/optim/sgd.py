@@ -1,0 +1,80 @@
+"""Optimizers: SGD, Adagrad, and Row-Wise Sparse Adagrad (RWSAdagrad).
+
+Functional equivalents of the reference's optimizer choices
+(dlrm_s_pytorch.py:1330-1334: {"sgd", "adagrad", "rwsadagrad"}):
+
+- SGD: plain w -= lr * g (torch.optim.SGD, no momentum in the reference).
+- Adagrad: state += g^2; w -= lr * g / (sqrt(state) + eps).
+- RWSAdagrad (optim/rwsadagrad.py:11-122): embedding tables keep ONE
+  accumulator scalar per row — the mean over the embedding dim of g^2 —
+  instead of a full [rows, D] accumulator; dense params fall back to classic
+  Adagrad. On TPU we apply it densely over the table (XLA fuses the row-mean
+  + rsqrt + update into one HBM pass); the sparse-update variant lives in
+  `parallel/comm_grad.py` where gradients are (ids, values) pairs.
+
+All update fns are pytree-polymorphic and jit-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-10  # reference RWSAdagrad eps default (optim/rwsadagrad.py:37)
+
+
+def sgd_update(params: Any, grads: Any, lr) -> Any:
+    return jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+
+
+def adagrad_init(params: Any) -> Any:
+    return jax.tree_util.tree_map(jnp.zeros_like, params)
+
+
+def adagrad_update(
+    params: Any, grads: Any, state: Any, lr, eps: float = EPS
+) -> Tuple[Any, Any]:
+    new_state = jax.tree_util.tree_map(lambda s, g: s + g * g, state, grads)
+    new_params = jax.tree_util.tree_map(
+        lambda p, g, s: p - lr * g / (jnp.sqrt(s) + eps), params, grads, new_state
+    )
+    return new_params, new_state
+
+
+def rwsadagrad_init(params: Any) -> Any:
+    """Row-wise state for 'emb' tables ([rows] per table), full state for
+    MLP params."""
+    state = {}
+    for key, val in params.items():
+        if key == "emb":
+            state[key] = [jnp.zeros((t.shape[0],), jnp.float32) for t in val]
+        else:
+            state[key] = jax.tree_util.tree_map(jnp.zeros_like, val)
+    return state
+
+
+def rwsadagrad_update(
+    params: Any, grads: Any, state: Any, lr, eps: float = EPS
+) -> Tuple[Any, Any]:
+    """Row-wise sparse Adagrad (optim/rwsadagrad.py:74-118): per embedding row
+    acc += mean_d(g^2); w -= lr * g / (sqrt(acc) + eps)."""
+    new_params = dict(params)
+    new_state = dict(state)
+    new_emb, new_emb_state = [], []
+    for table, g, acc in zip(params["emb"], grads["emb"], state["emb"]):
+        row_ms = jnp.mean(g * g, axis=1)  # [rows]
+        acc2 = acc + row_ms
+        std = jnp.sqrt(acc2)[:, None] + eps
+        new_emb.append(table - lr * g / std)
+        new_emb_state.append(acc2)
+    new_params["emb"] = new_emb
+    new_state["emb"] = new_emb_state
+    for key in params:
+        if key == "emb":
+            continue
+        sub_p, sub_s = adagrad_update(params[key], grads[key], state[key], lr, eps)
+        new_params[key] = sub_p
+        new_state[key] = sub_s
+    return new_params, new_state

@@ -1,0 +1,365 @@
+"""Hybrid parallelism: table-sharded embeddings + data-parallel MLPs.
+
+TPU-native re-design of the reference's hybrid drivers
+(dlrm_s_pytorch_hybrid_multi_gpu.py:819-945 `distributed_forward`,
+dlrm_s_pytorch_quantization_tr_two.py, dlrm_s_pytorch_hp_with_quantization.py):
+each rank owns a subset of the 26 embedding tables, looks up the FULL batch
+for its local tables, then an all-to-all swaps table-major to batch-major so
+every rank ends with all tables' pooled outputs for its batch slice; MLPs are
+replicated and data-parallel (DDP -> gradient pmean).
+
+TPU mapping, all inside ONE jitted `shard_map` over a 1-D `mp` axis:
+
+- tables are packed into a row-concatenated **mega-table** of shape
+  [n_dev * block_rows, D], row-sharded over the mesh axis. Packing balances
+  rows across devices (greedy LPT — better than the reference's contiguous
+  `get_my_slice` split, which is badly skewed by the 10M-row tables); each
+  device block ends with one zero pad row that dummy slots point at.
+- per-device lookups use static [n_dev, Tmax] table-id/base tables indexed by
+  `axis_index`, producing pooled [Tmax, B, D];
+- `jax.lax.all_to_all` (split on batch, concat on tables) replaces the
+  hand-rolled async All2All_Req/Wait autograd functions
+  (extend_distributed.py:197-490). XLA's latency-hiding scheduler overlaps it
+  with the bottom MLP — the reference's request-before-mlp/wait-after trick
+  (hybrid_multi_gpu.py:866-870) for free;
+- backward: autodiff through the all-to-all routes each pooled-output
+  gradient back to the owning device; embedding updates are local
+  scatter-adds (tables are sharded, so no gradient reduction — exactly like
+  DDP excluding the embeddings, hybrid_multi_gpu.py:1840-1845);
+- MLP gradients are pmean'd (DDP all-reduce).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deep_quantized_recommendation_model_dqrm_tpu.config import DLRMConfig, TrainConfig
+from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm
+from deep_quantized_recommendation_model_dqrm_tpu.optim import lr_policy
+
+
+class TableShardingPlan(NamedTuple):
+    """Static metadata for the mega-table packing (host-side numpy)."""
+
+    n_dev: int
+    block_rows: int  # rows per device block (incl. final zero pad row)
+    t_max: int  # max tables per device (slots padded with -1)
+    table_rank: np.ndarray  # [T] owning device of each table
+    table_slot: np.ndarray  # [T] slot index within the owner
+    table_base: np.ndarray  # [T] row offset of the table within its block
+    local_ids: np.ndarray  # [n_dev, t_max] table id per slot (-1 = dummy)
+    local_base: np.ndarray  # [n_dev, t_max] base row per slot (pad row for dummies)
+    perm: np.ndarray  # [T] position of table k in the all-to-all output
+
+
+def plan_table_sharding(
+    table_sizes: Tuple[int, ...], n_dev: int, strategy: str = "greedy"
+) -> TableShardingPlan:
+    """Assign tables to devices and lay out per-device row blocks.
+
+    strategy="greedy": longest-processing-time row balancing.
+    strategy="contiguous": the reference's `get_my_slice` contiguous split
+    (dlrm_s_pytorch.py:243-245) for exact-parity experiments.
+    """
+    T = len(table_sizes)
+    if strategy == "contiguous":
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel.mesh import (
+            table_assignment,
+        )
+
+        per_rank: List[List[int]] = table_assignment(T, n_dev)
+    else:
+        order = np.argsort(-np.asarray(table_sizes, np.int64), kind="stable")
+        loads = np.zeros(n_dev, np.int64)
+        per_rank = [[] for _ in range(n_dev)]
+        for k in order:
+            r = int(np.argmin(loads))
+            per_rank[r].append(int(k))
+            loads[r] += table_sizes[k]
+        # keep original table order within a rank for readability
+        per_rank = [sorted(g) for g in per_rank]
+
+    t_max = max(max((len(g) for g in per_rank), default=1), 1)
+    table_rank = np.zeros(T, np.int32)
+    table_slot = np.zeros(T, np.int32)
+    table_base = np.zeros(T, np.int64)
+    local_ids = np.full((n_dev, t_max), -1, np.int32)
+    rank_rows = np.zeros(n_dev, np.int64)
+    for r, group in enumerate(per_rank):
+        off = 0
+        for s, k in enumerate(group):
+            table_rank[k] = r
+            table_slot[k] = s
+            table_base[k] = off
+            local_ids[r, s] = k
+            off += table_sizes[k]
+        rank_rows[r] = off
+    block_rows = int(rank_rows.max()) + 1  # +1 zero pad row
+    local_base = np.full((n_dev, t_max), block_rows - 1, np.int64)
+    for k in range(T):
+        local_base[table_rank[k], table_slot[k]] = table_base[k]
+    perm = (table_rank.astype(np.int64) * t_max + table_slot).astype(np.int32)
+    return TableShardingPlan(
+        n_dev=n_dev,
+        block_rows=block_rows,
+        t_max=t_max,
+        table_rank=table_rank,
+        table_slot=table_slot,
+        table_base=table_base,
+        local_ids=local_ids,
+        local_base=local_base,
+        perm=perm,
+    )
+
+
+def pack_tables(
+    tables: List[jax.Array],
+    plan: TableShardingPlan,
+    mesh: Optional[Mesh] = None,
+    axis: str = "mp",
+) -> jax.Array:
+    """Pack per-table arrays into the row-sharded mega-table
+    [n_dev * block_rows, D]. With a mesh, the result is placed with
+    NamedSharding(P(axis)) so each block lives on its owner device."""
+    D = tables[0].shape[-1]
+    mega = jnp.zeros((plan.n_dev * plan.block_rows, D), tables[0].dtype)
+    for k, t in enumerate(tables):
+        start = int(plan.table_rank[k]) * plan.block_rows + int(plan.table_base[k])
+        mega = jax.lax.dynamic_update_slice(mega, t, (start, 0))
+    if mesh is not None:
+        mega = jax.device_put(mega, NamedSharding(mesh, P(axis)))
+    return mega
+
+
+def unpack_tables(
+    mega: jax.Array, plan: TableShardingPlan, table_sizes: Tuple[int, ...]
+) -> List[jax.Array]:
+    """Inverse of pack_tables (for checkpointing / eval on one chip)."""
+    out = []
+    for k, rows in enumerate(table_sizes):
+        start = int(plan.table_rank[k]) * plan.block_rows + int(plan.table_base[k])
+        out.append(jax.lax.dynamic_slice(mega, (start, 0), (rows, mega.shape[1])))
+    return out
+
+
+class HybridState(NamedTuple):
+    mega: jax.Array  # [n_dev*block_rows, D] row-sharded embedding mega-table
+    mlp: Any  # replicated MLP params {"bot": [...], "top": [...]}
+    qstate: dlrm.QuantState
+
+
+def init_hybrid_state(
+    config: DLRMConfig,
+    tc: TrainConfig,
+    mesh: Mesh,
+    plan: TableShardingPlan,
+    axis: str = "mp",
+    seed: Optional[int] = None,
+) -> HybridState:
+    params = dlrm.init_params(config, seed if seed is not None else tc.seed)
+    mega = pack_tables(params["emb"], plan, mesh, axis)
+    mlp = {k: v for k, v in params.items() if k != "emb"}
+    return HybridState(mega=mega, mlp=mlp, qstate=dlrm.init_quant_state(config))
+
+
+def _local_pooled(
+    block: jax.Array,  # [block_rows, D] this device's rows
+    indices: jax.Array,  # [T, B, P] full batch, replicated
+    mask: Optional[jax.Array],
+    local_ids: jax.Array,  # [t_max]
+    local_base: jax.Array,  # [t_max]
+) -> jax.Array:  # [t_max, B, D]
+    """Pooled lookups for this device's table slots over the full batch
+    (the reference's `apply_emb(local tables, FULL batch)`,
+    hybrid_multi_gpu.py:853)."""
+    safe_ids = jnp.maximum(local_ids, 0)
+    idx = jnp.take(indices, safe_ids, axis=0)  # [t_max, B, P]
+    valid = (local_ids >= 0)[:, None, None]
+    # Dummy slots resolve to the zero pad row at local_base (= block_rows-1).
+    rows_idx = jnp.where(valid, idx, 0) + local_base[:, None, None]
+    rows = jnp.take(block, rows_idx, axis=0)  # [t_max, B, P, D]
+    if mask is not None:
+        m = jnp.take(mask, safe_ids, axis=0)
+        rows = rows * m[..., None].astype(rows.dtype)
+    return jnp.sum(rows, axis=2)  # [t_max, B, D]
+
+
+def make_hybrid_train_step(
+    config: DLRMConfig,
+    tc: TrainConfig,
+    mesh: Mesh,
+    plan: TableShardingPlan,
+    axis: str = "mp",
+    has_mask: bool = False,
+):
+    """Build the jitted hybrid-parallel train step.
+
+    Input: (HybridState, Batch) where Batch.dense/labels are batch-sharded on
+    `axis` and indices/mask are replicated (every device needs the full batch
+    for its local tables). Output: (HybridState, mean loss).
+    """
+    qc = config.quant
+    n_dev = plan.n_dev
+    local_ids_np = jnp.asarray(plan.local_ids)
+    local_base_np = jnp.asarray(plan.local_base)
+    perm = jnp.asarray(plan.perm)
+
+    def device_step(state: HybridState, batch: dlrm.Batch):
+        me = jax.lax.axis_index(axis)
+        block = state.mega  # [block_rows, D] local shard inside shard_map
+        my_local_ids = local_ids_np[me]
+        my_local_base = local_base_np[me]
+        qstate = state.qstate
+
+        def _slot_scales(blk, lids, lbase):
+            """Per-slot table-wide scales from this device's block.
+
+            One [block_rows, D] pass produces per-row min/max; each slot then
+            reduces its contiguous [base_s, base_{s+1}) row range on the
+            [block_rows] vectors — the TPU equivalent of the reference's
+            whole-table min/max scan (quant_utils.py:141-194), at one HBM
+            read for ALL local tables instead of one per table.
+            """
+            from deep_quantized_recommendation_model_dqrm_tpu.ops import quant as q
+
+            row_min = jnp.min(blk, axis=1)  # [block_rows]
+            row_max = jnp.max(blk, axis=1)
+            row_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (blk.shape[0], 1), 0
+            ).squeeze(-1)
+            scales = []
+            end = jnp.asarray(blk.shape[0] - 1, lbase.dtype)  # pad row
+            for s in range(plan.t_max):
+                base = lbase[s]
+                nxt = lbase[s + 1] if s + 1 < plan.t_max else end
+                in_tbl = (row_ids >= base) & (row_ids < nxt)
+                w_min = jnp.min(jnp.where(in_tbl, row_min, jnp.inf))
+                w_max = jnp.max(jnp.where(in_tbl, row_max, -jnp.inf))
+                valid = lids[s] >= 0
+                w_min = jnp.where(valid, w_min, 0.0)
+                w_max = jnp.where(valid, w_max, 0.0)
+                scales.append(
+                    q.symmetric_quantization_params(qc.embedding_bit, w_min, w_max)
+                )
+            return jnp.stack(scales)
+
+        if qc.enabled:
+            # Table-wide scales from the local block; each table lives on one
+            # device, so compute per-slot scales locally and all-gather.
+            # The (expensive, local) block scan sits under lax.cond; the
+            # (cheap, [t_max]-float) all_gather runs unconditionally —
+            # collectives must NOT live inside cond branches (branch
+            # subcomputations get their own collective op-id namespace and
+            # deadlock against main-body collectives).
+            period = max(qc.scale_update_period, 1)
+            do_update = (qstate.step % period) == 0
+            slot_scales = jax.lax.cond(
+                do_update,
+                lambda: _slot_scales(block, my_local_ids, my_local_base),
+                lambda: jnp.zeros((plan.t_max,), jnp.float32),
+            )
+            all_slot = jax.lax.all_gather(slot_scales, axis)  # [n_dev, t_max]
+            new_scales = jnp.where(
+                do_update, all_slot.reshape(-1)[perm], qstate.emb_scales
+            )
+            qstate = qstate._replace(emb_scales=new_scales)
+
+        # ---- forward: local lookups -> all-to-all -> DLRM from pooled ----
+        pooled_local = _local_pooled(
+            jax.lax.stop_gradient(block),
+            batch.indices,
+            batch.mask,
+            my_local_ids,
+            my_local_base,
+        )  # [t_max, B, D]
+
+        def loss_fn(mlp_p, p_local):
+            # table-major [t_max, B, D] -> batch-major [n_dev*t_max, B/n, D]
+            swapped = jax.lax.all_to_all(
+                p_local, axis, split_axis=1, concat_axis=0, tiled=True
+            )
+            raw_pooled = jnp.take(swapped, perm, axis=0)  # [T, B/n, D]
+            local_batch = dlrm.Batch(
+                dense=batch.dense,
+                indices=batch.indices[:, :1, :],  # unused (raw_pooled given)
+                labels=batch.labels,
+                mask=None,
+            )
+            logits, new_qs = dlrm.forward(
+                config,
+                {**mlp_p, "emb": []},
+                local_batch,
+                qstate,
+                train=True,
+                raw_pooled=raw_pooled,
+            )
+            return dlrm.bce_loss(logits, batch.labels), new_qs
+
+        (loss, new_qs), (mlp_grads, g_pooled_local) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.mlp, pooled_local)
+        # g_pooled_local already includes every device's contribution (the
+        # all-to-all transpose routed them here) = d(sum of device losses).
+
+        mean_loss = jax.lax.pmean(loss, axis)
+        lr = lr_policy(
+            tc.learning_rate,
+            qstate.step + 1,
+            tc.lr_num_warmup_steps,
+            tc.lr_decay_start_step,
+            tc.lr_num_decay_steps,
+        )
+
+        # ---- MLP update: DDP-style gradient mean + SGD ----
+        mlp_grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, axis), mlp_grads
+        )
+        new_mlp = jax.tree_util.tree_map(
+            lambda p, g: p - lr * g, state.mlp, mlp_grads
+        )
+
+        # ---- Embedding update: local sparse scatter-add (grad of the sum
+        # of losses, so divide by n_dev for the mean) ----
+        B, Pp = batch.indices.shape[1], batch.indices.shape[2]
+        safe_ids = jnp.maximum(my_local_ids, 0)
+        idx = jnp.take(batch.indices, safe_ids, axis=0)  # [t_max, B, P]
+        valid = (my_local_ids >= 0)[:, None, None]
+        rows_idx = jnp.where(valid, idx, 0) + my_local_base[:, None, None]
+        rows_idx = jnp.where(valid, rows_idx, block.shape[0])  # drop dummies
+        vals = jnp.broadcast_to(
+            g_pooled_local[:, :, None, :],
+            (plan.t_max, B, Pp, g_pooled_local.shape[-1]),
+        )
+        if batch.mask is not None:
+            m = jnp.take(batch.mask, safe_ids, axis=0)
+            vals = vals * m[..., None].astype(vals.dtype)
+        new_block = block.at[rows_idx.reshape(-1)].add(
+            -(lr / n_dev) * vals.reshape(-1, vals.shape[-1]).astype(block.dtype),
+            mode="drop",
+        )
+
+        new_qs = new_qs._replace(step=qstate.step + 1)
+        return HybridState(new_block, new_mlp, new_qs), mean_loss
+
+    batch_specs = dlrm.Batch(
+        dense=P(axis),
+        indices=P(),  # replicated: full batch needed for local tables
+        labels=P(axis),
+        mask=P() if has_mask else None,
+    )
+    state_specs = HybridState(mega=P(axis), mlp=P(), qstate=P())
+
+    step = shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(state_specs, batch_specs),
+        out_specs=(state_specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(step, donate_argnums=(0,))

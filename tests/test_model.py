@@ -1,0 +1,214 @@
+"""Model tests: shapes, forward modes, QAT state, end-to-end loss decrease.
+
+The end-to-end test mirrors the reference's synthetic smoke run
+(`python dlrm_s_pytorch.py --data-generation=random`, SURVEY §4.1).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deep_quantized_recommendation_model_dqrm_tpu.config import (
+    DLRMConfig,
+    QuantConfig,
+    TrainConfig,
+)
+from deep_quantized_recommendation_model_dqrm_tpu.data.synthetic import (
+    RandomBatchLoader,
+    random_batch,
+)
+from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm
+from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+TINY = DLRMConfig(
+    table_sizes=(100, 50, 10),
+    embedding_dim=8,
+    mlp_bot=(4, 16, 8),
+    mlp_top=(14, 8, 1),
+)
+
+
+def tiny_cfg(**quant_kw) -> DLRMConfig:
+    import dataclasses
+
+    if not quant_kw:
+        return TINY
+    return dataclasses.replace(TINY, quant=QuantConfig(**quant_kw))
+
+
+def make_batch(config, batch_size=16, seed=0):
+    return random_batch(config, batch_size, np.random.RandomState(seed))
+
+
+class TestShapes:
+    def test_init_params_shapes(self):
+        p = dlrm.init_params(TINY, seed=0)
+        assert [t.shape for t in p["emb"]] == [(100, 8), (50, 8), (10, 8)]
+        assert p["bot"][0]["w"].shape == (16, 4)
+        assert p["top"][-1]["w"].shape == (1, 8)
+
+    def test_top_input_dim(self):
+        # 3 tables + dense => 4 features => 6 pairs + d=8 => 14
+        assert TINY.top_input_dim == 14
+        TINY.validate_top()
+
+    def test_forward_fp32(self):
+        p = dlrm.init_params(TINY, seed=0)
+        logits, qs = dlrm.forward(TINY, p, make_batch(TINY))
+        assert logits.shape == (16,)
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+    def test_cat_interaction(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(TINY, interaction="cat", mlp_top=(32, 8, 1))
+        p = dlrm.init_params(cfg, seed=0)
+        logits, _ = dlrm.forward(cfg, p, make_batch(cfg))
+        assert logits.shape == (16,)
+
+    def test_interact_itself(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(TINY, interact_itself=True, mlp_top=(18, 8, 1))
+        assert cfg.top_input_dim == 18
+        p = dlrm.init_params(cfg, seed=0)
+        logits, _ = dlrm.forward(cfg, p, make_batch(cfg))
+        assert logits.shape == (16,)
+
+    def test_variable_pooling_mask(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(TINY, pooling_size=4)
+        p = dlrm.init_params(cfg, seed=0)
+        b = random_batch(cfg, 8, np.random.RandomState(0), variable_pooling=True)
+        assert b.mask is not None and b.mask.shape == (3, 8, 4)
+        logits, _ = dlrm.forward(cfg, p, b)
+        assert logits.shape == (8,)
+
+
+class TestQATForward:
+    @pytest.mark.parametrize("scheme", ["hawq", "pact", "lsq"])
+    def test_quant_forward_finite(self, scheme):
+        cfg = tiny_cfg(enabled=True, quant_scheme=scheme, scale_update_period=1)
+        p = dlrm.init_params(cfg, seed=0)
+        qs = dlrm.init_quant_state(cfg)
+        qs = dlrm.update_emb_scales(cfg, p, qs)
+        logits, _ = dlrm.forward(cfg, p, make_batch(cfg), qs)
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+    def test_emb_quant_changes_output(self):
+        cfg = tiny_cfg(enabled=True, quantize_mlp=False, embedding_bit=2)
+        p = dlrm.init_params(cfg, seed=0)
+        qs = dlrm.update_emb_scales(cfg, p, dlrm.init_quant_state(cfg))
+        b = make_batch(cfg)
+        lq, _ = dlrm.forward(cfg, p, b, qs)
+        lf, _ = dlrm.forward(cfg, p, b, qs, full_precision=True)
+        assert not np.allclose(np.asarray(lq), np.asarray(lf))
+
+    def test_full_precision_matches_fp32_path(self):
+        cfg = tiny_cfg(enabled=True)
+        p = dlrm.init_params(cfg, seed=0)
+        qs = dlrm.update_emb_scales(cfg, p, dlrm.init_quant_state(cfg))
+        b = make_batch(cfg)
+        l1, _ = dlrm.forward(cfg, p, b, qs, full_precision=True)
+        l2, _ = dlrm.forward(TINY, p, b)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6)
+
+    def test_quantize_activation_path(self):
+        cfg = tiny_cfg(enabled=True, quantize_activation=True, activation_bit=8)
+        p = dlrm.init_params(cfg, seed=0)
+        qs = dlrm.update_emb_scales(cfg, p, dlrm.init_quant_state(cfg))
+        logits, new_qs = dlrm.forward(cfg, p, make_batch(cfg), qs, train=True)
+        assert np.all(np.isfinite(np.asarray(logits)))
+        # act ranges initialized from first batch
+        assert float(new_qs.act_max[0]) > 0.0
+
+    def test_modify_feature_interaction(self):
+        cfg = tiny_cfg(enabled=True, modify_feature_interaction=True)
+        p = dlrm.init_params(cfg, seed=0)
+        qs = dlrm.update_emb_scales(cfg, p, dlrm.init_quant_state(cfg))
+        b = make_batch(cfg)
+        lq, _ = dlrm.forward(cfg, p, b, qs)
+        assert np.all(np.isfinite(np.asarray(lq)))
+        # INT16 interaction should closely track the float interaction
+        cfg2 = tiny_cfg(enabled=True)
+        lf, _ = dlrm.forward(cfg2, p, b, qs)
+        np.testing.assert_allclose(np.asarray(lq), np.asarray(lf), atol=0.05)
+
+    def test_periodic_scale_update(self):
+        cfg = tiny_cfg(enabled=True, scale_update_period=3)
+        p = dlrm.init_params(cfg, seed=0)
+        qs = dlrm.init_quant_state(cfg)
+        qs0 = dlrm.update_emb_scales(cfg, p, qs)  # step 0 => refresh
+        assert not np.allclose(np.asarray(qs0.emb_scales), 1.0)
+        # step 1: no refresh even if params change
+        p2 = jax.tree_util.tree_map(lambda x: x * 2.0, p)
+        qs1 = dlrm.update_emb_scales(cfg, p2, qs0._replace(step=jnp.int32(1)))
+        np.testing.assert_allclose(
+            np.asarray(qs1.emb_scales), np.asarray(qs0.emb_scales)
+        )
+        # step 3: refresh picks up doubled params
+        qs3 = dlrm.update_emb_scales(cfg, p2, qs0._replace(step=jnp.int32(3)))
+        np.testing.assert_allclose(
+            np.asarray(qs3.emb_scales), 2 * np.asarray(qs0.emb_scales), rtol=1e-6
+        )
+
+
+class TestTraining:
+    @pytest.mark.parametrize("optimizer", ["sgd", "adagrad", "rwsadagrad"])
+    def test_loss_decreases_fp32(self, optimizer):
+        tc = TrainConfig(batch_size=64, learning_rate=0.1, optimizer=optimizer)
+        state = init_train_state(TINY, tc)
+        step = make_train_step(TINY, tc)
+        losses = []
+        for b in RandomBatchLoader(TINY, 64, 30, seed=5):
+            state, loss = step(state, b)
+            losses.append(float(loss))
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+    def test_loss_decreases_qat_int4(self):
+        cfg = tiny_cfg(enabled=True, embedding_bit=4, weight_bit=4, scale_update_period=5)
+        tc = TrainConfig(batch_size=64, learning_rate=0.1)
+        state = init_train_state(cfg, tc)
+        step = make_train_step(cfg, tc)
+        losses = []
+        for b in RandomBatchLoader(cfg, 64, 40, seed=5):
+            state, loss = step(state, b)
+            losses.append(float(loss))
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
+        assert int(state.qstate.step) == 40
+
+    def test_eval_step(self):
+        tc = TrainConfig(batch_size=32)
+        state = init_train_state(TINY, tc)
+        ev = make_eval_step(TINY)
+        p = ev(state, make_batch(TINY, 32))
+        assert p.shape == (32,)
+        assert np.all((np.asarray(p) >= 0) & (np.asarray(p) <= 1))
+
+    def test_overfit_fixed_batch(self):
+        # memorize one batch => loss near zero (sanity of gradients incl. emb)
+        tc = TrainConfig(batch_size=32, learning_rate=0.5)
+        state = init_train_state(TINY, tc)
+        step = make_train_step(TINY, tc)
+        b = make_batch(TINY, 32, seed=3)
+        for _ in range(150):
+            state, loss = step(state, b)
+        assert float(loss) < 0.15
+
+
+class TestLoss:
+    def test_bce_matches_reference_formula(self):
+        logits = jnp.array([0.5, -1.0, 2.0])
+        labels = jnp.array([1.0, 0.0, 1.0])
+        p = jax.nn.sigmoid(logits)
+        expect = -np.mean(
+            np.asarray(labels) * np.log(np.asarray(p))
+            + (1 - np.asarray(labels)) * np.log(1 - np.asarray(p))
+        )
+        assert np.isclose(float(dlrm.bce_loss(logits, labels)), expect, rtol=1e-4)

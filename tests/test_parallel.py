@@ -1,0 +1,221 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (conftest.py) — the JAX
+analogue of the reference's pseudo-multi-GPU validation (SURVEY §4.5)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deep_quantized_recommendation_model_dqrm_tpu.config import (
+    DLRMConfig,
+    QuantConfig,
+    TrainConfig,
+)
+from deep_quantized_recommendation_model_dqrm_tpu.data.synthetic import random_batch
+from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm
+from deep_quantized_recommendation_model_dqrm_tpu.parallel import (
+    comm_grad,
+    hybrid,
+    make_mesh,
+)
+from deep_quantized_recommendation_model_dqrm_tpu.parallel.mesh import (
+    get_my_slice,
+    get_split_lengths,
+)
+from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+    init_train_state,
+    make_train_step,
+)
+
+CFG = DLRMConfig(
+    table_sizes=(64, 200, 30, 500, 7),
+    embedding_dim=8,
+    mlp_bot=(4, 16, 8),
+    mlp_top=(23, 8, 1),
+)
+TC = TrainConfig(batch_size=32, learning_rate=0.05, weight_sync_period=0)
+
+
+def qcfg(**kw):
+    return dataclasses.replace(CFG, quant=QuantConfig(**kw))
+
+
+class TestSplitHelpers:
+    def test_get_my_slice_matches_reference(self):
+        # n=10 over 4 ranks: 3,3,2,2
+        slices = [get_my_slice(10, 4, r) for r in range(4)]
+        assert [s.stop - s.start for s in slices] == [3, 3, 2, 2]
+        covered = sorted(sum([list(range(s.start, s.stop)) for s in slices], []))
+        assert covered == list(range(10))
+
+    def test_get_split_lengths(self):
+        mx, splits = get_split_lengths(26, 8)
+        assert splits == [4, 4, 3, 3, 3, 3, 3, 3]
+        assert mx == 4 and sum(splits) == 26
+
+
+class TestDPCommGrad:
+    def _run(self, cfg, tc, n_steps=4, grad_bits=8):
+        tc = tc.replace(grad_quant_bits=grad_bits)
+        mesh = make_mesh(8)
+        state = comm_grad.init_dp_state(cfg, tc)
+        step = comm_grad.make_dp_train_step(cfg, tc, mesh)
+        rng = np.random.RandomState(7)
+        losses = []
+        for _ in range(n_steps):
+            b = random_batch(cfg, 64, rng)
+            state, loss = step(state, b)
+            losses.append(float(loss))
+        return state, losses
+
+    def test_fp32_grads_match_single_chip(self):
+        """With grad_bits=32 (no compression) DP must equal one-chip training
+        on the same global batch."""
+        tc = TC.replace(grad_quant_bits=32)
+        mesh = make_mesh(8)
+        dstate = comm_grad.init_dp_state(CFG, tc)
+        dstep = comm_grad.make_dp_train_step(CFG, tc, mesh)
+
+        sstate = init_train_state(CFG, tc)
+        sstep = make_train_step(CFG, tc)
+
+        rng = np.random.RandomState(3)
+        for _ in range(3):
+            b = random_batch(CFG, 64, rng)
+            dstate, dloss = dstep(dstate, b)
+            sstate, sloss = sstep(sstate, b)
+            assert np.isclose(float(dloss), float(sloss), rtol=1e-4)
+        for a, b_ in zip(dstate.params["emb"], sstate.params["emb"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+        for da, sa in zip(dstate.params["top"], sstate.params["top"]):
+            np.testing.assert_allclose(
+                np.asarray(da["w"]), np.asarray(sa["w"]), atol=1e-5
+            )
+
+    def test_int8_compressed_close_to_fp32(self):
+        _, l8 = self._run(CFG, TC, grad_bits=8)
+        _, l32 = self._run(CFG, TC, grad_bits=32)
+        # INT8 gradient compression tracks the uncompressed trajectory
+        assert abs(l8[-1] - l32[-1]) < 0.05
+
+    def test_loss_decreases_int8_qat(self):
+        cfg = qcfg(enabled=True, scale_update_period=2)
+        state, losses = self._run(cfg, TC, n_steps=10, grad_bits=8)
+        assert losses[-1] < losses[0] + 0.05
+        assert int(state.qstate.step) == 10
+
+    def test_error_compensation_state_updates(self):
+        tc = TC.replace(error_compensation=True)
+        mesh = make_mesh(8)
+        state = comm_grad.init_dp_state(CFG, tc)
+        step = comm_grad.make_dp_train_step(CFG, tc, mesh)
+        b = random_batch(CFG, 64, np.random.RandomState(1))
+        state, _ = step(state, b)
+        ec_norm = sum(
+            float(jnp.sum(jnp.abs(l["w"]))) for l in state.ec["top"]
+        )
+        assert ec_norm > 0.0  # residuals captured
+
+    def test_weight_sync_preserves_replicated_params(self):
+        mesh = make_mesh(8)
+        state = comm_grad.init_dp_state(CFG, TC)
+        step = comm_grad.make_dp_train_step(CFG, TC, mesh)
+        sync = comm_grad.make_weight_sync(mesh)
+        rng = np.random.RandomState(2)
+        for i in range(4):
+            state, _ = step(state, random_batch(CFG, 64, rng))
+            jax.block_until_ready(state)
+            if (i + 1) % 2 == 0:
+                before = np.asarray(state.params["emb"][0])
+                state = sync(state)
+                jax.block_until_ready(state)
+                # replicas are identical here, so sync is a no-op mean
+                np.testing.assert_allclose(
+                    np.asarray(state.params["emb"][0]), before, rtol=1e-6
+                )
+        assert np.all(np.isfinite(np.asarray(state.params["emb"][0])))
+
+
+class TestTableShardingPlan:
+    def test_plan_covers_all_tables(self):
+        plan = hybrid.plan_table_sharding(CFG.table_sizes, 4)
+        assert sorted(plan.local_ids[plan.local_ids >= 0].tolist()) == [0, 1, 2, 3, 4]
+        # perm maps each table to a unique a2a slot
+        assert len(set(plan.perm.tolist())) == 5
+
+    def test_greedy_balances_rows(self):
+        sizes = (1000, 10, 10, 10, 1000, 10, 10, 10)
+        plan = hybrid.plan_table_sharding(sizes, 2)
+        r0 = sum(sizes[k] for k in plan.local_ids[0] if k >= 0)
+        r1 = sum(sizes[k] for k in plan.local_ids[1] if k >= 0)
+        assert abs(r0 - r1) <= 20  # contiguous split would be 1030 vs 1030? no: 1030/1030 — use greedy check
+
+    def test_pack_unpack_roundtrip(self):
+        params = dlrm.init_params(CFG, seed=0)
+        plan = hybrid.plan_table_sharding(CFG.table_sizes, 4)
+        mega = hybrid.pack_tables(params["emb"], plan)
+        back = hybrid.unpack_tables(mega, plan, CFG.table_sizes)
+        for a, b in zip(params["emb"], back):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestHybrid:
+    def test_hybrid_matches_single_chip_fp32(self):
+        """Hybrid MP-emb + DP-MLP step must reproduce single-chip SGD."""
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(CFG.table_sizes, 8)
+        hstate = hybrid.init_hybrid_state(CFG, TC, mesh, plan)
+        hstep = hybrid.make_hybrid_train_step(CFG, TC, mesh, plan)
+
+        sstate = init_train_state(CFG, TC)
+        sstep = make_train_step(CFG, TC)
+
+        rng = np.random.RandomState(11)
+        for _ in range(3):
+            b = random_batch(CFG, 64, rng)
+            hstate, hloss = hstep(hstate, b)
+            sstate, sloss = sstep(sstate, b)
+            assert np.isclose(float(hloss), float(sloss), rtol=1e-4), (
+                float(hloss),
+                float(sloss),
+            )
+        back = hybrid.unpack_tables(hstate.mega, plan, CFG.table_sizes)
+        for a, b_ in zip(back, sstate.params["emb"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+        for da, sa in zip(hstate.mlp["bot"], sstate.params["bot"]):
+            np.testing.assert_allclose(
+                np.asarray(da["w"]), np.asarray(sa["w"]), atol=1e-5
+            )
+
+    def test_hybrid_qat_runs_and_scales_propagate(self):
+        cfg = qcfg(enabled=True, scale_update_period=1, quantize_mlp=False)
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(cfg.table_sizes, 8)
+        hstate = hybrid.init_hybrid_state(cfg, TC, mesh, plan)
+        hstep = hybrid.make_hybrid_train_step(cfg, TC, mesh, plan)
+        b = random_batch(cfg, 64, np.random.RandomState(5))
+        hstate, loss = hstep(hstate, b)
+        assert np.isfinite(float(loss))
+        scales = np.asarray(hstate.qstate.emb_scales)
+        assert np.all(scales > 0) and not np.allclose(scales, 1.0)
+
+    def test_hybrid_qat_scales_match_single_chip(self):
+        """Sharded per-slot scale computation == per-table table_scale."""
+        cfg = qcfg(enabled=True, scale_update_period=1)
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(cfg.table_sizes, 8)
+        params = dlrm.init_params(cfg, seed=0)
+        hstate = hybrid.HybridState(
+            mega=hybrid.pack_tables(params["emb"], plan, mesh),
+            mlp={k: v for k, v in params.items() if k != "emb"},
+            qstate=dlrm.init_quant_state(cfg),
+        )
+        hstep = hybrid.make_hybrid_train_step(cfg, TC, mesh, plan)
+        b = random_batch(cfg, 64, np.random.RandomState(5))
+        hstate, _ = hstep(hstate, b)
+        expect = np.asarray(dlrm.compute_emb_scales(cfg, params))
+        np.testing.assert_allclose(
+            np.asarray(hstate.qstate.emb_scales), expect, rtol=1e-6
+        )
