@@ -1,0 +1,180 @@
+"""Serving: post-training quantization export + packed inference engine.
+
+Re-design of the reference's `--inference-only` PTQ path
+(dlrm_s_pytorch.py:1446-1471 + `quantize_embedding` :457-474 + the
+quantized `apply_emb` dispatch :422-442):
+
+- `ptq_export` converts trained fp32/QAT params into a `ServingModel`:
+  embedding tables bit-packed to INT4/INT8 (symmetric per-table for
+  QAT-trained models — the scales ARE the QAT scales; row-wise asymmetric
+  ATen-style for fp32 models), MLP weights INT8 per-channel;
+- `make_serving_fn` builds the jitted inference step over packed state:
+  fused gather+dequant+pool lookups, int8 dequant matmuls, dot interaction,
+  sigmoid;
+- `ServingEngine` adds host-side micro-batching: requests are padded to the
+  nearest compiled bucket size (static shapes; no recompiles in steady
+  state) — the TPU replacement for the reference's fixed test-batch loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_quantized_recommendation_model_dqrm_tpu.config import DLRMConfig
+from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm
+from deep_quantized_recommendation_model_dqrm_tpu.ops.interaction import (
+    cat_interaction,
+    dot_interaction,
+)
+from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.packed_embedding import (
+    PackedTable,
+    pack_table,
+    packed_pooled_lookup,
+    packed_pooled_lookup_pallas,
+)
+from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.quant_matmul import (
+    QuantLinearWeights,
+    int8_linear,
+    int8_linear_xla,
+    quantize_linear_weights,
+)
+
+
+class ServingModel(NamedTuple):
+    config: DLRMConfig
+    emb: List[PackedTable]
+    bot: List  # QuantLinearWeights or fp32 {"w","b"} dicts
+    top: List
+    mlp_bits: int  # 32 = fp32 MLP
+
+
+def ptq_export(
+    config: DLRMConfig,
+    params: dlrm.Params,
+    emb_bits: int = 4,
+    mlp_bits: int = 8,
+    rowwise: bool = False,
+) -> ServingModel:
+    """Pack a trained model for serving.
+
+    emb_bits in {4, 8, 32}; 32 keeps fp32 tables (packed as int8? no —
+    kept raw, lookup falls back to dense). mlp_bits in {8, 32}.
+    Mirrors quantize_dynamic + quantize_embedding (dlrm_s_pytorch.py:
+    1446-1471).
+    """
+    if emb_bits in (4, 8):
+        emb = [pack_table(t, bits=emb_bits, rowwise=rowwise) for t in params["emb"]]
+    else:
+        raise ValueError("emb_bits must be 4 or 8 for packed serving")
+    if mlp_bits == 8:
+        bot = [quantize_linear_weights(l["w"], l["b"], 8) for l in params["bot"]]
+        top = [quantize_linear_weights(l["w"], l["b"], 8) for l in params["top"]]
+    else:
+        bot, top = params["bot"], params["top"]
+    return ServingModel(config=config, emb=emb, bot=bot, top=top, mlp_bits=mlp_bits)
+
+
+def serving_model_bytes(sm: ServingModel) -> int:
+    """Model size in bytes (the paper's 8x compression measurement,
+    Table 3)."""
+    n = sum(pt.nbytes() for pt in sm.emb)
+    for layers in (sm.bot, sm.top):
+        for l in layers:
+            if isinstance(l, QuantLinearWeights):
+                n += l.w_int.size + l.scale.size * 4 + l.bias.size * 4
+            else:
+                n += (l["w"].size + l["b"].size) * 4
+    return n
+
+
+def _apply_mlp_serving(layers, x, mlp_bits: int, last_linear: bool, use_pallas: bool):
+    nl = len(layers)
+    for i, l in enumerate(layers):
+        if mlp_bits == 8:
+            x = int8_linear(x, l) if use_pallas else int8_linear_xla(x, l)
+        else:
+            x = x @ l["w"].T + l["b"]
+        if not (last_linear and i == nl - 1):
+            x = jax.nn.relu(x)
+    return x
+
+
+def make_serving_fn(sm: ServingModel, use_pallas_lookup: bool = False,
+                    use_pallas_mlp: bool = False):
+    """Jitted inference: Batch -> click probabilities [B]."""
+    cfg = sm.config
+
+    def fn(batch: dlrm.Batch) -> jax.Array:
+        ly = []
+        for k, pt in enumerate(sm.emb):
+            m = batch.mask[k] if batch.mask is not None else None
+            if use_pallas_lookup and pt.bias is None and m is None:
+                ly.append(packed_pooled_lookup_pallas(pt, batch.indices[k]))
+            else:
+                ly.append(packed_pooled_lookup(pt, batch.indices[k], m))
+        ly = jnp.stack(ly)
+        x = _apply_mlp_serving(sm.bot, batch.dense, sm.mlp_bits, False, use_pallas_mlp)
+        z = (
+            dot_interaction(x, ly, cfg.interact_itself)
+            if cfg.interaction == "dot"
+            else cat_interaction(x, ly)
+        )
+        logits = _apply_mlp_serving(sm.top, z, sm.mlp_bits, True, use_pallas_mlp)
+        p = jax.nn.sigmoid(logits.reshape(-1))
+        if 0.0 < cfg.loss_threshold < 1.0:
+            p = jnp.clip(p, cfg.loss_threshold, 1.0 - cfg.loss_threshold)
+        return p
+
+    return jax.jit(fn)
+
+
+class ServingEngine:
+    """Bucketed-batch inference host loop.
+
+    Pads request batches up to the nearest bucket so every shape is
+    compiled exactly once, then slices the padding off — continuous
+    batching without dynamic shapes.
+    """
+
+    def __init__(
+        self,
+        sm: ServingModel,
+        buckets: Sequence[int] = (128, 1024, 4096, 16384),
+        use_pallas_lookup: bool = False,
+    ):
+        self.sm = sm
+        self.buckets = sorted(buckets)
+        self.fn = make_serving_fn(sm, use_pallas_lookup=use_pallas_lookup)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def predict(self, dense: np.ndarray, indices: np.ndarray) -> np.ndarray:
+        """dense [B,13] f32 (already log1p), indices [T,B,P] int32."""
+        B = dense.shape[0]
+        out = np.empty(B, np.float32)
+        pos = 0
+        while pos < B:
+            chunk = min(B - pos, self.buckets[-1])
+            nb = self._bucket(chunk)
+            d = np.zeros((nb, dense.shape[1]), np.float32)
+            d[:chunk] = dense[pos : pos + chunk]
+            ix = np.zeros((indices.shape[0], nb, indices.shape[2]), np.int32)
+            ix[:, :chunk] = indices[:, pos : pos + chunk]
+            batch = dlrm.Batch(
+                dense=jnp.asarray(d),
+                indices=jnp.asarray(ix),
+                labels=jnp.zeros((nb,), jnp.float32),
+                mask=None,
+            )
+            out[pos : pos + chunk] = np.asarray(self.fn(batch))[:chunk]
+            pos += chunk
+        return out

@@ -1,0 +1,156 @@
+"""Offline analysis tools: embedding visualization, row hotness, model-size
+and communication-volume accounting.
+
+Re-designs of the reference's tooling (SURVEY §2.7):
+- `tools/visualize.py` (UMAP/t-SNE of trained tables) -> `embedding_projection`
+  (numpy PCA by default — no sklearn/umap dependency — with optional t-SNE
+  if sklearn is importable);
+- `python_profiling_script/discovering_rowise_hotness.py` (per-row access
+  counts -> table{j}rowranking.txt) -> `RowHotness`;
+- `python_profiling_script/finding_kaggle_compression_ratio.py` (model size
+  / comm volume math incl. per-table hot-row counts) -> `model_size_report`
+  / `comm_volume_report`;
+- `python_profiling_script/looking_into_tables*.py` (weight distributions vs
+  init bounds) -> `table_weight_stats`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, List, Optional, Sequence
+
+import numpy as np
+
+
+def embedding_projection(
+    table: np.ndarray, n_components: int = 2, method: str = "pca", seed: int = 0
+) -> np.ndarray:
+    """Project [rows, D] embeddings to 2-D for visualization."""
+    x = np.asarray(table, np.float64)
+    x = x - x.mean(0)
+    if method == "tsne":
+        try:
+            from sklearn.manifold import TSNE  # optional
+
+            return TSNE(n_components=n_components, random_state=seed).fit_transform(x)
+        except Exception:
+            method = "pca"
+    # PCA via SVD
+    _, _, vt = np.linalg.svd(x, full_matrices=False)
+    return x @ vt[:n_components].T
+
+
+class RowHotness:
+    """Per-table, per-row access frequency from batches of indices
+    (discovering_rowise_hotness.py:1540-1566)."""
+
+    def __init__(self, table_sizes: Sequence[int]):
+        self.counts = [np.zeros(n, np.int64) for n in table_sizes]
+
+    def update(self, indices: np.ndarray) -> None:
+        """indices [T, B, P] int."""
+        for k, c in enumerate(self.counts):
+            flat = np.asarray(indices[k]).reshape(-1)
+            np.add.at(c, flat, 1)
+
+    def ranking(self, k: int) -> np.ndarray:
+        """Row ids of table k sorted by descending access count."""
+        return np.argsort(-self.counts[k], kind="stable")
+
+    def hot_fraction(self, k: int, top: int) -> float:
+        """Fraction of accesses covered by the `top` hottest rows."""
+        c = np.sort(self.counts[k])[::-1]
+        tot = c.sum()
+        return float(c[:top].sum() / tot) if tot else 0.0
+
+    def dump(self, out_dir: str) -> List[str]:
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for k in range(len(self.counts)):
+            p = os.path.join(out_dir, f"table{k}rowranking.txt")
+            np.savetxt(p, self.ranking(k), fmt="%d")
+            paths.append(p)
+        return paths
+
+
+def table_weight_stats(tables: Iterable[np.ndarray]) -> List[Dict[str, float]]:
+    """Weight distribution vs the U(-1/sqrt(n), 1/sqrt(n)) init bound
+    (looking_into_tables*.py)."""
+    out = []
+    for t in tables:
+        t = np.asarray(t)
+        bound = np.sqrt(1.0 / t.shape[0])
+        out.append(
+            {
+                "rows": t.shape[0],
+                "min": float(t.min()),
+                "max": float(t.max()),
+                "std": float(t.std()),
+                "init_bound": float(bound),
+                "frac_outside_init": float((np.abs(t) > bound).mean()),
+            }
+        )
+    return out
+
+
+def model_size_report(
+    table_sizes: Sequence[int],
+    embedding_dim: int,
+    mlp_bot: Sequence[int],
+    mlp_top: Sequence[int],
+    emb_bits: int = 32,
+    mlp_bits: int = 32,
+) -> Dict[str, float]:
+    """Model size accounting (finding_kaggle_compression_ratio.py)."""
+    emb_params = sum(table_sizes) * embedding_dim
+    mlp_params = sum(a * b + b for a, b in zip(mlp_bot[:-1], mlp_bot[1:]))
+    mlp_params += sum(a * b + b for a, b in zip(mlp_top[:-1], mlp_top[1:]))
+    emb_bytes = emb_params * emb_bits / 8
+    mlp_bytes = mlp_params * mlp_bits / 8
+    return {
+        "emb_params": emb_params,
+        "mlp_params": mlp_params,
+        "emb_bytes": emb_bytes,
+        "mlp_bytes": mlp_bytes,
+        "total_bytes": emb_bytes + mlp_bytes,
+        "fp32_bytes": (emb_params + mlp_params) * 4.0,
+        "compression": (emb_params + mlp_params) * 4.0 / max(emb_bytes + mlp_bytes, 1),
+    }
+
+
+def comm_volume_report(
+    table_sizes: Sequence[int],
+    embedding_dim: int,
+    mlp_bot: Sequence[int],
+    mlp_top: Sequence[int],
+    batch_per_rank: int,
+    pooling: int = 1,
+    grad_bits: int = 8,
+    sparse: bool = True,
+    world_size: int = 4,
+) -> Dict[str, float]:
+    """Per-iteration gradient communication volume (paper Table 4 math).
+
+    Dense baseline = full model fp32; sparse = only touched rows (<= B*P per
+    table per rank) + ids; quantized = grad_bits for values.
+    """
+    emb_params = sum(table_sizes) * embedding_dim
+    mlp_params = sum(a * b + b for a, b in zip(mlp_bot[:-1], mlp_bot[1:]))
+    mlp_params += sum(a * b + b for a, b in zip(mlp_top[:-1], mlp_top[1:]))
+    dense_bytes = (emb_params + mlp_params) * 4.0
+    if sparse:
+        rows = len(table_sizes) * min(batch_per_rank * pooling, max(table_sizes))
+        per_rank_rows = len(table_sizes) * batch_per_rank * pooling
+        emb_vals = per_rank_rows * embedding_dim * grad_bits / 8
+        emb_ids = per_rank_rows * 4
+        emb_bytes = (emb_vals + emb_ids) * world_size  # all-gather volume
+    else:
+        emb_bytes = emb_params * grad_bits / 8
+    mlp_bytes = mlp_params * grad_bits / 8
+    return {
+        "uncompressed_bytes": dense_bytes,
+        "emb_exchange_bytes": emb_bytes,
+        "mlp_exchange_bytes": mlp_bytes,
+        "total_bytes": emb_bytes + mlp_bytes,
+        "reduction": dense_bytes / max(emb_bytes + mlp_bytes, 1),
+    }

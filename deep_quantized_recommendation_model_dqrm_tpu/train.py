@@ -1,0 +1,378 @@
+"""CLI training driver — one config-driven entry point replacing the
+reference's 20 near-clone `dlrm_s_pytorch*.py` scripts.
+
+Run:  python -m deep_quantized_recommendation_model_dqrm_tpu.train \
+        --data-generation=random --num-batches=100 ...
+
+The argparse surface mirrors the reference (dlrm_s_pytorch.py:907-1021 +
+QAT flags comm_grad.py:1120-1137); the loop mirrors the canonical driver
+(dlrm_s_pytorch.py:1501-1781): per-epoch batch loop, `--print-freq` loss
+prints with ms/it, `--test-freq` eval with best-checkpoint save, resume.
+
+Parallelism (`--parallelism`):
+  none          single chip (default)
+  dp            data-parallel with DQRM compressed gradient exchange
+                (the comm_grad drivers)
+  hybrid        table-sharded embeddings + all-to-all + DP MLPs
+                (the hybrid_multi_gpu / quantization_tr_two drivers)
+Device count comes from the visible JAX devices (`jax.distributed` handles
+multi-host); the pseudo-multigpu validation trick is
+`XLA_FLAGS=--xla_force_host_platform_device_count=N` + --platform=cpu.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Optional
+
+import numpy as np
+
+from deep_quantized_recommendation_model_dqrm_tpu.config import (
+    DLRMConfig,
+    QuantConfig,
+    TrainConfig,
+    dash_separated_ints,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native DQRM training")
+    # architecture (dlrm_s_pytorch.py:909-930)
+    p.add_argument("--arch-sparse-feature-size", type=int, default=16)
+    p.add_argument("--arch-embedding-size", type=str, default="4-3-2")
+    p.add_argument("--arch-mlp-bot", type=str, default="13-512-256-64-16")
+    p.add_argument("--arch-mlp-top", type=str, default="512-256-1")
+    p.add_argument("--arch-interaction-op", type=str, default="dot")
+    p.add_argument("--arch-interaction-itself", action="store_true")
+    p.add_argument("--loss-threshold", type=float, default=0.0)
+    # data (dlrm_s_pytorch.py:940-975)
+    p.add_argument("--data-generation", type=str, default="random",
+                   choices=["random", "dataset", "binary"])
+    p.add_argument("--data-set", type=str, default="kaggle",
+                   choices=["kaggle", "terabyte"])
+    p.add_argument("--processed-data-dir", type=str, default="")
+    p.add_argument("--raw-data-file", type=str, default="")
+    p.add_argument("--binary-data-file", type=str, default="")
+    p.add_argument("--max-ind-range", type=int, default=-1)
+    p.add_argument("--data-sub-sample-rate", type=float, default=0.0)
+    p.add_argument("--num-batches", type=int, default=0)
+    p.add_argument("--num-indices-per-lookup", type=int, default=1)
+    # training (dlrm_s_pytorch.py:976-1003)
+    p.add_argument("--mini-batch-size", type=int, default=128)
+    p.add_argument("--test-mini-batch-size", type=int, default=16384)
+    p.add_argument("--nepochs", type=int, default=1)
+    p.add_argument("--learning-rate", type=float, default=0.01)
+    p.add_argument("--optimizer", type=str, default="sgd",
+                   choices=["sgd", "adagrad", "rwsadagrad"])
+    p.add_argument("--lr-num-warmup-steps", type=int, default=0)
+    p.add_argument("--lr-decay-start-step", type=int, default=0)
+    p.add_argument("--lr-num-decay-steps", type=int, default=0)
+    p.add_argument("--numpy-rand-seed", type=int, default=123)
+    # control (dlrm_s_pytorch.py:1004-1021)
+    p.add_argument("--print-freq", type=int, default=1024)
+    p.add_argument("--test-freq", type=int, default=-1)
+    p.add_argument("--print-time", action="store_true")
+    p.add_argument("--save-model", type=str, default="")
+    p.add_argument("--load-model", type=str, default="")
+    p.add_argument("--inference-only", action="store_true")
+    p.add_argument("--log-dir", type=str, default="")
+    p.add_argument("--mlperf-logging", action="store_true")
+    p.add_argument("--mlperf-acc-threshold", type=float, default=0.0)
+    p.add_argument("--mlperf-auc-threshold", type=float, default=0.0)
+    # quantization (comm_grad.py:1120-1137)
+    p.add_argument("--quantization_flag", action="store_true")
+    p.add_argument("--embedding_bit", type=int, default=4)
+    p.add_argument("--weight_bit", type=int, default=4)
+    p.add_argument("--quantize_activation", action="store_true")
+    p.add_argument("--quantize_act_and_lin", action="store_true")
+    p.add_argument("--linear_channel", action="store_true")
+    p.add_argument("--modify_feature_interaction", action="store_true")
+    p.add_argument("--scale-update-period", type=int, default=200)
+    p.add_argument("--quant-scheme", type=str, default="hawq",
+                   choices=["hawq", "pact", "lsq"])
+    p.add_argument("--pretrain_and_quantize", action="store_true")
+    # gradient communication (the DQRM contribution)
+    p.add_argument("--parallelism", type=str, default="none",
+                   choices=["none", "dp", "hybrid"])
+    p.add_argument("--grad-quant-bits", type=int, default=8)
+    p.add_argument("--error-compensation", action="store_true")
+    p.add_argument("--weight-sync-period", type=int, default=200)
+    # PTQ inference (dlrm_s_pytorch.py:1446-1471)
+    p.add_argument("--quantize-emb-with-bit", type=int, default=32)
+    p.add_argument("--quantize-mlp-with-bit", type=int, default=32)
+    p.add_argument("--platform", type=str, default="")
+    return p
+
+
+def make_configs(args) -> tuple:
+    quant = QuantConfig(
+        enabled=args.quantization_flag,
+        embedding_bit=args.embedding_bit,
+        weight_bit=args.weight_bit,
+        quantize_activation=args.quantize_activation or args.quantize_act_and_lin,
+        quantize_mlp=args.quantize_act_and_lin or args.weight_bit < 32,
+        mlp_channelwise=args.linear_channel,
+        modify_feature_interaction=args.modify_feature_interaction,
+        scale_update_period=args.scale_update_period,
+        quant_scheme=args.quant_scheme,
+    )
+    table_sizes = dash_separated_ints(args.arch_embedding_size)
+    mlp_bot = dash_separated_ints(args.arch_mlp_bot)
+    mlp_top = dash_separated_ints(args.arch_mlp_top)
+    cfg = DLRMConfig(
+        table_sizes=table_sizes,
+        embedding_dim=args.arch_sparse_feature_size,
+        mlp_bot=mlp_bot,
+        mlp_top=mlp_top,
+        interaction=args.arch_interaction_op,
+        interact_itself=args.arch_interaction_itself,
+        loss_threshold=args.loss_threshold,
+        pooling_size=args.num_indices_per_lookup,
+        max_ind_range=args.max_ind_range,
+        quant=quant,
+    )
+    # derive ln_top input like the reference (dlrm_s_pytorch.py:1141-1164)
+    if mlp_top[0] != cfg.top_input_dim:
+        cfg = __import__("dataclasses").replace(
+            cfg, mlp_top=(cfg.top_input_dim,) + mlp_top
+        )
+    tc = TrainConfig(
+        batch_size=args.mini_batch_size,
+        test_batch_size=args.test_mini_batch_size,
+        nepochs=args.nepochs,
+        learning_rate=args.learning_rate,
+        optimizer=args.optimizer,
+        lr_num_warmup_steps=args.lr_num_warmup_steps,
+        lr_decay_start_step=args.lr_decay_start_step,
+        lr_num_decay_steps=args.lr_num_decay_steps,
+        print_freq=args.print_freq,
+        test_freq=args.test_freq,
+        seed=args.numpy_rand_seed,
+        grad_quant_bits=args.grad_quant_bits,
+        error_compensation=args.error_compensation,
+        weight_sync_period=args.weight_sync_period,
+        pretrain_epochs=1 if args.pretrain_and_quantize else 0,
+    )
+    return cfg, tc
+
+
+def make_loaders(args, cfg, tc):
+    """Dataset dispatch (make_criteo_data_and_loaders /
+    make_random_data_and_loader, dlrm_data_pytorch.py:423,897)."""
+    from deep_quantized_recommendation_model_dqrm_tpu.data.synthetic import (
+        RandomBatchLoader,
+    )
+
+    if args.data_generation == "random":
+        nb = args.num_batches or 128
+        train = RandomBatchLoader(cfg, tc.batch_size, nb, seed=tc.seed)
+        test = RandomBatchLoader(cfg, tc.test_batch_size, max(1, nb // 8), seed=tc.seed + 1)
+        return cfg, train, test
+    if args.data_generation == "dataset":
+        from deep_quantized_recommendation_model_dqrm_tpu.data.criteo import (
+            CriteoDataset,
+        )
+
+        train_ds = CriteoDataset(args.processed_data_dir, "train", args.max_ind_range)
+        test_ds = CriteoDataset(args.processed_data_dir, "test", args.max_ind_range)
+        sizes = train_ds.table_sizes
+        cfg = __import__("dataclasses").replace(cfg, table_sizes=sizes)
+        if cfg.mlp_top[0] != cfg.top_input_dim:
+            cfg = __import__("dataclasses").replace(
+                cfg, mlp_top=(cfg.top_input_dim,) + cfg.mlp_top[1:]
+            )
+
+        class _Iter:
+            def __init__(self, ds, bs):
+                self.ds, self.bs = ds, bs
+
+            def __len__(self):
+                return len(self.ds) // self.bs
+
+            def __iter__(self):
+                return self.ds.iter_batches(self.bs)
+
+        return cfg, _Iter(train_ds, tc.batch_size), _Iter(test_ds, tc.test_batch_size)
+    # binary
+    from deep_quantized_recommendation_model_dqrm_tpu.data.binary import (
+        CriteoBinDataset,
+    )
+
+    train = CriteoBinDataset(args.binary_data_file, tc.batch_size, args.max_ind_range)
+    test = CriteoBinDataset(args.binary_data_file, tc.test_batch_size, args.max_ind_range)
+    return cfg, train, test
+
+
+def evaluate(cfg, state, test_loader, eval_fn, max_batches: Optional[int] = None):
+    """Full-test-set metrics (inference(), dlrm_s_pytorch.py:762-902)."""
+    from deep_quantized_recommendation_model_dqrm_tpu.utils.metrics import (
+        binary_metrics,
+    )
+
+    scores, targets = [], []
+    for i, b in enumerate(test_loader):
+        if max_batches is not None and i >= max_batches:
+            break
+        scores.append(np.asarray(eval_fn(state, b)))
+        targets.append(np.asarray(b.labels))
+    if not scores:
+        return {}
+    return binary_metrics(np.concatenate(scores), np.concatenate(targets))
+
+
+def run(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+        init_train_state,
+        make_eval_step,
+        make_train_step,
+    )
+    from deep_quantized_recommendation_model_dqrm_tpu.utils.checkpoint import (
+        CheckpointManager,
+    )
+    from deep_quantized_recommendation_model_dqrm_tpu.utils.logging import (
+        MLPerfLogger,
+        ScalarLogger,
+        rank0_print,
+    )
+
+    np.random.seed(args.numpy_rand_seed)  # dlrm_s_pytorch.py:1060-1063
+    cfg, tc = make_configs(args)
+    cfg, train_loader, test_loader = make_loaders(args, cfg, tc)
+    cfg.validate_top()
+    rank = jax.process_index()
+    logger = ScalarLogger(args.log_dir or None)
+    mll = MLPerfLogger(
+        (args.log_dir + "/mlperf.jsonl") if (args.log_dir and args.mlperf_logging) else None,
+        rank,
+    )
+    mll.start("init")
+
+    state = init_train_state(cfg, tc)
+    ckpt = CheckpointManager(args.save_model) if args.save_model else None
+    start_epoch = start_batch = 0
+    best_acc = best_auc = 0.0
+    if args.load_model:
+        loaded = CheckpointManager(args.load_model)
+        state, meta = loaded.restore(state)
+        start_epoch = int(meta.get("epoch", 0))
+        start_batch = int(meta.get("batch", 0))
+        best_acc = float(meta.get("test_acc", 0.0))
+        rank0_print(rank, f"resumed from {args.load_model} @ epoch {start_epoch} batch {start_batch}")
+
+    eval_fn = make_eval_step(cfg)
+    if args.inference_only:
+        # PTQ path lives in serving.py; eval with current weights here.
+        m = evaluate(cfg, state, test_loader, eval_fn)
+        rank0_print(rank, f"inference: {m}")
+        return m
+
+    step_mode = args.parallelism
+    if step_mode == "dp":
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel import comm_grad
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        dstate = comm_grad.init_dp_state(cfg, tc)
+        step_fn = comm_grad.make_dp_train_step(cfg, tc, mesh)
+        sync_fn = comm_grad.make_weight_sync(mesh) if tc.weight_sync_period > 0 else None
+    elif step_mode == "hybrid":
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel import hybrid
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        plan = hybrid.plan_table_sharding(cfg.table_sizes, len(mesh.devices))
+        hstate = hybrid.init_hybrid_state(cfg, tc, mesh, plan)
+        step_fn = hybrid.make_hybrid_train_step(cfg, tc, mesh, plan)
+    else:
+        step_fn = make_train_step(cfg, tc)
+
+    mll.end("init")
+    mll.start("run")
+    it = 0
+    t_print = time.perf_counter()
+    loss_acc = 0.0
+    loss_n = 0
+    result = {}
+    for epoch in range(start_epoch, tc.nepochs):
+        mll.start("epoch", {"num": epoch})
+        for bi, batch in enumerate(train_loader):
+            if epoch == start_epoch and bi < start_batch:
+                continue  # fast-forward resume (dlrm_s_pytorch.py:1523-1534)
+            if step_mode == "dp":
+                dstate, loss = step_fn(dstate, batch)
+                if sync_fn is not None and (it + 1) % tc.weight_sync_period == 0:
+                    dstate = sync_fn(dstate)
+                state = state._replace(params=dstate.params, qstate=dstate.qstate)
+            elif step_mode == "hybrid":
+                hstate, loss = step_fn(hstate, batch)
+            else:
+                state, loss = step_fn(state, batch)
+            it += 1
+            # fetch the loss only at print boundaries — sync readback per
+            # step costs ~40ms+ on tunneled TPUs (see .claude/skills/verify)
+            if it % tc.print_freq == 0:
+                loss_v = float(loss)
+                dt = (time.perf_counter() - t_print) / tc.print_freq * 1e3
+                t_print = time.perf_counter()
+                rank0_print(
+                    rank,
+                    f"Finished training it {it}/{len(train_loader)} of epoch {epoch}, "
+                    f"{dt:.2f} ms/it, loss {loss_v:.6f}",
+                )
+                logger.add_scalar("Train/Loss", loss_v, it)
+            if tc.test_freq > 0 and it % tc.test_freq == 0:
+                if step_mode == "hybrid":
+                    from deep_quantized_recommendation_model_dqrm_tpu.parallel.hybrid import (
+                        unpack_tables,
+                    )
+
+                    state = state._replace(
+                        params={**hstate.mlp, "emb": unpack_tables(hstate.mega, plan, cfg.table_sizes)},
+                        qstate=hstate.qstate,
+                    )
+                m = evaluate(cfg, state, test_loader, eval_fn)
+                rank0_print(rank, f"Testing at - {it}/{epoch}: {m}")
+                logger.add_scalar("Test/Acc", m.get("accuracy", 0.0), it)
+                logger.add_scalar("Test/AUC", m.get("roc_auc", 0.0), it)
+                result = m
+                if ckpt and m.get("accuracy", 0.0) > best_acc:
+                    best_acc = m["accuracy"]
+                    ckpt.save(
+                        state,
+                        {"epoch": epoch, "batch": bi + 1, "iter": it,
+                         "test_acc": best_acc, "test_auc": m.get("roc_auc", 0.0)},
+                    )
+                    rank0_print(rank, f"Saved best checkpoint (acc {best_acc:.4f})")
+                if (
+                    args.mlperf_acc_threshold > 0
+                    and m.get("accuracy", 0.0) >= args.mlperf_acc_threshold
+                ) or (
+                    args.mlperf_auc_threshold > 0
+                    and m.get("roc_auc", 0.0) >= args.mlperf_auc_threshold
+                ):
+                    rank0_print(rank, "MLPerf threshold reached; stopping")
+                    mll.event("threshold_reached", m)
+                    mll.end("run")
+                    return m
+        mll.end("epoch", {"num": epoch})
+    mll.end("run")
+    if not result:
+        result = evaluate(cfg, state, test_loader, eval_fn, max_batches=8)
+        rank0_print(rank, f"final eval: {result}")
+        if ckpt:
+            ckpt.save(state, {"epoch": tc.nepochs, "batch": 0, "iter": it,
+                              "test_acc": result.get("accuracy", 0.0)})
+    logger.close()
+    return result
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,180 @@
+"""Data pipeline tests: raw TSV preprocessing, splits, binary format,
+native C++ parser parity."""
+
+import os
+
+import numpy as np
+import pytest
+
+from deep_quantized_recommendation_model_dqrm_tpu.data import native_ext
+from deep_quantized_recommendation_model_dqrm_tpu.data.binary import (
+    CriteoBinDataset,
+    numpy_to_binary,
+)
+from deep_quantized_recommendation_model_dqrm_tpu.data.criteo import (
+    CriteoDataset,
+    _parse_lines_numpy,
+    preprocess_criteo,
+)
+
+
+def write_raw(path, n_rows, seed=0):
+    """Synthetic Criteo-format TSV: label \t 13 ints \t 26 hex cats, with
+    some blank fields like the real data."""
+    rng = np.random.RandomState(seed)
+    with open(path, "wb") as f:
+        for i in range(n_rows):
+            label = rng.randint(0, 2)
+            dense = [
+                b"" if rng.rand() < 0.1 else str(rng.randint(-3, 500)).encode()
+                for _ in range(13)
+            ]
+            cats = [
+                b"" if rng.rand() < 0.05 else format(rng.randint(0, 1 << 32), "08x").encode()
+                for _ in range(26)
+            ]
+            f.write(
+                str(label).encode() + b"\t" + b"\t".join(dense) + b"\t" + b"\t".join(cats) + b"\n"
+            )
+    return path
+
+
+class TestParser:
+    def test_python_parser_fields(self, tmp_path):
+        raw = write_raw(str(tmp_path / "raw.txt"), 50)
+        lines = open(raw, "rb").readlines()
+        dicts = [dict() for _ in range(26)]
+        y, xi, xc = _parse_lines_numpy(lines, dicts)
+        assert y.shape == (50,) and xi.shape == (50, 13) and xc.shape == (50, 26)
+        assert set(np.unique(y)).issubset({0, 1})
+        # dictionary ids are dense 0..n-1 per column
+        for j in range(26):
+            vals = np.unique(xc[:, j])
+            assert vals.max() < len(dicts[j]) or len(dicts[j]) == 0
+
+    @pytest.mark.skipif(not native_ext.available(), reason="no C++ toolchain")
+    def test_native_matches_python(self, tmp_path):
+        raw = write_raw(str(tmp_path / "raw.txt"), 200, seed=3)
+        lines = open(raw, "rb").readlines()
+        y_n, xi_n, xc_n = native_ext.parse_lines(lines)
+        y_p, xi_p, xc_p = _parse_lines_numpy(lines, None)
+        np.testing.assert_array_equal(y_n, y_p)
+        np.testing.assert_array_equal(xi_n, xi_p)
+        np.testing.assert_array_equal(xc_n, xc_p)
+
+    @pytest.mark.skipif(not native_ext.available(), reason="no C++ toolchain")
+    def test_native_parse_file(self, tmp_path):
+        raw = write_raw(str(tmp_path / "raw.txt"), 300, seed=4)
+        y, xi, xc = native_ext.parse_file(raw, 1000)
+        assert len(y) == 300
+        y_p, xi_p, xc_p = _parse_lines_numpy(open(raw, "rb").readlines(), None)
+        np.testing.assert_array_equal(xc, xc_p)
+
+
+class TestPreprocess:
+    def test_preprocess_and_splits(self, tmp_path):
+        raw = write_raw(str(tmp_path / "raw.txt"), 700, seed=1)
+        out = str(tmp_path / "proc")
+        paths = preprocess_criteo(raw, out, num_days=7, use_native=False)
+        assert len(paths) == 7
+        train = CriteoDataset(out, "train")
+        val = CriteoDataset(out, "val")
+        test = CriteoDataset(out, "test")
+        assert len(train) == 600
+        assert len(val) + len(test) == 100
+        assert abs(len(val) - len(test)) <= 1
+        sizes = train.table_sizes
+        assert len(sizes) == 26 and all(s >= 1 for s in sizes)
+
+    def test_batch_layout_and_log1p(self, tmp_path):
+        raw = write_raw(str(tmp_path / "raw.txt"), 300, seed=2)
+        out = str(tmp_path / "proc")
+        preprocess_criteo(raw, out, num_days=3, use_native=False)
+        ds = CriteoDataset(out, "train")
+        batches = list(ds.iter_batches(64))
+        assert len(batches) == 200 // 64
+        b = batches[0]
+        assert b.dense.shape == (64, 13)
+        assert b.indices.shape == (26, 64, 1)
+        assert b.labels.shape == (64,)
+        assert float(b.dense.min()) >= 0.0  # log1p of clamped values
+        # indices within table sizes
+        sizes = np.asarray(ds.table_sizes)
+        assert np.all(np.asarray(b.indices)[:, :, 0].max(axis=1) < sizes)
+
+    def test_subsample_drops_only_zeros(self, tmp_path):
+        raw = write_raw(str(tmp_path / "raw.txt"), 500, seed=5)
+        out = str(tmp_path / "proc")
+        preprocess_criteo(raw, out, num_days=2, sub_sample_rate=0.9, use_native=False)
+        total_ones_raw = sum(
+            int(l.split(b"\t")[0]) for l in open(raw, "rb").readlines()
+        )
+        ones = zeros = 0
+        for d in range(2):
+            z = np.load(os.path.join(out, f"day_{d}.npz"))
+            ones += int((z["y"] == 1).sum())
+            zeros += int((z["y"] == 0).sum())
+        assert ones == total_ones_raw  # all positives kept
+        assert zeros < (500 - total_ones_raw) * 0.3  # most zeros dropped
+
+    def test_max_ind_range_hashing(self, tmp_path):
+        raw = write_raw(str(tmp_path / "raw.txt"), 200, seed=6)
+        out = str(tmp_path / "proc")
+        preprocess_criteo(raw, out, num_days=2, use_native=False)
+        ds = CriteoDataset(out, "train", max_ind_range=7)
+        b = next(ds.iter_batches(32))
+        assert int(np.asarray(b.indices).max()) < 7
+
+    @pytest.mark.skipif(not native_ext.available(), reason="no C++ toolchain")
+    def test_native_preprocess_matches_python(self, tmp_path):
+        raw = write_raw(str(tmp_path / "raw.txt"), 300, seed=7)
+        out_py = str(tmp_path / "py")
+        out_cc = str(tmp_path / "cc")
+        preprocess_criteo(raw, out_py, num_days=2, use_native=False)
+        preprocess_criteo(raw, out_cc, num_days=2, use_native=True)
+        for d in range(2):
+            a = np.load(os.path.join(out_py, f"day_{d}.npz"))
+            b = np.load(os.path.join(out_cc, f"day_{d}.npz"))
+            np.testing.assert_array_equal(a["y"], b["y"])
+            np.testing.assert_array_equal(a["X_int"], b["X_int"])
+            np.testing.assert_array_equal(a["X_cat"], b["X_cat"])
+
+
+class TestBinary:
+    def test_roundtrip(self, tmp_path):
+        raw = write_raw(str(tmp_path / "raw.txt"), 400, seed=8)
+        out = str(tmp_path / "proc")
+        paths = preprocess_criteo(raw, out, num_days=2, use_native=False)
+        bin_path = str(tmp_path / "data.bin")
+        n = numpy_to_binary(paths, bin_path)
+        assert n == 400
+        ds = CriteoBinDataset(bin_path, batch_size=50)
+        assert len(ds) == 8
+        b0 = ds[0]
+        assert b0.dense.shape == (50, 13)
+        assert b0.indices.shape == (26, 50, 1)
+        # first record matches the npz source
+        z = np.load(paths[0])
+        np.testing.assert_allclose(
+            np.asarray(b0.dense[0]),
+            np.log1p(np.maximum(z["X_int"][0], 0).astype(np.float32)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(b0.indices)[:, 0, 0], z["X_cat"][0].astype(np.int32)
+        )
+
+    def test_rank_sharding(self, tmp_path):
+        raw = write_raw(str(tmp_path / "raw.txt"), 400, seed=9)
+        out = str(tmp_path / "proc")
+        paths = preprocess_criteo(raw, out, num_days=2, use_native=False)
+        bin_path = str(tmp_path / "data.bin")
+        numpy_to_binary(paths, bin_path)
+        r0 = CriteoBinDataset(bin_path, batch_size=50, rank=0, world_size=2)
+        r1 = CriteoBinDataset(bin_path, batch_size=50, rank=1, world_size=2)
+        assert len(r0) == len(r1) == 4
+        # disjoint batches
+        a = np.asarray(r0[0].labels)
+        b = np.asarray(r1[0].labels)
+        full = CriteoBinDataset(bin_path, batch_size=50)
+        np.testing.assert_array_equal(a, np.asarray(full[0].labels))
+        np.testing.assert_array_equal(b, np.asarray(full[1].labels))

@@ -1,0 +1,101 @@
+"""Serving/PTQ tests: export, size compression, accuracy vs fp32, engine."""
+
+import numpy as np
+import pytest
+
+from deep_quantized_recommendation_model_dqrm_tpu.config import DLRMConfig, TrainConfig
+from deep_quantized_recommendation_model_dqrm_tpu.data.synthetic import random_batch
+from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm
+from deep_quantized_recommendation_model_dqrm_tpu.serving import (
+    ServingEngine,
+    make_serving_fn,
+    ptq_export,
+    serving_model_bytes,
+)
+
+CFG = DLRMConfig(
+    table_sizes=(512, 128, 64),
+    embedding_dim=8,
+    mlp_bot=(4, 16, 8),
+    mlp_top=(14, 8, 1),
+)
+
+
+@pytest.fixture(scope="module")
+def trained():
+    params = dlrm.init_params(CFG, seed=0)
+    return params
+
+
+class TestPTQExport:
+    def test_model_size_8x(self, trained):
+        sm = ptq_export(CFG, trained, emb_bits=4, mlp_bits=8)
+        fp32_bytes = sum(t.size * 4 for t in trained["emb"]) + sum(
+            (l["w"].size + l["b"].size) * 4
+            for part in ("bot", "top")
+            for l in trained[part]
+        )
+        ratio = fp32_bytes / serving_model_bytes(sm)
+        assert ratio > 6.0  # ~8x on tables, ~4x on MLP
+
+    def test_serving_close_to_fp32(self, trained):
+        b = random_batch(CFG, 64, np.random.RandomState(0))
+        p_fp = np.asarray(dlrm.predict(CFG, trained, b))
+        sm8 = ptq_export(CFG, trained, emb_bits=8, mlp_bits=8)
+        p8 = np.asarray(make_serving_fn(sm8)(b))
+        assert np.max(np.abs(p8 - p_fp)) < 0.06
+        sm4 = ptq_export(CFG, trained, emb_bits=4, mlp_bits=8)
+        p4 = np.asarray(make_serving_fn(sm4)(b))
+        # INT4 PTQ is coarser but must stay correlated
+        assert np.corrcoef(p4, p_fp)[0, 1] > 0.85
+
+    def test_rowwise_close_to_symmetric(self, trained):
+        b = random_batch(CFG, 32, np.random.RandomState(1))
+        s_sym = np.asarray(make_serving_fn(ptq_export(CFG, trained, 4, 8))(b))
+        s_row = np.asarray(
+            make_serving_fn(ptq_export(CFG, trained, 4, 8, rowwise=True))(b)
+        )
+        assert np.corrcoef(s_sym, s_row)[0, 1] > 0.9
+
+    def test_fp32_mlp_option(self, trained):
+        sm = ptq_export(CFG, trained, emb_bits=8, mlp_bits=32)
+        b = random_batch(CFG, 16, np.random.RandomState(2))
+        p = np.asarray(make_serving_fn(sm)(b))
+        assert p.shape == (16,) and np.all((p >= 0) & (p <= 1))
+
+
+class TestServingEngine:
+    def test_bucketing_and_padding(self, trained):
+        sm = ptq_export(CFG, trained, emb_bits=4, mlp_bits=8)
+        eng = ServingEngine(sm, buckets=(16, 64))
+        rng = np.random.RandomState(3)
+        B = 50  # not a bucket size -> padded to 64
+        dense = rng.rand(B, 4).astype(np.float32)
+        idx = np.stack(
+            [rng.randint(0, n, size=(B, 1)).astype(np.int32) for n in CFG.table_sizes]
+        )
+        out = eng.predict(dense, idx)
+        assert out.shape == (B,)
+        # same result as direct call (padding must not leak)
+        import jax.numpy as jnp
+
+        from deep_quantized_recommendation_model_dqrm_tpu.models.dlrm import Batch
+
+        d64 = np.zeros((64, 4), np.float32); d64[:B] = dense
+        i64 = np.zeros((3, 64, 1), np.int32); i64[:, :B] = idx
+        direct = np.asarray(
+            eng.fn(Batch(jnp.asarray(d64), jnp.asarray(i64), jnp.zeros(64), None))
+        )[:B]
+        np.testing.assert_allclose(out, direct, rtol=1e-6)
+
+    def test_large_request_chunks(self, trained):
+        sm = ptq_export(CFG, trained, emb_bits=4, mlp_bits=8)
+        eng = ServingEngine(sm, buckets=(32,))
+        rng = np.random.RandomState(4)
+        B = 100  # 4 chunks of <=32
+        dense = rng.rand(B, 4).astype(np.float32)
+        idx = np.stack(
+            [rng.randint(0, n, size=(B, 1)).astype(np.int32) for n in CFG.table_sizes]
+        )
+        out = eng.predict(dense, idx)
+        assert out.shape == (B,) and np.all(np.isfinite(out))
