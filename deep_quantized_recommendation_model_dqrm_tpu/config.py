@@ -75,6 +75,14 @@ class QuantConfig:
     def __post_init__(self):
         if self.quant_scheme not in ("hawq", "pact", "lsq"):
             raise ValueError(f"unknown quant scheme {self.quant_scheme!r}")
+        if self.quantize_activation and self.mlp_channelwise:
+            # The reference's integer-activation chain broadcasts the bias
+            # scale as fc_scale * prev_act_scale (quant_modules.py:131-135),
+            # which requires per-tensor scales.
+            raise ValueError(
+                "quantize_activation requires per-tensor MLP scales "
+                "(mlp_channelwise=False)"
+            )
 
 
 @dataclass(frozen=True)
@@ -207,6 +215,13 @@ class TrainConfig:
     grad_quant_bits: int = 8  # INT8 gradient all-reduce
     grad_sparse: bool = True  # sparse embedding-gradient exchange
     error_compensation: bool = False  # MLP error feedback
+    # Ranking-range mixed-bit embedding-gradient policy
+    # (grad_precision_and_scale, sgd_…_parallel_comm.py:158-255): per
+    # iteration, range-weighted sampling assigns each table skip / INT8 /
+    # high-precision transport.
+    ranking_range: bool = False
+    ranking_frac_hi: float = 0.2
+    ranking_frac_int8: float = 0.3
     weight_sync_period: int = 200  # periodic full-weight allreduce (comm_grad.py:1977)
     # FP32 pretrain epochs before enabling quantization
     # (`--pretrain_and_quantize`, comm_grad.py:1850-1853).

@@ -46,6 +46,7 @@ from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import (
     rows_grad_from_pooled,
 )
 from deep_quantized_recommendation_model_dqrm_tpu.optim import lr_policy
+from deep_quantized_recommendation_model_dqrm_tpu.parallel import ranking_range
 
 
 class DPState(NamedTuple):
@@ -236,18 +237,48 @@ def make_dp_train_step(
             new_mlp[part] = new_layers
             new_ec[part] = new_ec_layers
 
-        # ---- Embedding gradients: sparse + INT8 all-gather exchange ----
-        new_emb = []
-        for k, table in enumerate(params["emb"]):
-            ids, vals = rows_grad_from_pooled(
+        # ---- Embedding gradients: sparse compressed exchange ----
+        sparse_grads = [
+            rows_grad_from_pooled(
                 g_pooled[k],
                 batch.indices[k],
                 batch.mask[k] if batch.mask is not None else None,
             )
-            if grad_bits >= 32:
+            for k in range(len(params["emb"]))
+        ]
+
+        if tc.ranking_range:
+            # Mixed-bit policy (grad_precision_and_scale): all-reduce per-
+            # table ranges, normalize by weight scale, sample assignment.
+            ranges_local = jnp.stack(
+                [jnp.max(jnp.abs(v)) for _, v in sparse_grads]
+            )
+            ranges = jax.lax.pmax(ranges_local, axis)
+            w_scales = (
+                qstate.emb_scales
+                if qc.enabled
+                else jnp.ones_like(ranges)
+            )
+            modes = ranking_range.assign_bit_widths(
+                ranges, w_scales, qstate.step,
+                tc.ranking_frac_hi, tc.ranking_frac_int8,
+            )
+
+        new_emb = []
+        for k, table in enumerate(params["emb"]):
+            ids, vals = sparse_grads[k]
+            if tc.ranking_range:
+                s = ranking_range.grad_scale_int16(ranges[k])
+                enc = ranking_range.encode_two_channel(vals, s, modes[k])
                 all_ids = jax.lax.all_gather(ids, axis, tiled=True)
-                all_vals_f = jax.lax.all_gather(vals, axis, tiled=True)
-                delta = all_vals_f
+                all_enc = jax.lax.all_gather(enc, axis, tiled=True)
+                delta = ranking_range.decode_two_channel(all_enc, s, modes[k])
+                # skipped tables: route ids out of range -> dropped scatter
+                all_ids = jnp.where(modes[k] == ranking_range.SKIP,
+                                    table.shape[0], all_ids)
+            elif grad_bits >= 32:
+                all_ids = jax.lax.all_gather(ids, axis, tiled=True)
+                delta = jax.lax.all_gather(vals, axis, tiled=True)
             else:
                 all_ids, all_vals, s = compressed_sparse_allgather(
                     ids, vals, grad_bits, axis

@@ -73,6 +73,40 @@ class RowHotness:
         return paths
 
 
+def audit_batches(
+    loader: Iterable,
+    table_sizes: Sequence[int],
+    num_dense: int = 13,
+    max_batches: Optional[int] = None,
+) -> Dict[str, object]:
+    """Data-integrity audit (`--investigating-inputs`,
+    dlrm_s_pytorch_comm_grad.py:1790-1830): scan a loader and report any
+    batch whose shapes are inconsistent or whose sparse indices fall outside
+    their table — the failure mode the reference logs (here out-of-range
+    indices would silently drop in scatter, so the audit is the guard)."""
+    sizes = np.asarray(table_sizes)
+    bad_shape, oob = [], []
+    n = 0
+    for bi, b in enumerate(loader):
+        if max_batches is not None and bi >= max_batches:
+            break
+        n += 1
+        idx = np.asarray(b.indices)
+        if idx.shape[0] != len(sizes) or np.asarray(b.dense).shape[1] != num_dense:
+            bad_shape.append(bi)
+            continue
+        per_table_max = idx.reshape(len(sizes), -1).max(axis=1)
+        per_table_min = idx.reshape(len(sizes), -1).min(axis=1)
+        if np.any(per_table_max >= sizes) or np.any(per_table_min < 0):
+            oob.append((bi, np.where(per_table_max >= sizes)[0].tolist()))
+    return {
+        "batches_scanned": n,
+        "bad_shape_batches": bad_shape,
+        "out_of_range": oob,
+        "clean": not bad_shape and not oob,
+    }
+
+
 def table_weight_stats(tables: Iterable[np.ndarray]) -> List[Dict[str, float]]:
     """Weight distribution vs the U(-1/sqrt(n), 1/sqrt(n)) init bound
     (looking_into_tables*.py)."""
