@@ -223,9 +223,19 @@ class TrainConfig:
     ranking_frac_hi: float = 0.2
     ranking_frac_int8: float = 0.3
     weight_sync_period: int = 200  # periodic full-weight allreduce (comm_grad.py:1977)
-    # FP32 pretrain epochs before enabling quantization
-    # (`--pretrain_and_quantize`, comm_grad.py:1850-1853).
+    # QAT epoch schedule (comm_grad.py:1849-1872):
+    # - pretrain_epochs: FP32 epochs before embedding quantization kicks in
+    #   (`--pretrain_and_quantize`, epoch k==1 switch :1850-1853);
+    # - quantize_mlp_from_epoch: epoch at which the MLP flips from FP32 to
+    #   quantized (`--pretrain_and_quantize_lin` / change_lin_full_quantize,
+    #   k==2 switch :1854-1856); -1 = from the start;
+    # - shift_bit_width_at_epoch/to: lower the MLP bit width mid-training
+    #   (`--linear_shift_down_bit_width` / change_bitw, k==3 switch
+    #   :1870-1872); -1 = never.
     pretrain_epochs: int = 0
+    quantize_mlp_from_epoch: int = -1
+    shift_bit_width_at_epoch: int = -1
+    shift_bit_width_to: int = 4
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -89,6 +89,74 @@ class RandomBatchLoader:
             )
 
 
+class LearnableSyntheticLoader:
+    """Synthetic CTR data WITH signal: labels come from a hidden ground-truth
+    factorization model, so a correctly-implemented DLRM can reach high AUC.
+
+    The reference's random generator (uniform labels) can only validate that
+    the loss reaches log(2); this loader is the accuracy gate's stand-in when
+    the Criteo files aren't available: hidden per-table embeddings u_k[idx]
+    and a dense weight vector produce
+        logit = sum_k <u_k[i_k], v> + w . x + noise,
+    click = sigmoid(logit) > U(0,1). AUC of the true model ~0.8+.
+    """
+
+    def __init__(
+        self,
+        config: DLRMConfig,
+        batch_size: int,
+        num_batches: int,
+        seed: int = 0,
+        noise: float = 0.5,
+        hidden_dim: int = 8,
+        model_seed: int = 777,
+    ):
+        self.config = config
+        self.batch_size = batch_size
+        self.num_batches = num_batches
+        self.seed = seed
+        self.noise = noise
+        # `model_seed` fixes the hidden ground-truth model independently of
+        # the batch stream seed, so train/test loaders share one concept.
+        rng = np.random.RandomState(model_seed)
+        self._emb = [
+            rng.normal(0, 1.0, size=(n, hidden_dim)).astype(np.float32)
+            for n in config.table_sizes
+        ]
+        self._v = rng.normal(0, 1.0 / np.sqrt(hidden_dim), size=hidden_dim).astype(
+            np.float32
+        )
+        self._w = rng.normal(0, 1.0, size=config.num_dense).astype(np.float32)
+
+    def __len__(self):
+        return self.num_batches
+
+    def _make(self, rng: np.random.RandomState) -> Batch:
+        cfg = self.config
+        B, P = self.batch_size, cfg.pooling_size
+        dense = rng.uniform(0, 1, size=(B, cfg.num_dense)).astype(np.float32)
+        idx = np.stack(
+            [rng.randint(0, n, size=(B, P)).astype(np.int32) for n in cfg.table_sizes]
+        )
+        logit = dense @ self._w
+        for k in range(cfg.num_tables):
+            logit = logit + (self._emb[k][idx[k]].sum(axis=1) @ self._v)
+        logit = (logit - logit.mean()) / (logit.std() + 1e-6) * 2.0
+        p = 1.0 / (1.0 + np.exp(-logit + self.noise * rng.normal(size=B)))
+        labels = (rng.uniform(size=B) < p).astype(np.float32)
+        return Batch(
+            dense=jnp.asarray(dense),
+            indices=jnp.asarray(idx),
+            labels=jnp.asarray(labels),
+            mask=None,
+        )
+
+    def __iter__(self) -> Iterator[Batch]:
+        rng = np.random.RandomState(self.seed)
+        for _ in range(self.num_batches):
+            yield self._make(rng)
+
+
 def random_batches_on_device(
     config: DLRMConfig, batch_size: int, key: jax.Array
 ) -> Batch:

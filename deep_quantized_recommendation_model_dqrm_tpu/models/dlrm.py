@@ -227,8 +227,14 @@ def _apply_mlp_quant(
     rescale commutes with the matmul)."""
     n = len(layers)
     for i, layer in enumerate(layers):
+        # Reference drivers construct QuantLinear with bias_bit = weight_bit
+        # (comm_grad.py:316-323); bias shares the weight scale, so a small
+        # bias_bit clips biases larger than max|w| (notably the final
+        # 1-output layer whose bias is ~N(0,1)). bias_bit=32 (our default)
+        # keeps the scale-sharing but removes the clip; set bias_bit ==
+        # weight_bit for exact reference parity.
         s_w, w_fq, b_fq = _quant_linear_weights(
-            layer, qc.weight_bit, qc.weight_bit, qc.mlp_channelwise
+            layer, qc.weight_bit, qc.bias_bit, qc.mlp_channelwise
         )
         x = x @ w_fq.T + b_fq
         if not (last_linear and i == n - 1):

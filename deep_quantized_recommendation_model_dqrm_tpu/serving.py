@@ -133,6 +133,51 @@ def make_serving_fn(sm: ServingModel, use_pallas_lookup: bool = False,
     return jax.jit(fn)
 
 
+def export_stablehlo(sm: ServingModel, batch_size: int, path: str) -> str:
+    """Serialize the packed inference function as portable StableHLO.
+
+    The TPU-native analogue of the reference's `--save-onnx` export
+    (dlrm_s_pytorch.py:1813-1893): a self-contained, runtime-loadable
+    artifact of the quantized model (weights baked in as constants), loadable
+    with jax.export on any XLA backend.
+    """
+    from jax import export as jexport
+
+    cfg = sm.config
+    serving_fn = make_serving_fn(sm)
+    T, P = cfg.num_tables, cfg.pooling_size
+
+    # Flat-argument wrapper: the export serializer only handles registered
+    # pytree types, so the Batch NamedTuple is rebuilt inside.
+    def fn(dense, indices):
+        return serving_fn(
+            dlrm.Batch(
+                dense=dense,
+                indices=indices,
+                labels=jnp.zeros((dense.shape[0],), jnp.float32),
+                mask=None,
+            )
+        )
+
+    exported = jexport.export(jax.jit(fn))(
+        jax.ShapeDtypeStruct((batch_size, cfg.num_dense), jnp.float32),
+        jax.ShapeDtypeStruct((T, batch_size, P), jnp.int32),
+    )
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
+
+
+def load_stablehlo(path: str):
+    """Load a serialized export back into a callable."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    return exported.call
+
+
 class ServingEngine:
     """Bucketed-batch inference host loop.
 

@@ -92,6 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quant-scheme", type=str, default="hawq",
                    choices=["hawq", "pact", "lsq"])
     p.add_argument("--pretrain_and_quantize", action="store_true")
+    p.add_argument("--pretrain_and_quantize_lin", action="store_true")
+    p.add_argument("--linear_shift_down_bit_width", action="store_true")
+    p.add_argument("--shift-bit-width-to", type=int, default=4)
     # gradient communication (the DQRM contribution)
     p.add_argument("--parallelism", type=str, default="none",
                    choices=["none", "dp", "hybrid"])
@@ -153,6 +156,11 @@ def make_configs(args) -> tuple:
         error_compensation=args.error_compensation,
         weight_sync_period=args.weight_sync_period,
         pretrain_epochs=1 if args.pretrain_and_quantize else 0,
+        # reference epoch switches: MLP quantizes at k==2, bit shift at k==3
+        # (comm_grad.py:1854-1856, :1870-1872)
+        quantize_mlp_from_epoch=2 if args.pretrain_and_quantize_lin else -1,
+        shift_bit_width_at_epoch=3 if args.linear_shift_down_bit_width else -1,
+        shift_bit_width_to=args.shift_bit_width_to,
     )
     return cfg, tc
 
@@ -274,14 +282,19 @@ def run(argv=None) -> dict:
         rank0_print(rank, f"inference: {m}")
         return m
 
+    from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+        config_for_epoch,
+    )
+
     step_mode = args.parallelism
+    sync_fn = None
+    plan = None
     if step_mode == "dp":
         from deep_quantized_recommendation_model_dqrm_tpu.parallel import comm_grad
         from deep_quantized_recommendation_model_dqrm_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
         dstate = comm_grad.init_dp_state(cfg, tc)
-        step_fn = comm_grad.make_dp_train_step(cfg, tc, mesh)
         sync_fn = comm_grad.make_weight_sync(mesh) if tc.weight_sync_period > 0 else None
     elif step_mode == "hybrid":
         from deep_quantized_recommendation_model_dqrm_tpu.parallel import hybrid
@@ -290,9 +303,24 @@ def run(argv=None) -> dict:
         mesh = make_mesh()
         plan = hybrid.plan_table_sharding(cfg.table_sizes, len(mesh.devices))
         hstate = hybrid.init_hybrid_state(cfg, tc, mesh, plan)
-        step_fn = hybrid.make_hybrid_train_step(cfg, tc, mesh, plan)
-    else:
-        step_fn = make_train_step(cfg, tc)
+
+    # QAT epoch schedule: the jitted step is rebuilt (and cached) whenever
+    # the effective config changes at an epoch boundary (comm_grad.py:
+    # 1849-1872 — FP pretrain -> quantize -> MLP quantize -> bit shift).
+    _step_cache = {}
+
+    def get_step(epoch: int):
+        eff = config_for_epoch(cfg, tc, epoch)
+        if eff not in _step_cache:
+            if step_mode == "dp":
+                _step_cache[eff] = comm_grad.make_dp_train_step(eff, tc, mesh)
+            elif step_mode == "hybrid":
+                _step_cache[eff] = hybrid.make_hybrid_train_step(eff, tc, mesh, plan)
+            else:
+                _step_cache[eff] = make_train_step(eff, tc)
+            if eff is not cfg:
+                rank0_print(rank, f"epoch {epoch}: QAT schedule config {eff.quant}")
+        return _step_cache[eff]
 
     mll.end("init")
     mll.start("run")
@@ -303,6 +331,7 @@ def run(argv=None) -> dict:
     result = {}
     for epoch in range(start_epoch, tc.nepochs):
         mll.start("epoch", {"num": epoch})
+        step_fn = get_step(epoch)
         for bi, batch in enumerate(train_loader):
             if epoch == start_epoch and bi < start_batch:
                 continue  # fast-forward resume (dlrm_s_pytorch.py:1523-1534)

@@ -32,6 +32,31 @@ class TrainState(NamedTuple):
     qstate: dlrm.QuantState
 
 
+def config_for_epoch(config: DLRMConfig, tc: TrainConfig, epoch: int) -> DLRMConfig:
+    """QAT epoch schedule (comm_grad.py:1849-1872): FP32 pretrain epochs,
+    delayed MLP quantization, mid-training bit-width shift. Returns the
+    effective config for `epoch`; callers rebuild the (cached) jitted step
+    when it changes — bit widths are compile-time constants on TPU."""
+    import dataclasses
+
+    qc = config.quant
+    if not qc.enabled:
+        return config
+    if epoch < tc.pretrain_epochs:
+        return dataclasses.replace(config, quant=dataclasses.replace(qc, enabled=False))
+    quantize_mlp = qc.quantize_mlp and (
+        tc.quantize_mlp_from_epoch < 0 or epoch >= tc.quantize_mlp_from_epoch
+    )
+    wb = qc.weight_bit
+    if 0 <= tc.shift_bit_width_at_epoch <= epoch:
+        wb = tc.shift_bit_width_to
+    if quantize_mlp == qc.quantize_mlp and wb == qc.weight_bit:
+        return config
+    return dataclasses.replace(
+        config, quant=dataclasses.replace(qc, quantize_mlp=quantize_mlp, weight_bit=wb)
+    )
+
+
 def init_train_state(
     config: DLRMConfig, tc: TrainConfig, seed: Optional[int] = None
 ) -> TrainState:

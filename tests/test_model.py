@@ -212,3 +212,38 @@ class TestLoss:
             + (1 - np.asarray(labels)) * np.log(1 - np.asarray(p))
         )
         assert np.isclose(float(dlrm.bce_loss(logits, labels)), expect, rtol=1e-4)
+
+
+class TestEpochSchedule:
+    def test_config_for_epoch(self):
+        import dataclasses
+
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            config_for_epoch,
+        )
+
+        cfg = dataclasses.replace(
+            TINY, quant=QuantConfig(enabled=True, weight_bit=8)
+        )
+        tc = TrainConfig(
+            pretrain_epochs=1,
+            quantize_mlp_from_epoch=2,
+            shift_bit_width_at_epoch=3,
+            shift_bit_width_to=4,
+        )
+        e0 = config_for_epoch(cfg, tc, 0)
+        assert not e0.quant.enabled  # FP32 pretrain
+        e1 = config_for_epoch(cfg, tc, 1)
+        assert e1.quant.enabled and not e1.quant.quantize_mlp  # emb only
+        e2 = config_for_epoch(cfg, tc, 2)
+        assert e2.quant.quantize_mlp and e2.quant.weight_bit == 8
+        e3 = config_for_epoch(cfg, tc, 3)
+        assert e3.quant.weight_bit == 4  # shifted down
+
+    def test_no_schedule_is_identity(self):
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            config_for_epoch,
+        )
+
+        tc = TrainConfig()
+        assert config_for_epoch(TINY, tc, 0) is TINY

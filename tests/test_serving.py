@@ -99,3 +99,24 @@ class TestServingEngine:
         )
         out = eng.predict(dense, idx)
         assert out.shape == (B,) and np.all(np.isfinite(out))
+
+
+class TestExport:
+    def test_stablehlo_roundtrip_exact(self, trained, tmp_path):
+        import jax
+
+        from deep_quantized_recommendation_model_dqrm_tpu.data.synthetic import (
+            random_batch,
+        )
+        from deep_quantized_recommendation_model_dqrm_tpu.serving import (
+            export_stablehlo,
+            load_stablehlo,
+        )
+
+        sm = ptq_export(CFG, trained, emb_bits=4, mlp_bits=8)
+        path = export_stablehlo(sm, 16, str(tmp_path / "m.bin"))
+        fn = load_stablehlo(path)
+        b = random_batch(CFG, 16, np.random.RandomState(5))
+        out = np.asarray(fn(b.dense, b.indices))
+        ref = np.asarray(make_serving_fn(sm)(b))
+        np.testing.assert_allclose(out, ref, rtol=0, atol=0)
