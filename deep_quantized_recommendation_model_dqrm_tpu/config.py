@@ -67,6 +67,9 @@ class QuantConfig:
     # Activation range tracking momentum (QuantAct, quant_modules.py:491).
     # -1.0 means running extremum min/max.
     act_range_momentum: float = 0.95
+    # Percentile clipping of activation ranges (QuantAct act_percentile,
+    # quant_modules.py:567-577): 0 = plain min/max; 99.9 cuts off 0.1%.
+    act_percentile: float = 0.0
     # Alternate QAT schemes for baseline comparison (paper Table 3):
     # "hawq" (default DQRM), "pact" (DoReFa-style tanh STE,
     # quant_pact_dorefa.py), "lsq" (learned step size, quantizer/lsq.py).

@@ -89,6 +89,95 @@ class RandomBatchLoader:
             )
 
 
+def trace_generate_indices(
+    rows: int,
+    num_lookups: int,
+    rng: np.random.RandomState,
+    locality: float = 0.8,
+    alpha: float = 1.2,
+    stack_size: int = 1024,
+) -> np.ndarray:
+    """Synthetic index trace with temporal locality (LRU stack-distance
+    model) — the reference's trace-driven generator (`trace_generate_lru`,
+    dlrm_data_pytorch.py:1235-1320): with probability `locality` the next
+    index is drawn from the LRU stack at a power-law stack distance (hot rows
+    recur), otherwise a fresh uniform index is pulled and pushed. Vectorized
+    over a bounded stack instead of the reference's per-access Python list.
+    """
+    stack_size = min(stack_size, rows)
+    stack = rng.choice(rows, size=stack_size, replace=False).astype(np.int64)
+    out = np.empty(num_lookups, np.int64)
+    reuse = rng.rand(num_lookups) < locality
+    # power-law stack distances in [0, stack_size)
+    dist = np.floor(
+        stack_size * (rng.rand(num_lookups) ** alpha)
+    ).astype(np.int64)
+    fresh = rng.randint(0, rows, size=num_lookups)
+    for i in range(num_lookups):
+        if reuse[i]:
+            d = dist[i]
+            idx = stack[d]
+            # move to front
+            stack[1 : d + 1] = stack[:d]
+            stack[0] = idx
+        else:
+            idx = fresh[i]
+            stack[1:] = stack[:-1]
+            stack[0] = idx
+        out[i] = idx
+    return out
+
+
+class TraceSyntheticLoader:
+    """Batches whose sparse indices follow the LRU-locality trace model —
+    for cache/hotness studies (discovering_rowise_hotness analogue) and
+    realistic-skew benchmarking."""
+
+    def __init__(
+        self,
+        config: DLRMConfig,
+        batch_size: int,
+        num_batches: int,
+        seed: int = 0,
+        locality: float = 0.8,
+    ):
+        self.config = config
+        self.batch_size = batch_size
+        self.num_batches = num_batches
+        self.seed = seed
+        self.locality = locality
+
+    def __len__(self):
+        return self.num_batches
+
+    def __iter__(self) -> Iterator[Batch]:
+        cfg = self.config
+        rng = np.random.RandomState(self.seed)
+        P = cfg.pooling_size
+        traces = [
+            trace_generate_indices(
+                n, self.num_batches * self.batch_size * P, rng, self.locality
+            )
+            for n in cfg.table_sizes
+        ]
+        for bi in range(self.num_batches):
+            lo = bi * self.batch_size * P
+            hi = lo + self.batch_size * P
+            idx = np.stack(
+                [t[lo:hi].reshape(self.batch_size, P).astype(np.int32) for t in traces]
+            )
+            dense = rng.uniform(0, 1, size=(self.batch_size, cfg.num_dense)).astype(
+                np.float32
+            )
+            labels = rng.randint(0, 2, size=self.batch_size).astype(np.float32)
+            yield Batch(
+                dense=jnp.asarray(dense),
+                indices=jnp.asarray(idx),
+                labels=jnp.asarray(labels),
+                mask=None,
+            )
+
+
 class LearnableSyntheticLoader:
     """Synthetic CTR data WITH signal: labels come from a hidden ground-truth
     factorization model, so a correctly-implemented DLRM can reach high AUC.

@@ -159,16 +159,23 @@ def _quant_act(
     x_max: jax.Array,
     momentum: float,
     train: bool,
+    percentile: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """QuantAct forward (quant_modules.py:538-637, symmetric mode).
 
     Returns (x_fq, scale, new_min, new_max). Running range: initialize on
     first batch (min==max==0 sentinel), then momentum-EMA or running extremum
-    (momentum == -1).
+    (momentum == -1). `percentile` > 0 clips the observed range
+    (get_percentile_min_max, quant_modules.py:567-577).
     """
     if train:
-        cur_min = jax.lax.stop_gradient(jnp.min(x))
-        cur_max = jax.lax.stop_gradient(jnp.max(x))
+        if percentile > 0.0:
+            lo, hi = q.get_percentile_min_max(x, 100.0 - percentile, percentile)
+            cur_min = jax.lax.stop_gradient(lo)
+            cur_max = jax.lax.stop_gradient(hi)
+        else:
+            cur_min = jax.lax.stop_gradient(jnp.min(x))
+            cur_max = jax.lax.stop_gradient(jnp.max(x))
         uninit = x_min == x_max
         if momentum == -1.0:
             upd_min = jnp.minimum(x_min, cur_min)
@@ -399,7 +406,7 @@ def forward(
         # quant_input QuantAct -> integer MLP chains (comm_grad.py:863-879).
         x_fq, s_act, new_min0, new_max0 = _quant_act(
             batch.dense, qc.activation_bit, qstate.act_min[0], qstate.act_max[0],
-            qc.act_range_momentum, train,
+            qc.act_range_momentum, train, qc.act_percentile,
         )
         new_act_min = new_act_min.at[0].set(new_min0)
         new_act_max = new_act_max.at[0].set(new_max0)
@@ -413,7 +420,7 @@ def forward(
         # quant_feature_outputs QuantAct (comm_grad.py:806 interact tail).
         z_fq, s_feat, new_min1, new_max1 = _quant_act(
             z, qc.activation_bit, qstate.act_min[1], qstate.act_max[1],
-            qc.act_range_momentum, train,
+            qc.act_range_momentum, train, qc.act_percentile,
         )
         new_act_min = new_act_min.at[1].set(new_min1)
         new_act_max = new_act_max.at[1].set(new_max1)
@@ -460,9 +467,18 @@ def predict(
     return p
 
 
-def bce_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+def bce_loss(
+    logits: jax.Array,
+    labels: jax.Array,
+    weights: Optional[jax.Array] = None,
+) -> jax.Array:
     """Mean binary cross-entropy on logits — the stable form of the
-    reference's Sigmoid + nn.BCELoss (dlrm_s_pytorch.py:142-153)."""
-    return jnp.mean(
+    reference's Sigmoid + nn.BCELoss (dlrm_s_pytorch.py:142-153). Optional
+    per-sample weights reproduce the WBCE path (`loss_ws` weighted loss,
+    dlrm_s_pytorch.py:144-152, mlperf terabyte mode)."""
+    per = (
         jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     )
+    if weights is not None:
+        return jnp.sum(per * weights) / jnp.maximum(jnp.sum(weights), 1e-12)
+    return jnp.mean(per)

@@ -319,6 +319,38 @@ def make_dp_train_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_dp_eval_step(
+    config: DLRMConfig,
+    mesh: Mesh,
+    axis: str = "mp",
+):
+    """Rank-sharded evaluation: each device scores its batch shard and the
+    probabilities are all-gathered so every host sees the full result
+    (`inference_distributed`, dlrm_s_pytorch_comm_grad.py:1170-1305; logits
+    all_gather dlrm_s_pytorch.py:809)."""
+
+    def device_eval(state: DPState, batch: dlrm.Batch) -> jax.Array:
+        logits, _ = dlrm.forward(
+            config, state.params, batch, state.qstate, train=False
+        )
+        p = jax.nn.sigmoid(logits)
+        if 0.0 < config.loss_threshold < 1.0:
+            p = jnp.clip(p, config.loss_threshold, 1.0 - config.loss_threshold)
+        return jax.lax.all_gather(p, axis, tiled=True)
+
+    batch_specs = dlrm.Batch(
+        dense=P(axis), indices=P(None, axis), labels=P(axis), mask=None
+    )
+    fn = shard_map(
+        device_eval,
+        mesh=mesh,
+        in_specs=(P(), batch_specs),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def make_weight_sync(mesh: Mesh, axis: str = "mp"):
     """Periodic full-weight all-reduce mean (`weight_syncc`,
     dlrm_s_pytorch_comm_grad.py:1977-1991): bounds replica drift. Called by

@@ -317,9 +317,25 @@ def make_hybrid_train_step(
         )
 
         # ---- MLP update: DDP-style gradient mean + SGD ----
-        mlp_grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.pmean(g, axis), mlp_grads
-        )
+        # The reference's hybrid drivers all-reduce MLP grads in fp32 via
+        # DDP (hybrid_multi_gpu.py:1840-1845); with grad_quant_bits < 32 we
+        # ride the DQRM compressed channel instead (INT8 psum over ICI),
+        # combining both contributions in one step.
+        if tc.grad_quant_bits < 32:
+            from deep_quantized_recommendation_model_dqrm_tpu.parallel.comm_grad import (
+                compressed_psum_dense,
+            )
+
+            mlp_grads = jax.tree_util.tree_map(
+                lambda g: compressed_psum_dense(
+                    g, tc.grad_quant_bits, axis, per_channel=(g.ndim == 2)
+                ),
+                mlp_grads,
+            )
+        else:
+            mlp_grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.pmean(g, axis), mlp_grads
+            )
         new_mlp = jax.tree_util.tree_map(
             lambda p, g: p - lr * g, state.mlp, mlp_grads
         )

@@ -97,13 +97,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shift-bit-width-to", type=int, default=4)
     # gradient communication (the DQRM contribution)
     p.add_argument("--parallelism", type=str, default="none",
-                   choices=["none", "dp", "hybrid"])
+                   choices=["none", "dp", "hybrid", "pseudo"])
     p.add_argument("--grad-quant-bits", type=int, default=8)
     p.add_argument("--error-compensation", action="store_true")
     p.add_argument("--weight-sync-period", type=int, default=200)
     # PTQ inference (dlrm_s_pytorch.py:1446-1471)
     p.add_argument("--quantize-emb-with-bit", type=int, default=32)
     p.add_argument("--quantize-mlp-with-bit", type=int, default=32)
+    p.add_argument("--export-stablehlo", type=str, default="",
+                   help="serialize the packed inference fn (the --save-onnx analogue)")
+    # simulation / audit / profiling (SURVEY §3.4, §4.4, §5)
+    p.add_argument("--num-pseudo-workers", type=int, default=4)
+    p.add_argument("--investigating-inputs", action="store_true")
+    p.add_argument("--enable-profiling", action="store_true")
+    p.add_argument("--profile-dir", type=str, default="/tmp/dqrm_trace")
     p.add_argument("--platform", type=str, default="")
     return p
 
@@ -275,10 +282,43 @@ def run(argv=None) -> dict:
         best_acc = float(meta.get("test_acc", 0.0))
         rank0_print(rank, f"resumed from {args.load_model} @ epoch {start_epoch} batch {start_batch}")
 
+    if args.investigating_inputs:
+        # data-integrity audit (comm_grad.py:1790-1830)
+        from deep_quantized_recommendation_model_dqrm_tpu.tools.analysis import (
+            audit_batches,
+        )
+
+        for name, loader in (("train", train_loader), ("test", test_loader)):
+            rep = audit_batches(loader, cfg.table_sizes, cfg.num_dense,
+                                max_batches=64)
+            rank0_print(rank, f"input audit [{name}]: {rep}")
+
     eval_fn = make_eval_step(cfg)
     if args.inference_only:
-        # PTQ path lives in serving.py; eval with current weights here.
-        m = evaluate(cfg, state, test_loader, eval_fn)
+        if args.quantize_emb_with_bit in (4, 8):
+            # PTQ serving path (quantize_embedding + quantize_dynamic,
+            # dlrm_s_pytorch.py:1446-1471)
+            from deep_quantized_recommendation_model_dqrm_tpu.serving import (
+                export_stablehlo,
+                make_serving_fn,
+                ptq_export,
+                serving_model_bytes,
+            )
+
+            sm = ptq_export(
+                cfg,
+                state.params,
+                emb_bits=args.quantize_emb_with_bit,
+                mlp_bits=args.quantize_mlp_with_bit if args.quantize_mlp_with_bit in (8,) else 32,
+            )
+            rank0_print(rank, f"PTQ model: {serving_model_bytes(sm)/1e6:.2f} MB")
+            sfn = make_serving_fn(sm)
+            if args.export_stablehlo:
+                path = export_stablehlo(sm, tc.test_batch_size, args.export_stablehlo)
+                rank0_print(rank, f"exported StableHLO to {path}")
+            m = evaluate(cfg, state, test_loader, lambda s, b: sfn(b))
+        else:
+            m = evaluate(cfg, state, test_loader, eval_fn)
         rank0_print(rank, f"inference: {m}")
         return m
 
@@ -296,6 +336,10 @@ def run(argv=None) -> dict:
         mesh = make_mesh()
         dstate = comm_grad.init_dp_state(cfg, tc)
         sync_fn = comm_grad.make_weight_sync(mesh) if tc.weight_sync_period > 0 else None
+    elif step_mode == "pseudo":
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel import pseudo
+
+        pstate = pseudo.init_pseudo_state(cfg, tc)
     elif step_mode == "hybrid":
         from deep_quantized_recommendation_model_dqrm_tpu.parallel import hybrid
         from deep_quantized_recommendation_model_dqrm_tpu.parallel.mesh import make_mesh
@@ -316,6 +360,10 @@ def run(argv=None) -> dict:
                 _step_cache[eff] = comm_grad.make_dp_train_step(eff, tc, mesh)
             elif step_mode == "hybrid":
                 _step_cache[eff] = hybrid.make_hybrid_train_step(eff, tc, mesh, plan)
+            elif step_mode == "pseudo":
+                _step_cache[eff] = pseudo.make_pseudo_train_step(
+                    eff, tc, args.num_pseudo_workers
+                )
             else:
                 _step_cache[eff] = make_train_step(eff, tc)
             if eff is not cfg:
@@ -324,6 +372,15 @@ def run(argv=None) -> dict:
 
     mll.end("init")
     mll.start("run")
+    prof_ctx = None
+    if args.enable_profiling:
+        # jax.profiler trace (the autograd-profiler/chrome-trace analogue,
+        # dlrm_s_pytorch.py:1501-1503, :1783-1795)
+        from deep_quantized_recommendation_model_dqrm_tpu.utils.profiling import trace
+
+        prof_ctx = trace(args.profile_dir)
+        prof_ctx.__enter__()
+        rank0_print(rank, f"profiling to {args.profile_dir}")
     it = 0
     t_print = time.perf_counter()
     loss_acc = 0.0
@@ -342,6 +399,9 @@ def run(argv=None) -> dict:
                 state = state._replace(params=dstate.params, qstate=dstate.qstate)
             elif step_mode == "hybrid":
                 hstate, loss = step_fn(hstate, batch)
+            elif step_mode == "pseudo":
+                pstate, loss = step_fn(pstate, batch)
+                state = state._replace(params=pstate.params, qstate=pstate.qstate)
             else:
                 state, loss = step_fn(state, batch)
             it += 1
@@ -390,9 +450,13 @@ def run(argv=None) -> dict:
                     rank0_print(rank, "MLPerf threshold reached; stopping")
                     mll.event("threshold_reached", m)
                     mll.end("run")
+                    if prof_ctx is not None:
+                        prof_ctx.__exit__(None, None, None)
                     return m
         mll.end("epoch", {"num": epoch})
     mll.end("run")
+    if prof_ctx is not None:
+        prof_ctx.__exit__(None, None, None)
     if not result:
         result = evaluate(cfg, state, test_loader, eval_fn, max_batches=8)
         rank0_print(rank, f"final eval: {result}")

@@ -163,19 +163,22 @@ class TestTableShardingPlan:
 
 class TestHybrid:
     def test_hybrid_matches_single_chip_fp32(self):
-        """Hybrid MP-emb + DP-MLP step must reproduce single-chip SGD."""
+        """Hybrid MP-emb + DP-MLP step must reproduce single-chip SGD
+        (uncompressed gradients)."""
+        tc = TC.replace(grad_quant_bits=32)
         mesh = make_mesh(8)
         plan = hybrid.plan_table_sharding(CFG.table_sizes, 8)
-        hstate = hybrid.init_hybrid_state(CFG, TC, mesh, plan)
-        hstep = hybrid.make_hybrid_train_step(CFG, TC, mesh, plan)
+        hstate = hybrid.init_hybrid_state(CFG, tc, mesh, plan)
+        hstep = hybrid.make_hybrid_train_step(CFG, tc, mesh, plan)
 
-        sstate = init_train_state(CFG, TC)
-        sstep = make_train_step(CFG, TC)
+        sstate = init_train_state(CFG, tc)
+        sstep = make_train_step(CFG, tc)
 
         rng = np.random.RandomState(11)
         for _ in range(3):
             b = random_batch(CFG, 64, rng)
             hstate, hloss = hstep(hstate, b)
+            jax.block_until_ready(hstate)
             sstate, sloss = sstep(sstate, b)
             assert np.isclose(float(hloss), float(sloss), rtol=1e-4), (
                 float(hloss),
@@ -188,6 +191,25 @@ class TestHybrid:
             np.testing.assert_allclose(
                 np.asarray(da["w"]), np.asarray(sa["w"]), atol=1e-5
             )
+
+    def test_hybrid_int8_mlp_grads_track_fp32(self):
+        rng = np.random.RandomState(21)
+        batches = [random_batch(CFG, 64, rng) for _ in range(3)]
+
+        def run(bits):
+            tc = TC.replace(grad_quant_bits=bits)
+            mesh = make_mesh(8)
+            plan = hybrid.plan_table_sharding(CFG.table_sizes, 8)
+            st = hybrid.init_hybrid_state(CFG, tc, mesh, plan)
+            step = hybrid.make_hybrid_train_step(CFG, tc, mesh, plan)
+            for b in batches:
+                st, _ = step(st, b)
+                jax.block_until_ready(st)
+            return st
+
+        s8, s32 = run(8), run(32)
+        for a, b_ in zip(s8.mlp["top"], s32.mlp["top"]):
+            assert float(np.max(np.abs(np.asarray(a["w"] - b_["w"])))) < 0.01
 
     def test_hybrid_qat_runs_and_scales_propagate(self):
         cfg = qcfg(enabled=True, scale_update_period=1, quantize_mlp=False)
