@@ -71,6 +71,9 @@ class QuantState(NamedTuple):
     act_min: jax.Array  # [2] float32
     act_max: jax.Array  # [2] float32
     step: jax.Array  # int32 scalar
+    # fix/unfix flag (freeze_model/unfreeze_model, quant_modules.py:
+    # 1071-1112): nonzero freezes activation ranges even in train mode.
+    act_fixed: jax.Array
 
 
 def init_quant_state(config: DLRMConfig) -> QuantState:
@@ -80,7 +83,18 @@ def init_quant_state(config: DLRMConfig) -> QuantState:
         act_min=jnp.zeros((2,), jnp.float32),
         act_max=jnp.zeros((2,), jnp.float32),
         step=jnp.zeros((), jnp.int32),
+        act_fixed=jnp.zeros((), jnp.int32),
     )
+
+
+def freeze_ranges(qstate: QuantState) -> QuantState:
+    """freeze_model (quant_modules.py:1071-1090): fix activation ranges."""
+    return qstate._replace(act_fixed=jnp.ones((), jnp.int32))
+
+
+def unfreeze_ranges(qstate: QuantState) -> QuantState:
+    """unfreeze_model (quant_modules.py:1093-1112)."""
+    return qstate._replace(act_fixed=jnp.zeros((), jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -408,8 +422,13 @@ def forward(
             batch.dense, qc.activation_bit, qstate.act_min[0], qstate.act_max[0],
             qc.act_range_momentum, train, qc.act_percentile,
         )
-        new_act_min = new_act_min.at[0].set(new_min0)
-        new_act_max = new_act_max.at[0].set(new_max0)
+        fixed = qstate.act_fixed > 0
+        new_act_min = new_act_min.at[0].set(
+            jnp.where(fixed, qstate.act_min[0], new_min0)
+        )
+        new_act_max = new_act_max.at[0].set(
+            jnp.where(fixed, qstate.act_max[0], new_max0)
+        )
         x = _apply_mlp_quant_act(params["bot"], x_fq, s_act, qc, last_linear=False)
         ly = get_ly(full_precision)
         z = (
@@ -422,8 +441,12 @@ def forward(
             z, qc.activation_bit, qstate.act_min[1], qstate.act_max[1],
             qc.act_range_momentum, train, qc.act_percentile,
         )
-        new_act_min = new_act_min.at[1].set(new_min1)
-        new_act_max = new_act_max.at[1].set(new_max1)
+        new_act_min = new_act_min.at[1].set(
+            jnp.where(fixed, qstate.act_min[1], new_min1)
+        )
+        new_act_max = new_act_max.at[1].set(
+            jnp.where(fixed, qstate.act_max[1], new_max1)
+        )
         logits = _apply_mlp_quant_act(params["top"], z_fq, s_feat, qc, last_linear=True)
     else:
         # Weight-only MLP quant (or emb-only when quantize_mlp=False):

@@ -319,6 +319,57 @@ def make_dp_train_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_dp_nosync_train_step(
+    config: DLRMConfig,
+    tc: TrainConfig,
+    mesh: Mesh,
+    axis: str = "mp",
+    has_mask: bool = False,
+):
+    """Local-SGD / no-sync DP ablation (`dlrm_s_pytorch_dp_only.py`:
+    1902-1905): every device holds a full replica and steps on its batch
+    shard with NO gradient synchronization at all — replicas drift freely
+    (periodic `make_weight_sync` re-averages them if desired). Returns
+    (state with per-device params, mean loss). The state's params live
+    sharded-as-replicated (check disabled); use weight_sync before eval.
+    """
+    def device_step(state: DPState, batch: dlrm.Batch):
+        params, qstate = state.params, state.qstate
+        if config.quant.enabled:
+            qstate = dlrm.update_emb_scales(config, params, qstate)
+
+        def loss_fn(p):
+            logits, new_qs = dlrm.forward(config, p, batch, qstate, train=True)
+            return dlrm.bce_loss(logits, batch.labels), new_qs
+
+        (loss, new_qs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        lr = lr_policy(
+            tc.learning_rate,
+            qstate.step + 1,
+            tc.lr_num_warmup_steps,
+            tc.lr_decay_start_step,
+            tc.lr_num_decay_steps,
+        )
+        new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+        new_qs = new_qs._replace(step=qstate.step + 1)
+        return DPState(new_params, new_qs, state.ec), jax.lax.pmean(loss, axis)
+
+    batch_specs = dlrm.Batch(
+        dense=P(axis),
+        indices=P(None, axis),
+        labels=P(axis),
+        mask=P(None, axis) if has_mask else None,
+    )
+    step = shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(P(), batch_specs),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def make_dp_eval_step(
     config: DLRMConfig,
     mesh: Mesh,

@@ -104,33 +104,87 @@ def _apply_mlp_serving(layers, x, mlp_bits: int, last_linear: bool, use_pallas: 
     return x
 
 
+def _serving_arrays(sm: ServingModel):
+    """Split the ServingModel into (traced array pytree, static metadata).
+
+    The arrays MUST travel as jit arguments: closed-over concrete arrays
+    become inlined HLO constants, which for a 270 MB packed model bloats the
+    program beyond compiler limits (observed: remote-compile HTTP 413) and
+    destroys compile time.
+    """
+    arrays = {
+        "emb": [
+            {"data": pt.data, "scale": pt.scale}
+            | ({"bias": pt.bias} if pt.bias is not None else {})
+            for pt in sm.emb
+        ],
+        "bot": [l._asdict() if isinstance(l, QuantLinearWeights) else l for l in sm.bot],
+        "top": [l._asdict() if isinstance(l, QuantLinearWeights) else l for l in sm.top],
+    }
+    # drop the static 'bits' ints from the quantized-linear dicts
+    for part in ("bot", "top"):
+        for l in arrays[part]:
+            l.pop("bits", None)
+    meta = {
+        "emb": [(pt.bits, pt.dim, pt.bias is not None) for pt in sm.emb],
+        "mlp_bits": sm.mlp_bits,
+        "config": sm.config,
+    }
+    return arrays, meta
+
+
+def _rebuild_serving_model(arrays, meta) -> ServingModel:
+    emb = [
+        PackedTable(
+            data=a["data"],
+            scale=a["scale"],
+            bias=a.get("bias"),
+            bits=bits,
+            dim=dim,
+        )
+        for a, (bits, dim, _) in zip(arrays["emb"], meta["emb"])
+    ]
+    if meta["mlp_bits"] == 8:
+        bot = [QuantLinearWeights(bits=8, **l) for l in arrays["bot"]]
+        top = [QuantLinearWeights(bits=8, **l) for l in arrays["top"]]
+    else:
+        bot, top = arrays["bot"], arrays["top"]
+    return ServingModel(
+        config=meta["config"], emb=emb, bot=bot, top=top, mlp_bits=meta["mlp_bits"]
+    )
+
+
 def make_serving_fn(sm: ServingModel, use_pallas_lookup: bool = False,
                     use_pallas_mlp: bool = False):
-    """Jitted inference: Batch -> click probabilities [B]."""
+    """Jitted inference: Batch -> click probabilities [B]. Weights are jit
+    ARGUMENTS (device-resident), not inlined constants."""
     cfg = sm.config
+    arrays, meta = _serving_arrays(sm)
 
-    def fn(batch: dlrm.Batch) -> jax.Array:
+    def fn(arrs, batch: dlrm.Batch) -> jax.Array:
+        m_ = _rebuild_serving_model(arrs, meta)
         ly = []
-        for k, pt in enumerate(sm.emb):
-            m = batch.mask[k] if batch.mask is not None else None
-            if use_pallas_lookup and pt.bias is None and m is None:
+        for k, pt in enumerate(m_.emb):
+            msk = batch.mask[k] if batch.mask is not None else None
+            if use_pallas_lookup and pt.bias is None and msk is None:
                 ly.append(packed_pooled_lookup_pallas(pt, batch.indices[k]))
             else:
-                ly.append(packed_pooled_lookup(pt, batch.indices[k], m))
+                ly.append(packed_pooled_lookup(pt, batch.indices[k], msk))
         ly = jnp.stack(ly)
-        x = _apply_mlp_serving(sm.bot, batch.dense, sm.mlp_bits, False, use_pallas_mlp)
+        x = _apply_mlp_serving(m_.bot, batch.dense, m_.mlp_bits, False, use_pallas_mlp)
         z = (
             dot_interaction(x, ly, cfg.interact_itself)
             if cfg.interaction == "dot"
             else cat_interaction(x, ly)
         )
-        logits = _apply_mlp_serving(sm.top, z, sm.mlp_bits, True, use_pallas_mlp)
+        logits = _apply_mlp_serving(m_.top, z, m_.mlp_bits, True, use_pallas_mlp)
         p = jax.nn.sigmoid(logits.reshape(-1))
         if 0.0 < cfg.loss_threshold < 1.0:
             p = jnp.clip(p, cfg.loss_threshold, 1.0 - cfg.loss_threshold)
         return p
 
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+    return lambda batch: jitted(arrays, batch)
 
 
 def export_stablehlo(sm: ServingModel, batch_size: int, path: str) -> str:

@@ -109,6 +109,7 @@ def build_parser() -> argparse.ArgumentParser:
     # simulation / audit / profiling (SURVEY §3.4, §4.4, §5)
     p.add_argument("--num-pseudo-workers", type=int, default=4)
     p.add_argument("--investigating-inputs", action="store_true")
+    p.add_argument("--debug-mode", action="store_true")
     p.add_argument("--enable-profiling", action="store_true")
     p.add_argument("--profile-dir", type=str, default="/tmp/dqrm_trace")
     p.add_argument("--platform", type=str, default="")
@@ -271,6 +272,19 @@ def run(argv=None) -> dict:
     mll.start("init")
 
     state = init_train_state(cfg, tc)
+    if args.debug_mode:
+        # arch + initial parameter printout (dlrm_s_pytorch.py:1210-1263)
+        rank0_print(rank, f"model config: {cfg}")
+        for part in ("bot", "top"):
+            for li, l in enumerate(state.params[part]):
+                w = np.asarray(l["w"])
+                rank0_print(
+                    rank,
+                    f"{part}[{li}] w{w.shape} mean {w.mean():+.5f} std {w.std():.5f}",
+                )
+        for k, t in enumerate(state.params["emb"]):
+            t = np.asarray(t[: min(4, t.shape[0])])
+            rank0_print(rank, f"emb[{k}] first rows:\n{t}")
     ckpt = CheckpointManager(args.save_model) if args.save_model else None
     start_epoch = start_batch = 0
     best_acc = best_auc = 0.0
@@ -392,6 +406,17 @@ def run(argv=None) -> dict:
         for bi, batch in enumerate(train_loader):
             if epoch == start_epoch and bi < start_batch:
                 continue  # fast-forward resume (dlrm_s_pytorch.py:1523-1534)
+            if step_mode in ("dp", "hybrid"):
+                ndev = len(mesh.devices.reshape(-1))
+                if batch.labels.shape[0] % ndev != 0:
+                    # mirror the reference's skip-with-warning for batches
+                    # not divisible by world size (dlrm_s_pytorch.py:1553-1558)
+                    rank0_print(
+                        rank,
+                        f"Warning: skipping batch {bi} (size "
+                        f"{batch.labels.shape[0]} % {ndev} != 0)",
+                    )
+                    continue
             if step_mode == "dp":
                 dstate, loss = step_fn(dstate, batch)
                 if sync_fn is not None and (it + 1) % tc.weight_sync_period == 0:

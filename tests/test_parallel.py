@@ -241,3 +241,55 @@ class TestHybrid:
         np.testing.assert_allclose(
             np.asarray(hstate.qstate.emb_scales), expect, rtol=1e-6
         )
+
+
+class TestNoSyncDP:
+    def test_replicas_drift_without_sync(self):
+        """Local-SGD ablation: no grad sync => per-device replicas diverge;
+        a weight_sync re-averages them (dp_only.py semantics)."""
+        mesh = make_mesh(8)
+        state = comm_grad.init_dp_state(CFG, TC)
+        step = comm_grad.make_dp_nosync_train_step(CFG, TC, mesh)
+        rng = np.random.RandomState(13)
+        for _ in range(3):
+            state, loss = step(state, random_batch(CFG, 64, rng))
+            jax.block_until_ready(state)
+        assert np.isfinite(float(loss))
+        # per-device shards of the "replicated" params now differ
+        w = state.params["top"][0]["w"]
+        shards = [np.asarray(s.data) for s in w.addressable_shards]
+        assert not np.allclose(shards[0], shards[1])
+        # weight sync re-averages
+        state = comm_grad.make_weight_sync(mesh)(state)
+        jax.block_until_ready(state)
+        w2 = state.params["top"][0]["w"]
+        shards2 = [np.asarray(s.data) for s in w2.addressable_shards]
+        np.testing.assert_allclose(shards2[0], shards2[1], rtol=1e-6)
+
+
+class TestFreezeRanges:
+    def test_frozen_act_ranges_stay_constant(self):
+        cfg = qcfg(enabled=True, quantize_activation=True, scale_update_period=1)
+        params = dlrm.init_params(cfg, seed=0)
+        qs = dlrm.update_emb_scales(cfg, params, dlrm.init_quant_state(cfg))
+        b1 = random_batch(cfg, 32, np.random.RandomState(1))
+        b2 = random_batch(cfg, 32, np.random.RandomState(2))
+        _, qs1 = dlrm.forward(cfg, params, b1, qs, train=True)
+        frozen = dlrm.freeze_ranges(qs1)
+        _, qs2 = dlrm.forward(cfg, params, b2, frozen, train=True)
+        np.testing.assert_allclose(
+            np.asarray(qs2.act_min), np.asarray(qs1.act_min)
+        )
+        un = dlrm.unfreeze_ranges(qs2)
+        _, qs3 = dlrm.forward(cfg, params, b2, un, train=True)
+        assert not np.allclose(np.asarray(qs3.act_max), np.asarray(qs1.act_max))
+
+
+class TestCollectiveProbe:
+    def test_probe_all_ok_on_mesh(self):
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel.probe import (
+            probe_collectives,
+        )
+
+        res = probe_collectives(make_mesh(8))
+        assert res["ok"], res
