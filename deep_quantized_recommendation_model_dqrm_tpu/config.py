@@ -121,9 +121,18 @@ class DLRMConfig:
     # Sparse-index hashing modulus (`--max-ind-range`): applied in data
     # pipeline, recorded here for checkpoints.
     max_ind_range: int = -1
+    # Per-row pooling weights v_W_l (`--weighted-pooling`,
+    # dlrm_s_pytorch.py:276-281, :360-366): None | "fixed" (ones, frozen) |
+    # "learned" (trainable parameter).
+    weighted_pooling: Optional[str] = None
     quant: QuantConfig = QuantConfig()
 
     def __post_init__(self):
+        if self.weighted_pooling not in (None, "fixed", "learned"):
+            raise ValueError(
+                f"weighted_pooling must be None|fixed|learned, got "
+                f"{self.weighted_pooling!r}"
+            )
         if self.interaction not in ("dot", "cat"):
             raise ValueError(
                 f"unsupported interaction {self.interaction!r}"

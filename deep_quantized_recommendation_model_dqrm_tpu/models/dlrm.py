@@ -127,6 +127,11 @@ def init_params(config: DLRMConfig, seed: int = 0, dtype=jnp.float32) -> Params:
         emb.append(jnp.asarray(w, dtype))
 
     params: Params = {"bot": mlp(config.mlp_bot), "top": mlp(config.mlp_top), "emb": emb}
+    if config.weighted_pooling is not None:
+        # v_W_l: per-row pooling weights initialized to ones
+        # (dlrm_s_pytorch.py:276-281); "fixed" freezes them via stop_gradient
+        # in lookup_all, "learned" trains them.
+        params["v_W"] = [jnp.ones((n,), jnp.float32) for n in config.table_sizes]
     if config.quant.enabled and config.quant.quant_scheme == "lsq":
         # LSQ trainable step sizes, one per table, initialized from the
         # table stats rule s0 = 2*mean|w|/sqrt(Qp) (quantizer/lsq.py:42-45).
@@ -315,6 +320,14 @@ def lookup_all(
     outs = []
     for k, table in enumerate(params["emb"]):
         m = mask[k] if mask is not None else None
+        if config.weighted_pooling is not None:
+            vw = params["v_W"][k]
+            if config.weighted_pooling == "fixed":
+                vw = jax.lax.stop_gradient(vw)
+            # per_sample_weights = v_W[idx] (apply_emb,
+            # dlrm_s_pytorch.py:407-411), composed with the bag mask
+            w_rows = jnp.take(vw, indices[k], axis=0)  # [B, P]
+            m = w_rows if m is None else m * w_rows
         if pact:
             table = q.fake_quant_pact(table, qc.embedding_bit)
         outs.append(pooled_lookup(table, indices[k], m))

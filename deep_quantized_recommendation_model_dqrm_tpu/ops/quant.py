@@ -118,6 +118,8 @@ def _broadcast_scale(scale: jax.Array, x: jax.Array) -> jax.Array:
     scale = jnp.asarray(scale)
     if scale.ndim == 0 or scale.size == 1:
         return scale.reshape(())
+    if scale.ndim == x.ndim:
+        return scale  # caller already shaped it for broadcasting
     if x.ndim == 2:
         return scale.reshape(-1, 1)
     return scale.reshape(-1)

@@ -379,7 +379,19 @@ def run(argv=None) -> dict:
                     eff, tc, args.num_pseudo_workers
                 )
             else:
-                _step_cache[eff] = make_train_step(eff, tc)
+                # explicit-sparse embedding updates guarantee O(touched rows)
+                # update cost (see train_step._build_sparse_step_fn); the
+                # dense-autodiff body is required when table gradients are
+                # not pure gathers (PACT weight-side quant, learned pooling
+                # weights) or for dense-accumulator optimizers.
+                use_sparse = (
+                    tc.optimizer in ("sgd", "rwsadagrad")
+                    and eff.quant.quant_scheme == "hawq"
+                    and eff.weighted_pooling != "learned"
+                )
+                _step_cache[eff] = make_train_step(
+                    eff, tc, sparse_emb_grad=use_sparse
+                )
             if eff is not cfg:
                 rank0_print(rank, f"epoch {epoch}: QAT schedule config {eff.quant}")
         return _step_cache[eff]

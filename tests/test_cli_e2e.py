@@ -1,0 +1,83 @@
+"""End-to-end CLI integration: raw TSV -> preprocess -> train -> checkpoint
+-> resume -> PTQ inference, all through the public driver (train.run)."""
+
+import numpy as np
+
+from deep_quantized_recommendation_model_dqrm_tpu.data.binary import numpy_to_binary
+from deep_quantized_recommendation_model_dqrm_tpu.data.criteo import preprocess_criteo
+from deep_quantized_recommendation_model_dqrm_tpu.train import run
+from tests.test_data import write_raw
+
+
+def _common(tmp_path, extra):
+    raw = write_raw(str(tmp_path / "raw.txt"), 600, seed=0)
+    out = str(tmp_path / "proc")
+    preprocess_criteo(raw, out, num_days=3, use_native=False)
+    argv = [
+        "--data-generation=dataset",
+        f"--processed-data-dir={out}",
+        "--arch-sparse-feature-size=8",
+        "--arch-mlp-bot=13-32-8",
+        "--arch-mlp-top=16-1",
+        "--mini-batch-size=50",
+        "--test-mini-batch-size=50",
+        "--learning-rate=0.1",
+        "--print-freq=4",
+    ] + extra
+    return argv, out
+
+
+class TestCLIE2E:
+    def test_train_eval_on_dataset(self, tmp_path):
+        argv, _ = _common(tmp_path, ["--test-freq=4"])
+        m = run(argv)
+        assert "roc_auc" in m and np.isfinite(m["roc_auc"])
+
+    def test_qat_checkpoint_resume_inference(self, tmp_path):
+        ck = str(tmp_path / "ck")
+        argv, _ = _common(
+            tmp_path,
+            ["--quantization_flag", "--scale-update-period=4",
+             f"--save-model={ck}", "--test-freq=4"],
+        )
+        m1 = run(argv)
+        argv2, _ = _common(
+            tmp_path,
+            ["--quantization_flag", "--scale-update-period=4",
+             f"--load-model={ck}", "--inference-only"],
+        )
+        m2 = run(argv2)
+        assert np.isfinite(m2["roc_auc"])
+
+    def test_ptq_inference_int4(self, tmp_path):
+        argv, _ = _common(
+            tmp_path,
+            ["--inference-only", "--quantize-emb-with-bit=4",
+             "--quantize-mlp-with-bit=8"],
+        )
+        m = run(argv)
+        assert np.isfinite(m["accuracy"])
+
+    def test_binary_data_path(self, tmp_path):
+        raw = write_raw(str(tmp_path / "raw.txt"), 400, seed=1)
+        out = str(tmp_path / "proc")
+        paths = preprocess_criteo(raw, out, num_days=2, use_native=False)
+        bin_path = str(tmp_path / "train.bin")
+        numpy_to_binary(paths, bin_path)
+        # table sizes must cover the dict ids in the binary
+        import numpy as _np
+
+        counts = _np.load(out + "/counts.npz")["counts"]
+        sizes = "-".join(str(int(c)) for c in counts)
+        m = run([
+            "--data-generation=binary",
+            f"--binary-data-file={bin_path}",
+            f"--arch-embedding-size={sizes}",
+            "--arch-sparse-feature-size=8",
+            "--arch-mlp-bot=13-32-8",
+            "--arch-mlp-top=16-1",
+            "--mini-batch-size=40",
+            "--test-mini-batch-size=40",
+            "--print-freq=4",
+        ])
+        assert np.isfinite(m["roc_auc"])

@@ -247,3 +247,95 @@ class TestEpochSchedule:
 
         tc = TrainConfig()
         assert config_for_epoch(TINY, tc, 0) is TINY
+
+
+class TestWeightedPooling:
+    def test_fixed_ones_matches_unweighted(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(TINY, weighted_pooling="fixed")
+        p = dlrm.init_params(cfg, seed=0)
+        b = make_batch(cfg)
+        lw, _ = dlrm.forward(cfg, p, b)
+        lp = {k: v for k, v in p.items() if k != "v_W"}
+        lu, _ = dlrm.forward(TINY, lp, b)
+        np.testing.assert_allclose(np.asarray(lw), np.asarray(lu), rtol=1e-6)
+
+    def test_learned_weights_get_gradients(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(TINY, weighted_pooling="learned")
+        p = dlrm.init_params(cfg, seed=0)
+        b = make_batch(cfg)
+
+        def loss(params):
+            logits, _ = dlrm.forward(cfg, params, b)
+            return dlrm.bce_loss(logits, b.labels)
+
+        g = jax.grad(loss)(p)
+        gn = sum(float(jnp.sum(jnp.abs(v))) for v in g["v_W"])
+        assert gn > 0.0
+
+    def test_fixed_weights_no_gradients(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(TINY, weighted_pooling="fixed")
+        p = dlrm.init_params(cfg, seed=0)
+        b = make_batch(cfg)
+
+        def loss(params):
+            logits, _ = dlrm.forward(cfg, params, b)
+            return dlrm.bce_loss(logits, b.labels)
+
+        g = jax.grad(loss)(p)
+        gn = sum(float(jnp.sum(jnp.abs(v))) for v in g["v_W"])
+        assert gn == 0.0
+
+
+class TestSparseStep:
+    def test_sparse_step_matches_dense_sgd(self):
+        tc = TrainConfig(batch_size=32, learning_rate=0.1)
+        s1 = init_train_state(TINY, tc)
+        s2 = init_train_state(TINY, tc)
+        dense = make_train_step(TINY, tc)
+        sparse = make_train_step(TINY, tc, sparse_emb_grad=True)
+        rng = np.random.RandomState(0)
+        for _ in range(3):
+            b = random_batch(TINY, 32, rng)
+            s1, l1 = dense(s1, b)
+            s2, l2 = sparse(s2, b)
+            assert np.isclose(float(l1), float(l2), rtol=1e-5)
+        for a, b_ in zip(s1.params["emb"], s2.params["emb"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
+        for da, sa in zip(s1.params["top"], s2.params["top"]):
+            np.testing.assert_allclose(
+                np.asarray(da["w"]), np.asarray(sa["w"]), atol=1e-6
+            )
+
+    def test_sparse_step_qat(self):
+        cfg = tiny_cfg(enabled=True, scale_update_period=2)
+        tc = TrainConfig(batch_size=32, learning_rate=0.1)
+        s1 = init_train_state(cfg, tc)
+        s2 = init_train_state(cfg, tc)
+        dense = make_train_step(cfg, tc)
+        sparse = make_train_step(cfg, tc, sparse_emb_grad=True)
+        rng = np.random.RandomState(1)
+        for _ in range(3):
+            b = random_batch(cfg, 32, rng)
+            s1, l1 = dense(s1, b)
+            s2, l2 = sparse(s2, b)
+        for a, b_ in zip(s1.params["emb"], s2.params["emb"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
+
+    def test_sparse_step_rwsadagrad_close_to_dense(self):
+        # coalesced sparse updates match the dense rwsadagrad exactly
+        tc = TrainConfig(batch_size=8, learning_rate=0.1, optimizer="rwsadagrad")
+        s1 = init_train_state(TINY, tc)
+        s2 = init_train_state(TINY, tc)
+        dense = make_train_step(TINY, tc)
+        sparse = make_train_step(TINY, tc, sparse_emb_grad=True)
+        b = random_batch(TINY, 8, np.random.RandomState(4))
+        s1, _ = dense(s1, b)
+        s2, _ = sparse(s2, b)
+        for a, b_ in zip(s1.params["emb"], s2.params["emb"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
