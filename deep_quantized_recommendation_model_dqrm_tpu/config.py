@@ -121,6 +121,12 @@ class DLRMConfig:
     # Sparse-index hashing modulus (`--max-ind-range`): applied in data
     # pipeline, recorded here for checkpoints.
     max_ind_range: int = -1
+    # Embedding-table parameter dtype: "float32" (reference parity) or
+    # "bfloat16" — halves HBM for the master tables (Terabyte fp32 is
+    # 12.6 GB, tight on a 16 GB chip); QAT scales/fake-quant run in fp32
+    # either way, and under INT4 QAT the bf16 master loses nothing the
+    # 4-bit grid would keep.
+    table_dtype: str = "float32"
     # Per-row pooling weights v_W_l (`--weighted-pooling`,
     # dlrm_s_pytorch.py:276-281, :360-366): None | "fixed" (ones, frozen) |
     # "learned" (trainable parameter).
@@ -128,6 +134,8 @@ class DLRMConfig:
     quant: QuantConfig = QuantConfig()
 
     def __post_init__(self):
+        if self.table_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unsupported table_dtype {self.table_dtype!r}")
         if self.weighted_pooling not in (None, "fixed", "learned"):
             raise ValueError(
                 f"weighted_pooling must be None|fixed|learned, got "
@@ -234,6 +242,10 @@ class TrainConfig:
     ranking_range: bool = False
     ranking_frac_hi: float = 0.2
     ranking_frac_int8: float = 0.3
+    # INT-compressed all-to-all of pooled embeddings in the hybrid step
+    # (TPU-native extension; the reference ships activations at fp32,
+    # hybrid_multi_gpu.py:866). 32 = uncompressed.
+    a2a_quant_bits: int = 32
     weight_sync_period: int = 200  # periodic full-weight allreduce (comm_grad.py:1977)
     # QAT epoch schedule (comm_grad.py:1849-1872):
     # - pretrain_epochs: FP32 epochs before embedding quantization kicks in

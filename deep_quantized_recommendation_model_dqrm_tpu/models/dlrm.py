@@ -121,10 +121,11 @@ def init_params(config: DLRMConfig, seed: int = 0, dtype=jnp.float32) -> Params:
         return layers
 
     emb = []
+    t_dtype = jnp.bfloat16 if config.table_dtype == "bfloat16" else dtype
     for n in config.table_sizes:
         bound = np.sqrt(1.0 / n)
         w = rng.uniform(-bound, bound, size=(n, config.embedding_dim)).astype(np.float32)
-        emb.append(jnp.asarray(w, dtype))
+        emb.append(jnp.asarray(w, t_dtype))
 
     params: Params = {"bot": mlp(config.mlp_bot), "top": mlp(config.mlp_top), "emb": emb}
     if config.weighted_pooling is not None:
@@ -151,7 +152,10 @@ def init_params(config: DLRMConfig, seed: int = 0, dtype=jnp.float32) -> Params:
 def compute_emb_scales(config: DLRMConfig, params: Params) -> jax.Array:
     """Per-table whole-table symmetric scales (the periodic min/max scan,
     quant_utils.py:141-194). One fused reduction per table."""
-    scales = [q.table_scale(config.quant.embedding_bit, t) for t in params["emb"]]
+    scales = [
+        q.table_scale(config.quant.embedding_bit, t.astype(jnp.float32))
+        for t in params["emb"]
+    ]
     return jnp.stack(scales)
 
 
@@ -330,7 +334,8 @@ def lookup_all(
             m = w_rows if m is None else m * w_rows
         if pact:
             table = q.fake_quant_pact(table, qc.embedding_bit)
-        outs.append(pooled_lookup(table, indices[k], m))
+        pooled = pooled_lookup(table, indices[k], m)
+        outs.append(pooled.astype(jnp.float32))  # compute path stays fp32
     return jnp.stack(outs)  # [T, B, D]
 
 

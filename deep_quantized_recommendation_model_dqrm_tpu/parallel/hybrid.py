@@ -281,9 +281,18 @@ def make_hybrid_train_step(
 
         def loss_fn(mlp_p, p_local):
             # table-major [t_max, B, D] -> batch-major [n_dev*t_max, B/n, D]
-            swapped = jax.lax.all_to_all(
-                p_local, axis, split_axis=1, concat_axis=0, tiled=True
-            )
+            if tc.a2a_quant_bits < 32:
+                from deep_quantized_recommendation_model_dqrm_tpu.parallel.compressed_a2a import (
+                    compressed_all_to_all,
+                )
+
+                swapped = compressed_all_to_all(
+                    p_local, axis, tc.a2a_quant_bits, 1, 0
+                )
+            else:
+                swapped = jax.lax.all_to_all(
+                    p_local, axis, split_axis=1, concat_axis=0, tiled=True
+                )
             raw_pooled = jnp.take(swapped, perm, axis=0)  # [T, B/n, D]
             local_batch = dlrm.Batch(
                 dense=batch.dense,

@@ -339,3 +339,38 @@ class TestSparseStep:
         s2, _ = sparse(s2, b)
         for a, b_ in zip(s1.params["emb"], s2.params["emb"]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+class TestBf16Tables:
+    def test_bf16_tables_train_and_track_fp32(self):
+        import dataclasses
+
+        cfg16 = dataclasses.replace(TINY, table_dtype="bfloat16")
+        tc = TrainConfig(batch_size=64, learning_rate=0.1)
+        s32 = init_train_state(TINY, tc)
+        s16 = init_train_state(cfg16, tc)
+        assert s16.params["emb"][0].dtype == jnp.bfloat16
+        st32 = make_train_step(TINY, tc)
+        st16 = make_train_step(cfg16, tc)
+        rng = np.random.RandomState(0)
+        for _ in range(10):
+            b = random_batch(TINY, 64, rng)
+            s32, l32 = st32(s32, b)
+            s16, l16 = st16(s16, b)
+        assert abs(float(l32) - float(l16)) < 0.02
+
+    def test_bf16_with_int4_qat(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            TINY,
+            table_dtype="bfloat16",
+            quant=QuantConfig(enabled=True, scale_update_period=2),
+        )
+        tc = TrainConfig(batch_size=32, learning_rate=0.1)
+        s = init_train_state(cfg, tc)
+        st = make_train_step(cfg, tc, sparse_emb_grad=True)
+        b = random_batch(cfg, 32, np.random.RandomState(1))
+        s, loss = st(s, b)
+        assert np.isfinite(float(loss))
+        assert s.params["emb"][0].dtype == jnp.bfloat16

@@ -293,3 +293,55 @@ class TestCollectiveProbe:
 
         res = probe_collectives(make_mesh(8))
         assert res["ok"], res
+
+
+class TestCompressedA2A:
+    def test_int8_a2a_close_to_exact(self):
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel.compressed_a2a import (
+            compressed_all_to_all,
+        )
+
+        mesh = make_mesh(8)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.uniform(-1, 1, size=(8, 16, 4)).astype(np.float32))
+
+        def exact(xs):
+            return jax.lax.all_to_all(xs, "mp", split_axis=1, concat_axis=0, tiled=True)
+
+        def comp(xs):
+            return compressed_all_to_all(xs, "mp", 8, 1, 0)
+
+        f_e = jax.jit(shard_map(exact, mesh=mesh, in_specs=(P("mp"),),
+                                out_specs=P("mp"), check_vma=False))
+        f_c = jax.jit(shard_map(comp, mesh=mesh, in_specs=(P("mp"),),
+                                out_specs=P("mp"), check_vma=False))
+        ye = np.asarray(f_e(x))
+        jax.block_until_ready(ye)
+        yc = np.asarray(f_c(x))
+        assert ye.shape == yc.shape
+        assert np.max(np.abs(ye - yc)) < 1.0 / 127 + 1e-6  # one int8 step
+
+    def test_hybrid_with_compressed_a2a_tracks_exact(self):
+        rng = np.random.RandomState(31)
+        batches = [random_batch(CFG, 64, rng) for _ in range(3)]
+
+        def run(bits):
+            tc = TC.replace(a2a_quant_bits=bits, grad_quant_bits=32)
+            mesh = make_mesh(8)
+            plan = hybrid.plan_table_sharding(CFG.table_sizes, 8)
+            st = hybrid.init_hybrid_state(CFG, tc, mesh, plan)
+            step = hybrid.make_hybrid_train_step(CFG, tc, mesh, plan)
+            losses = []
+            for b in batches:
+                st, l = step(st, b)
+                jax.block_until_ready(st)
+                losses.append(float(l))
+            return losses
+
+        l8 = run(8)
+        l32 = run(32)
+        assert abs(l8[-1] - l32[-1]) < 0.02, (l8, l32)
