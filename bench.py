@@ -63,12 +63,6 @@ def _fast_device_init(cfg):
     return {"bot": mlp(cfg.mlp_bot), "top": mlp(cfg.mlp_top), "emb": emb}
 
 
-def jnp_concat_tables(params):
-    import jax.numpy as jnp
-
-    return jnp.concatenate(params["emb"], axis=0)
-
-
 def main() -> None:
     from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm
 

@@ -26,7 +26,11 @@ EPS = 1e-10  # reference RWSAdagrad eps default (optim/rwsadagrad.py:37)
 
 
 def sgd_update(params: Any, grads: Any, lr) -> Any:
-    return jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+    # preserve parameter dtypes (bf16 tables must not silently promote to
+    # f32 through the f32 learning-rate scalar)
+    return jax.tree_util.tree_map(
+        lambda p, g: (p - lr * g).astype(p.dtype), params, grads
+    )
 
 
 def adagrad_init(params: Any) -> Any:
@@ -38,7 +42,8 @@ def adagrad_update(
 ) -> Tuple[Any, Any]:
     new_state = jax.tree_util.tree_map(lambda s, g: s + g * g, state, grads)
     new_params = jax.tree_util.tree_map(
-        lambda p, g, s: p - lr * g / (jnp.sqrt(s) + eps), params, grads, new_state
+        lambda p, g, s: (p - lr * g / (jnp.sqrt(s) + eps)).astype(p.dtype),
+        params, grads, new_state,
     )
     return new_params, new_state
 
@@ -67,7 +72,7 @@ def rwsadagrad_update(
         row_ms = jnp.mean(g * g, axis=1)  # [rows]
         acc2 = acc + row_ms
         std = jnp.sqrt(acc2)[:, None] + eps
-        new_emb.append(table - lr * g / std)
+        new_emb.append((table - lr * g / std).astype(table.dtype))
         new_emb_state.append(acc2)
     new_params["emb"] = new_emb
     new_state["emb"] = new_emb_state

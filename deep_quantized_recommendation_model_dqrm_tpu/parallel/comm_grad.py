@@ -113,19 +113,33 @@ def compressed_sparse_allgather(
     bits: int,
     axis: str,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Sparse embedding-gradient exchange: (ids, INT8 rows) all-gather.
+    """Sparse embedding-gradient exchange: (ids, INT-packed rows) all-gather.
 
     The reference all-reduces a sparse COO tensor of INT8-quantized values
     (quantize_emb_grad + all_reduce, sgd_…_parallel_comm.py:850-890), which
     torch implements internally as an index/value gather. Here that is
-    explicit: all-gather ids and int8 values over ICI; every replica applies
-    all N·K rows. Returns (all_ids [N*K], all_vals_int8 [N*K, D], scale).
+    explicit: all-gather ids and integer values over ICI; every replica
+    applies all N·K rows. At bits<=4 the values travel NIBBLE-PACKED (two
+    per byte) — half the wire bytes of the reference's INT8 floor (its
+    Table 4 note blames the lack of native low-precision sparse allreduce;
+    packing is that native path). Returns (all_ids [N*K], all_vals int8
+    [N*K, D] already unpacked, scale).
     """
     s_local = q.symmetric_quantization_params(bits, jnp.min(vals), jnp.max(vals))
     s = _mean_scale(s_local, axis)
-    v_int = q.quantize(vals, s, bits)
+    v_int = q.quantize(vals, s, bits)  # int8 container
     all_ids = jax.lax.all_gather(ids, axis, tiled=True)  # [N*K]
-    all_vals = jax.lax.all_gather(v_int, axis, tiled=True)  # [N*K, D]
+    if bits <= 4 and vals.shape[-1] % 2 == 0:
+        D = vals.shape[-1]
+        u = (v_int.astype(jnp.int32) + 8).astype(jnp.uint8)  # [-8,7] -> [0,15]
+        packed = u[:, : D // 2] | (u[:, D // 2 :] << 4)  # [K, D/2] uint8
+        all_packed = jax.lax.all_gather(packed, axis, tiled=True)
+        v = all_packed.astype(jnp.int32)
+        lo = (v & 0xF) - 8
+        hi = ((v >> 4) & 0xF) - 8
+        all_vals = jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
+    else:
+        all_vals = jax.lax.all_gather(v_int, axis, tiled=True)  # [N*K, D]
     return all_ids, all_vals, s
 
 
@@ -350,7 +364,9 @@ def make_dp_nosync_train_step(
             tc.lr_decay_start_step,
             tc.lr_num_decay_steps,
         )
-        new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+        new_params = jax.tree_util.tree_map(
+            lambda p, g: (p - lr * g).astype(p.dtype), params, grads
+        )
         new_qs = new_qs._replace(step=qstate.step + 1)
         return DPState(new_params, new_qs, state.ec), jax.lax.pmean(loss, axis)
 

@@ -66,6 +66,8 @@ def plan_table_sharding(
     strategy="greedy": longest-processing-time row balancing.
     strategy="contiguous": the reference's `get_my_slice` contiguous split
     (dlrm_s_pytorch.py:243-245) for exact-parity experiments.
+    strategy="roundrobin": the reference's single-node placement
+    (table k -> device k % n, dlrm_s_pytorch.py:617-733 parallel_forward).
     """
     T = len(table_sizes)
     if strategy == "contiguous":
@@ -74,6 +76,10 @@ def plan_table_sharding(
         )
 
         per_rank: List[List[int]] = table_assignment(T, n_dev)
+    elif strategy == "roundrobin":
+        per_rank = [[] for _ in range(n_dev)]
+        for k in range(T):
+            per_rank[k % n_dev].append(k)
     else:
         order = np.argsort(-np.asarray(table_sizes, np.int64), kind="stable")
         loads = np.zeros(n_dev, np.int64)

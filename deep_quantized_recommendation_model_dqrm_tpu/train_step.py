@@ -134,8 +134,8 @@ def _build_sparse_step_fn(
     )
     from deep_quantized_recommendation_model_dqrm_tpu.optim.sgd import EPS
 
-    if tc.optimizer not in ("sgd", "rwsadagrad"):
-        raise ValueError("sparse step supports sgd / rwsadagrad")
+    if tc.optimizer not in ("sgd", "adagrad", "rwsadagrad"):
+        raise ValueError("sparse step supports sgd / adagrad / rwsadagrad")
     qc = config.quant
 
     def step_fn(state: TrainState, batch: dlrm.Batch) -> Tuple[TrainState, jax.Array]:
@@ -182,7 +182,7 @@ def _build_sparse_step_fn(
                 new_params[k] = jax.tree_util.tree_map(
                     lambda p, g: p - lr * g, params[k], sub
                 )
-        else:  # rwsadagrad dense part
+        else:  # adagrad / rwsadagrad dense part (classic Adagrad)
             new_opt = dict(state.opt_state)
             for k, sub in mlp_grads.items():
                 acc = jax.tree_util.tree_map(
@@ -195,7 +195,7 @@ def _build_sparse_step_fn(
                 new_opt[k] = acc
 
         new_emb = []
-        new_emb_acc = [] if tc.optimizer == "rwsadagrad" else None
+        new_emb_acc = [] if tc.optimizer in ("adagrad", "rwsadagrad") else None
         for k, table in enumerate(params["emb"]):
             ids, vals = rows_grad_from_pooled(
                 g_pooled[k],
@@ -203,7 +203,28 @@ def _build_sparse_step_fn(
                 batch.mask[k] if batch.mask is not None else None,
             )
             if tc.optimizer == "sgd":
-                new_emb.append(table.at[ids].add(-lr * vals, mode="drop"))
+                new_emb.append(
+                    table.at[ids].add((-lr * vals).astype(table.dtype), mode="drop")
+                )
+            elif tc.optimizer == "adagrad":
+                # per-element Adagrad on touched rows only (torch sparse
+                # Adagrad semantics): coalesce, acc += g^2, w -= lr g/sqrt
+                from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import (
+                    coalesce_sparse_grad,
+                )
+
+                uids, uvals = coalesce_sparse_grad(
+                    ids, vals, table.shape[0], max_unique=ids.shape[0]
+                )
+                acc = state.opt_state["emb"][k]
+                acc2 = acc.at[uids].add(uvals * uvals, mode="drop")
+                denom = jnp.sqrt(acc2.at[uids].get(mode="clip")) + EPS
+                new_emb.append(
+                    table.at[uids].add(
+                        (-lr * uvals / denom).astype(table.dtype), mode="drop"
+                    )
+                )
+                new_emb_acc.append(acc2)
             else:
                 # row-wise sparse Adagrad on touched rows only
                 # (optim/rwsadagrad.py:74-118). Duplicate ids must be
@@ -220,10 +241,14 @@ def _build_sparse_step_fn(
                 row_ms = jnp.mean(uvals * uvals, axis=1)  # [K]
                 acc2 = acc.at[uids].add(row_ms, mode="drop")
                 std = jnp.sqrt(acc2.at[uids].get(mode="clip"))[:, None] + EPS
-                new_emb.append(table.at[uids].add(-lr * uvals / std, mode="drop"))
+                new_emb.append(
+                    table.at[uids].add(
+                        (-lr * uvals / std).astype(table.dtype), mode="drop"
+                    )
+                )
                 new_emb_acc.append(acc2)
         new_params["emb"] = new_emb
-        if tc.optimizer == "rwsadagrad":
+        if tc.optimizer in ("adagrad", "rwsadagrad"):
             new_opt["emb"] = new_emb_acc
 
         new_qs = new_qs._replace(step=qstate.step + 1)

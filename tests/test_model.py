@@ -374,3 +374,19 @@ class TestBf16Tables:
         s, loss = st(s, b)
         assert np.isfinite(float(loss))
         assert s.params["emb"][0].dtype == jnp.bfloat16
+
+
+class TestSparseAdagrad:
+    def test_sparse_adagrad_matches_dense(self):
+        tc = TrainConfig(batch_size=16, learning_rate=0.1, optimizer="adagrad")
+        s1 = init_train_state(TINY, tc)
+        s2 = init_train_state(TINY, tc)
+        dense = make_train_step(TINY, tc)
+        sparse = make_train_step(TINY, tc, sparse_emb_grad=True)
+        rng = np.random.RandomState(5)
+        for _ in range(3):
+            b = random_batch(TINY, 16, rng)
+            s1, _ = dense(s1, b)
+            s2, _ = sparse(s2, b)
+        for a, b_ in zip(s1.params["emb"], s2.params["emb"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)

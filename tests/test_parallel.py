@@ -345,3 +345,35 @@ class TestCompressedA2A:
         l8 = run(8)
         l32 = run(32)
         assert abs(l8[-1] - l32[-1]) < 0.02, (l8, l32)
+
+
+class TestInt4GradExchange:
+    def test_int4_packed_grads_train(self):
+        tc = TC.replace(grad_quant_bits=4)
+        mesh = make_mesh(8)
+        state = comm_grad.init_dp_state(CFG, tc)
+        step = comm_grad.make_dp_train_step(CFG, tc, mesh)
+        rng = np.random.RandomState(17)
+        losses = []
+        for _ in range(6):
+            state, loss = step(state, random_batch(CFG, 64, rng))
+            losses.append(float(loss))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0] + 0.1  # INT4 grads still train
+
+    def test_int4_vs_int8_grad_trajectories_close(self):
+        rng = np.random.RandomState(18)
+        batches = [random_batch(CFG, 64, rng) for _ in range(4)]
+
+        def run(bits):
+            tc = TC.replace(grad_quant_bits=bits)
+            mesh = make_mesh(8)
+            st = comm_grad.init_dp_state(CFG, tc)
+            step = comm_grad.make_dp_train_step(CFG, tc, mesh)
+            for b in batches:
+                st, l = step(st, b)
+                jax.block_until_ready(st)
+            return float(l)
+
+        l4, l8 = run(4), run(8)
+        assert abs(l4 - l8) < 0.05
