@@ -472,7 +472,24 @@ def forward(
         mlp_fn = _apply_mlp_fp if not qc.quantize_mlp else (
             lambda layers, x, last_linear: _apply_mlp_quant(layers, x, qc, last_linear)
         )
-        x = mlp_fn(params["bot"], batch.dense, last_linear=False)
+        dense_in = batch.dense
+        if qc.quantize_activation and not qc.quantize_mlp:
+            # Reference branch 1 (comm_grad.py:846-853): quantized
+            # embeddings + FP32 MLPs still pass the dense input through
+            # quant_input (QuantAct), without scale chaining.
+            dense_in, _, new_min0, new_max0 = _quant_act(
+                batch.dense, qc.activation_bit, qstate.act_min[0],
+                qstate.act_max[0], qc.act_range_momentum, train,
+                qc.act_percentile,
+            )
+            fixed = qstate.act_fixed > 0
+            new_act_min = new_act_min.at[0].set(
+                jnp.where(fixed, qstate.act_min[0], new_min0)
+            )
+            new_act_max = new_act_max.at[0].set(
+                jnp.where(fixed, qstate.act_max[0], new_max0)
+            )
+        x = mlp_fn(params["bot"], dense_in, last_linear=False)
         ly = get_ly(full_precision)
         z = (
             quantized_dot_interaction(x, ly, qc.interaction_bit, config.interact_itself)

@@ -494,6 +494,17 @@ def run(argv=None) -> dict:
     mll.end("run")
     if prof_ctx is not None:
         prof_ctx.__exit__(None, None, None)
+    if step_mode == "hybrid":
+        # sync trained shards back into the eval/checkpoint state (otherwise
+        # a run without --test-freq would eval/save the INITIAL params)
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel.hybrid import (
+            unpack_tables,
+        )
+
+        state = state._replace(
+            params={**hstate.mlp, "emb": unpack_tables(hstate.mega, plan, cfg.table_sizes)},
+            qstate=hstate.qstate,
+        )
     if not result:
         result = evaluate(cfg, state, test_loader, eval_fn, max_batches=8)
         rank0_print(rank, f"final eval: {result}")

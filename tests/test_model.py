@@ -390,3 +390,21 @@ class TestSparseAdagrad:
             s2, _ = sparse(s2, b)
         for a, b_ in zip(s1.params["emb"], s2.params["emb"]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+class TestEmbOnlyWithActQuant:
+    def test_branch1_quant_input_applied(self):
+        # quantized embeddings + FP32 MLPs + quantize_activation: the dense
+        # input passes through quant_input (comm_grad.py:846-853)
+        cfg = tiny_cfg(enabled=True, quantize_mlp=False, quantize_activation=True,
+                       activation_bit=4, scale_update_period=1)
+        p = dlrm.init_params(cfg, seed=0)
+        qs = dlrm.update_emb_scales(cfg, p, dlrm.init_quant_state(cfg))
+        b = make_batch(cfg)
+        l1, qs1 = dlrm.forward(cfg, p, b, qs, train=True)
+        # act range must have been recorded for the input QuantAct
+        assert float(qs1.act_max[0]) > 0.0
+        # differs from the no-act-quant emb-only path at 4-bit input quant
+        cfg2 = tiny_cfg(enabled=True, quantize_mlp=False, scale_update_period=1)
+        l2, _ = dlrm.forward(cfg2, p, b, qs, train=True)
+        assert not np.allclose(np.asarray(l1), np.asarray(l2))

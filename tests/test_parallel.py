@@ -377,3 +377,46 @@ class TestInt4GradExchange:
 
         l4, l8 = run(4), run(8)
         assert abs(l4 - l8) < 0.05
+
+
+class TestHybridMask:
+    def test_hybrid_with_variable_pooling_mask(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, pooling_size=3)
+        tc = TC.replace(grad_quant_bits=32)
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(cfg.table_sizes, 8)
+        hstate = hybrid.init_hybrid_state(cfg, tc, mesh, plan)
+        hstep = hybrid.make_hybrid_train_step(cfg, tc, mesh, plan, has_mask=True)
+
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            init_train_state,
+            make_train_step,
+        )
+
+        sstate = init_train_state(cfg, tc)
+        sstep = make_train_step(cfg, tc)
+        rng = np.random.RandomState(41)
+        for _ in range(2):
+            b = random_batch(cfg, 64, rng, variable_pooling=True)
+            hstate, hloss = hstep(hstate, b)
+            jax.block_until_ready(hstate)
+            sstate, sloss = sstep(sstate, b)
+            assert np.isclose(float(hloss), float(sloss), rtol=1e-4)
+        back = hybrid.unpack_tables(hstate.mega, plan, cfg.table_sizes)
+        for a, b_ in zip(back, sstate.params["emb"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+class TestMultihostHelpers:
+    def test_local_batch_slice_single_host(self):
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel.multihost import (
+            init_distributed,
+            local_batch_slice,
+        )
+
+        rank, count = init_distributed()
+        assert (rank, count) == (0, 1)  # single-process environment
+        start, size = local_batch_slice(128)
+        assert (start, size) == (0, 128)
