@@ -11,9 +11,14 @@ row-major mega-table (same total bytes) with static per-table row offsets:
              the [T] scale vector; the periodic scale refresh does 26
              static-slice min/max reductions (only on refresh steps)
 
-Semantics are identical to the per-table sparse step (verified by test);
-this is purely a kernel-count optimization — the TPU-native answer to the
-reference's per-table nn.EmbeddingBag loop (dlrm_s_pytorch.py:399-474).
+Semantics are identical to the per-table sparse step (verified by test).
+
+MEASURED RESULT (TPU v5e, Kaggle model, batch 128): the fused step runs at
+0.64 ms/it vs 0.13-0.21 ms/it for the per-table formulation, and compiles
+~45x slower — one giant gather/scatter over a 33.8M-row array schedules
+WORSE than 26 independent small ones on this chip, so the per-table step
+remains the default engine. Kept as an alternative layout (verified
+equivalent) for future hardware/compilers where the trade-off flips.
 """
 
 from __future__ import annotations
