@@ -90,3 +90,46 @@ class TestAccuracyGate:
         )
         auc_q = train_and_eval(qcfg)
         assert auc_q > 0.63, f"emb-only INT4 AUC {auc_q}"
+
+
+@pytest.mark.slow
+class TestDistributedAccuracy:
+    def test_compressed_dp_matches_single_chip_auc(self):
+        """The DQRM claim end-to-end: INT8-compressed sparse-gradient DP
+        training reaches the same AUC as uncompressed single-chip training
+        (paper Table 4: compression costs <=0.06% acc)."""
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel import (
+            comm_grad,
+            make_mesh,
+        )
+
+        n_train = 200
+        mesh = make_mesh(8)
+        tc = TC.replace(grad_quant_bits=8, weight_sync_period=0)
+
+        def eval_auc(params, qstate):
+            from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm as m
+
+            scores, ys = [], []
+            for b in LearnableSyntheticLoader(CFG, 1024, 4, seed=99_999):
+                scores.append(np.asarray(m.predict(CFG, params, b, qstate)))
+                ys.append(np.asarray(b.labels))
+            return roc_auc(np.concatenate(scores), np.concatenate(ys))
+
+        # single chip
+        sstate = init_train_state(CFG, TC)
+        sstep = make_train_step(CFG, TC)
+        for b in LearnableSyntheticLoader(CFG, TC.batch_size, n_train, seed=0):
+            sstate, _ = sstep(sstate, b)
+        auc_single = eval_auc(sstate.params, sstate.qstate)
+
+        # 8-way DP with INT8 compressed sparse grads
+        import jax
+
+        dstate = comm_grad.init_dp_state(CFG, tc)
+        dstep = comm_grad.make_dp_train_step(CFG, tc, mesh)
+        for b in LearnableSyntheticLoader(CFG, TC.batch_size, n_train, seed=0):
+            dstate, _ = dstep(dstate, b)
+        jax.block_until_ready(dstate)
+        auc_dp = eval_auc(dstate.params, dstate.qstate)
+        assert auc_dp > auc_single - 0.01, (auc_dp, auc_single)
