@@ -11,7 +11,7 @@ produced for the reference load here unchanged.
 from __future__ import annotations
 
 import os
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

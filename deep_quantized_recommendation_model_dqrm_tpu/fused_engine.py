@@ -23,7 +23,7 @@ equivalent) for future hardware/compilers where the trade-off flips.
 
 from __future__ import annotations
 
-from typing import Any, Callable, List, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

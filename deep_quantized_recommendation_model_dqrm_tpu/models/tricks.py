@@ -12,7 +12,7 @@ Functional re-designs of the reference's `tricks/` package:
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

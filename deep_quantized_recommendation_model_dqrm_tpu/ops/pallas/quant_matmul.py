@@ -12,8 +12,7 @@ with the whole weight resident in VMEM is optimal; the grid tiles the batch.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,6 @@ reference's hand-rolled async request/wait objects (extend_distributed.py:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple, Optional, Tuple
 
 import jax

@@ -15,7 +15,6 @@ TPU-native extension that halves-to-quarters the hybrid step's ICI traffic.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ masked. Fixed 2 B/value, between the reference's 1 B (INT8) and 4 B (FP32).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

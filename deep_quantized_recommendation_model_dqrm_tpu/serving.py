@@ -18,8 +18,7 @@ quantized `apply_emb` dispatch :422-442):
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, List, NamedTuple, Optional, Sequence
+from typing import List, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
