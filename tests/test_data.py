@@ -178,3 +178,40 @@ class TestBinary:
         full = CriteoBinDataset(bin_path, batch_size=50)
         np.testing.assert_array_equal(a, np.asarray(full[0].labels))
         np.testing.assert_array_equal(b, np.asarray(full[1].labels))
+
+
+class TestParserRobustness:
+    def test_malformed_lines_tolerated(self, tmp_path):
+        """Truncated rows, blank lines, junk characters — both parsers must
+        not crash and must agree."""
+        lines = [
+            b"1\t5\t\t3" + b"\t" * 10 + b"\tabc123\tdeadbeef" + b"\t" * 24 + b"\n",
+            b"0\n",  # label only
+            b"\n",  # blank
+            b"1" + b"\t" * 39 + b"\n",  # all-empty fields
+            b"0\t-3\t999999" + b"\t" * 11 + b"\tffffffff" * 1 + b"\t" * 25 + b"\n",
+        ]
+        from deep_quantized_recommendation_model_dqrm_tpu.data.criteo import (
+            _parse_lines_numpy,
+        )
+
+        y, xi, xc = _parse_lines_numpy(lines, None)
+        assert y.shape == (5,)
+        assert np.all(np.isin(y, [0, 1]))
+        if native_ext.available():
+            y2, xi2, xc2 = native_ext.parse_lines(lines)
+            np.testing.assert_array_equal(y, y2)
+            np.testing.assert_array_equal(xi, xi2)
+            np.testing.assert_array_equal(xc, xc2)
+
+    def test_negative_dense_values(self, tmp_path):
+        line = [b"1\t-3\t-1\t0" + b"\t" * 10 + b"\t0a" + b"\t" * 25 + b"\n"]
+        from deep_quantized_recommendation_model_dqrm_tpu.data.criteo import (
+            _parse_lines_numpy,
+        )
+
+        y, xi, xc = _parse_lines_numpy(line, None)
+        assert xi[0, 0] == -3 and xi[0, 1] == -1
+        if native_ext.available():
+            _, xi2, _ = native_ext.parse_lines(line)
+            np.testing.assert_array_equal(xi, xi2)
