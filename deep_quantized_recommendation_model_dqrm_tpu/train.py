@@ -186,10 +186,29 @@ def make_loaders(args, cfg, tc):
         test = RandomBatchLoader(cfg, tc.test_batch_size, max(1, nb // 8), seed=tc.seed + 1)
         return cfg, train, test
     if args.data_generation == "dataset":
+        import os
+
         from deep_quantized_recommendation_model_dqrm_tpu.data.criteo import (
             CriteoDataset,
+            preprocess_criteo,
         )
 
+        if (
+            args.raw_data_file
+            and not os.path.exists(
+                os.path.join(args.processed_data_dir, "day_0.npz")
+            )
+        ):
+            # preprocess-if-needed (CriteoDataset.__init__ behavior,
+            # dlrm_data_pytorch.py:50-120 -> data_utils.getCriteoAdData)
+            days = 7 if args.data_set == "kaggle" else 24
+            print(f"preprocessing {args.raw_data_file} -> {args.processed_data_dir}")
+            preprocess_criteo(
+                args.raw_data_file,
+                args.processed_data_dir,
+                num_days=days,
+                sub_sample_rate=args.data_sub_sample_rate,
+            )
         train_ds = CriteoDataset(args.processed_data_dir, "train", args.max_ind_range)
         test_ds = CriteoDataset(args.processed_data_dir, "test", args.max_ind_range)
         sizes = train_ds.table_sizes

@@ -81,3 +81,33 @@ class TestCLIE2E:
             "--print-freq=4",
         ])
         assert np.isfinite(m["roc_auc"])
+
+
+class TestPreprocessIfNeeded:
+    def test_raw_file_auto_preprocessed(self, tmp_path):
+        raw = write_raw(str(tmp_path / "train.txt"), 350, seed=2)
+        out = str(tmp_path / "auto_proc")
+        m = run([
+            "--data-generation=dataset",
+            f"--raw-data-file={raw}",
+            f"--processed-data-dir={out}",
+            "--data-sub-sample-rate=0.0",
+            "--arch-sparse-feature-size=8",
+            "--arch-mlp-bot=13-32-8",
+            "--arch-mlp-top=16-1",
+            "--mini-batch-size=25",
+            "--test-mini-batch-size=25",
+            "--print-freq=4",
+        ])
+        import os
+
+        assert os.path.exists(out + "/day_0.npz")
+        assert np.isfinite(m["roc_auc"])
+
+
+class TestDeterminism:
+    def test_same_seed_same_result(self, tmp_path):
+        argv, _ = _common(tmp_path, [])
+        m1 = run(argv)
+        m2 = run(argv)
+        assert m1["roc_auc"] == m2["roc_auc"]
