@@ -264,3 +264,45 @@ class CriteoDataset:
             labels=jnp.asarray(y.astype(np.float32)),
             mask=None,
         )
+
+
+def batch_from_offsets(
+    dense,  # [B, 13] float (raw; log1p applied here)
+    lS_o,  # [T, B] int offsets per table (reference layout)
+    lS_i,  # [T, total_indices] flat indices per table
+    labels,  # [B]
+    pooling_size: int = 1,
+    apply_log1p: bool = True,
+):
+    """Convert the reference's offset-encoded sparse layout into this
+    framework's static [T, B, P] + mask layout.
+
+    The reference represents variable-length bags as (offsets lS_o, flat
+    indices lS_i) pairs (collate_wrapper_criteo_offset,
+    dlrm_data_pytorch.py:328-345); XLA needs static shapes, so bags are
+    padded to `pooling_size` with a 0/1 mask. Bags longer than
+    `pooling_size` are truncated (choose P >= max bag length).
+    """
+    import jax.numpy as jnp
+
+    lS_o = np.asarray(lS_o)
+    T, B = lS_o.shape
+    P = pooling_size
+    idx = np.zeros((T, B, P), np.int32)
+    mask = np.zeros((T, B, P), np.float32)
+    for t in range(T):
+        flat = np.asarray(lS_i[t])
+        ends = np.concatenate([lS_o[t, 1:], [len(flat)]])
+        for b in range(B):
+            seg = flat[lS_o[t, b] : ends[b]][:P]
+            idx[t, b, : len(seg)] = seg
+            mask[t, b, : len(seg)] = 1.0
+    d = np.asarray(dense, np.float32)
+    if apply_log1p:
+        d = np.log1p(np.maximum(d, 0))
+    return Batch(
+        dense=jnp.asarray(d),
+        indices=jnp.asarray(idx),
+        labels=jnp.asarray(np.asarray(labels, np.float32).reshape(-1)),
+        mask=jnp.asarray(mask),
+    )

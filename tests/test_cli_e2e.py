@@ -111,3 +111,57 @@ class TestDeterminism:
         m1 = run(argv)
         m2 = run(argv)
         assert m1["roc_auc"] == m2["roc_auc"]
+
+
+class TestConfigMapping:
+    def test_flags_map_to_configs(self):
+        from deep_quantized_recommendation_model_dqrm_tpu.train import (
+            build_parser,
+            make_configs,
+        )
+
+        args = build_parser().parse_args([
+            "--arch-sparse-feature-size=16",
+            "--arch-embedding-size=100-200-300",
+            "--arch-mlp-bot=13-64-16",
+            "--arch-mlp-top=64-32-1",
+            "--quantization_flag", "--embedding_bit=4", "--weight_bit=8",
+            "--linear_channel", "--modify_feature_interaction",
+            "--scale-update-period=77", "--quant-scheme=lsq",
+            "--grad-quant-bits=4", "--error-compensation",
+            "--weight-sync-period=321", "--optimizer=rwsadagrad",
+            "--lr-num-warmup-steps=5", "--lr-decay-start-step=10",
+            "--lr-num-decay-steps=20",
+        ])
+        cfg, tc = make_configs(args)
+        assert cfg.table_sizes == (100, 200, 300)
+        assert cfg.quant.enabled and cfg.quant.embedding_bit == 4
+        assert cfg.quant.weight_bit == 8 and cfg.quant.mlp_channelwise
+        assert cfg.quant.modify_feature_interaction
+        assert cfg.quant.scale_update_period == 77
+        assert cfg.quant.quant_scheme == "lsq"
+        # ln_top auto-derived: 4 features -> 6 pairs + 16 = 22
+        assert cfg.mlp_top[0] == cfg.top_input_dim == 22
+        assert tc.grad_quant_bits == 4 and tc.error_compensation
+        assert tc.weight_sync_period == 321 and tc.optimizer == "rwsadagrad"
+        assert (tc.lr_num_warmup_steps, tc.lr_decay_start_step,
+                tc.lr_num_decay_steps) == (5, 10, 20)
+
+    def test_epoch_schedule_flags(self):
+        from deep_quantized_recommendation_model_dqrm_tpu.train import (
+            build_parser,
+            make_configs,
+        )
+
+        args = build_parser().parse_args([
+            "--arch-sparse-feature-size=4", "--arch-embedding-size=10",
+            "--arch-mlp-bot=13-4", "--arch-mlp-top=5-1",
+            "--quantization_flag", "--pretrain_and_quantize",
+            "--pretrain_and_quantize_lin", "--linear_shift_down_bit_width",
+            "--shift-bit-width-to=2",
+        ])
+        _, tc = make_configs(args)
+        assert tc.pretrain_epochs == 1
+        assert tc.quantize_mlp_from_epoch == 2
+        assert tc.shift_bit_width_at_epoch == 3
+        assert tc.shift_bit_width_to == 2

@@ -215,3 +215,32 @@ class TestParserRobustness:
         if native_ext.available():
             _, xi2, _ = native_ext.parse_lines(line)
             np.testing.assert_array_equal(xi, xi2)
+
+
+class TestOffsetsInterop:
+    def test_batch_from_offsets_variable_bags(self):
+        from deep_quantized_recommendation_model_dqrm_tpu.data.criteo import (
+            batch_from_offsets,
+        )
+
+        # 2 tables, 3 samples; table 0 bags: [5], [6,7], []; table 1: [1],[2],[3]
+        lS_o = np.array([[0, 1, 3], [0, 1, 2]])
+        lS_i = [np.array([5, 6, 7]), np.array([1, 2, 3])]
+        dense = np.ones((3, 13))
+        b = batch_from_offsets(dense, lS_o, lS_i, [1, 0, 1], pooling_size=2)
+        assert b.indices.shape == (2, 3, 2)
+        np.testing.assert_array_equal(np.asarray(b.indices[0, 1]), [6, 7])
+        np.testing.assert_array_equal(np.asarray(b.mask[0]), [[1, 0], [1, 1], [0, 0]])
+        # pooled lookup semantics: empty bag contributes zero
+        import jax.numpy as jnp
+
+        from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import (
+            pooled_lookup,
+        )
+
+        table = jnp.arange(20.0).reshape(10, 2)
+        out = pooled_lookup(table, b.indices[0], b.mask[0])
+        np.testing.assert_allclose(np.asarray(out)[2], [0.0, 0.0])
+        np.testing.assert_allclose(
+            np.asarray(out)[1], np.asarray(table[6] + table[7])
+        )
