@@ -138,6 +138,52 @@ def preprocess_criteo(
     return paths
 
 
+def preprocess_criteo_days(
+    raw_day_paths: List[str],
+    out_dir: str,
+    sub_sample_rate: float = 0.0,
+    seed: int = 123,
+    use_native: bool = True,
+) -> List[str]:
+    """Terabyte-style preprocessing: ONE RAW FILE PER DAY (the Terabyte
+    dataset ships day_0 ... day_23 as separate files; data_utils.py:876
+    iterates `days` files). Shares the Kaggle path's dictionary build across
+    days; day k's npz is built from raw_day_paths[k].
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    native = _native_parser() if use_native else None
+    dicts: List[Dict[int, int]] = [dict() for _ in range(NUM_SPARSE)]
+    paths = []
+    for day, rp in enumerate(raw_day_paths):
+        with open(rp, "rb") as f:
+            chunk = f.readlines()
+        if native is not None:
+            y, xi, xc_raw = native.parse_lines(chunk)
+            xc = np.zeros_like(xc_raw)
+            for j in range(NUM_SPARSE):
+                d = dicts[j]
+                out = np.empty(len(chunk), np.int64)
+                for r, raw in enumerate(xc_raw[:, j]):
+                    idx = d.get(int(raw))
+                    if idx is None:
+                        idx = len(d)
+                        d[int(raw)] = idx
+                    out[r] = idx
+                xc[:, j] = out
+        else:
+            y, xi, xc = _parse_lines_numpy(chunk, dicts)
+        if sub_sample_rate > 0.0:
+            keep = (y == 1) | (rng.rand(len(y)) > sub_sample_rate)
+            y, xi, xc = y[keep], xi[keep], xc[keep]
+        path = os.path.join(out_dir, f"day_{day}.npz")
+        np.savez_compressed(path, y=y, X_int=xi, X_cat=xc.astype(np.int64))
+        paths.append(path)
+    counts = np.array([max(len(d), 1) for d in dicts], np.int64)
+    np.savez(os.path.join(out_dir, "counts.npz"), counts=counts)
+    return paths
+
+
 class CriteoDataset:
     """Preprocessed Criteo days with the reference's split semantics.
 

@@ -244,3 +244,23 @@ class TestOffsetsInterop:
         np.testing.assert_allclose(
             np.asarray(out)[1], np.asarray(table[6] + table[7])
         )
+
+
+class TestTerabyteDayFiles:
+    def test_per_day_raw_files(self, tmp_path):
+        from deep_quantized_recommendation_model_dqrm_tpu.data.criteo import (
+            preprocess_criteo_days,
+        )
+
+        raws = [
+            write_raw(str(tmp_path / f"day_{d}.txt"), 100 + 10 * d, seed=d)
+            for d in range(3)
+        ]
+        paths = preprocess_criteo_days(raws, str(tmp_path / "proc"), use_native=False)
+        assert len(paths) == 3
+        ds = CriteoDataset(str(tmp_path / "proc"), "train")
+        assert len(ds) == 100 + 110  # days 0,1; day 2 is val/test
+        # dictionaries shared across days: ids stay dense
+        z2 = np.load(paths[2])
+        sizes = np.asarray(ds.table_sizes)
+        assert np.all(z2["X_cat"].max(axis=0) < sizes)
