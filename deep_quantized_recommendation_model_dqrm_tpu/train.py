@@ -431,10 +431,13 @@ def run(argv=None) -> dict:
     loss_acc = 0.0
     loss_n = 0
     result = {}
+    from deep_quantized_recommendation_model_dqrm_tpu.data.prefetch import prefetch
+
     for epoch in range(start_epoch, tc.nepochs):
         mll.start("epoch", {"num": epoch})
         step_fn = get_step(epoch)
-        for bi, batch in enumerate(train_loader):
+        # background prefetch overlaps host batch prep with device compute
+        for bi, batch in enumerate(prefetch(train_loader, depth=3)):
             if epoch == start_epoch and bi < start_batch:
                 continue  # fast-forward resume (dlrm_s_pytorch.py:1523-1534)
             if step_mode in ("dp", "hybrid"):

@@ -264,3 +264,37 @@ class TestTerabyteDayFiles:
         z2 = np.load(paths[2])
         sizes = np.asarray(ds.table_sizes)
         assert np.all(z2["X_cat"].max(axis=0) < sizes)
+
+
+class TestPrefetch:
+    def test_prefetch_yields_all_batches_in_order(self):
+        from deep_quantized_recommendation_model_dqrm_tpu.config import DLRMConfig
+        from deep_quantized_recommendation_model_dqrm_tpu.data.prefetch import (
+            prefetch,
+        )
+        from deep_quantized_recommendation_model_dqrm_tpu.data.synthetic import (
+            RandomBatchLoader,
+        )
+
+        cfg = DLRMConfig(table_sizes=(10, 5), embedding_dim=4,
+                         mlp_bot=(4, 4), mlp_top=(7, 1))
+        loader = RandomBatchLoader(cfg, 8, 12, seed=0)
+        direct = [np.asarray(b.labels) for b in loader]
+        fetched = [np.asarray(b.labels) for b in prefetch(loader, depth=4)]
+        assert len(fetched) == 12
+        for a, b in zip(direct, fetched):
+            np.testing.assert_array_equal(a, b)
+
+    def test_prefetch_propagates_errors(self):
+        from deep_quantized_recommendation_model_dqrm_tpu.data.prefetch import (
+            prefetch,
+        )
+
+        def bad():
+            yield 1
+            raise ValueError("boom")
+
+        it = prefetch(bad(), depth=2)
+        assert next(it) == 1
+        with pytest.raises(ValueError, match="boom"):
+            next(it)
