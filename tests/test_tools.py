@@ -97,3 +97,50 @@ class TestProfiling:
         stats = ps.stats_and_clear()
         assert "fwd" in stats and stats["fwd"][0] >= 0.0
         assert ps.stats_and_clear() == {}
+
+
+class TestLogging:
+    def test_scalar_logger_jsonl(self, tmp_path):
+        import json
+
+        from deep_quantized_recommendation_model_dqrm_tpu.utils.logging import (
+            ScalarLogger,
+        )
+
+        lg = ScalarLogger(str(tmp_path), "run1")
+        lg.add_scalar("Train/Loss", 0.5, 10)
+        lg.add_scalar("Test/Acc", 0.78, 20)
+        lg.close()
+        lines = [json.loads(l) for l in open(lg.path)]
+        assert lines[0]["tag"] == "Train/Loss" and lines[0]["step"] == 10
+        assert lines[1]["value"] == 0.78
+
+    def test_scalar_logger_disabled(self):
+        from deep_quantized_recommendation_model_dqrm_tpu.utils.logging import (
+            ScalarLogger,
+        )
+
+        lg = ScalarLogger(None)
+        lg.add_scalar("x", 1.0, 0)  # no-op, no crash
+        lg.close()
+
+    def test_mlperf_logger_events(self, tmp_path):
+        import json
+
+        from deep_quantized_recommendation_model_dqrm_tpu.utils.logging import (
+            MLPerfLogger,
+        )
+
+        p = str(tmp_path / "ml.jsonl")
+        ml = MLPerfLogger(p, rank=0)
+        ml.start("run")
+        ml.event("epoch", 1, {"k": "v"})
+        ml.end("run")
+        lines = [json.loads(l) for l in open(p)]
+        assert [l["kind"] for l in lines] == ["start", "event", "end"]
+        # rank-gated: rank 1 writes nothing
+        ml1 = MLPerfLogger(str(tmp_path / "ml1.jsonl"), rank=1)
+        ml1.start("x")
+        import os
+
+        assert not os.path.exists(str(tmp_path / "ml1.jsonl"))
