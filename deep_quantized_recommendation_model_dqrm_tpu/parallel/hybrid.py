@@ -394,3 +394,61 @@ def make_hybrid_train_step(
         check_vma=False,
     )
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_hybrid_eval_step(
+    config: DLRMConfig,
+    mesh: Mesh,
+    plan: TableShardingPlan,
+    axis: str = "mp",
+    has_mask: bool = False,
+):
+    """Sharded inference over the hybrid state: tables STAY sharded (no
+    single-chip unpack — Terabyte-scale tables may not fit one device);
+    each device scores its batch slice after the all-to-all and the
+    probabilities are all-gathered (`inference` logits all_gather,
+    dlrm_s_pytorch.py:809). Returns probs for the FULL batch."""
+    local_ids_np = jnp.asarray(plan.local_ids)
+    local_base_np = jnp.asarray(plan.local_base)
+    perm = jnp.asarray(plan.perm)
+
+    def device_eval(state: HybridState, batch: dlrm.Batch) -> jax.Array:
+        me = jax.lax.axis_index(axis)
+        pooled_local = _local_pooled(
+            state.mega, batch.indices, batch.mask,
+            local_ids_np[me], local_base_np[me],
+        )
+        swapped = jax.lax.all_to_all(
+            pooled_local, axis, split_axis=1, concat_axis=0, tiled=True
+        )
+        raw_pooled = jnp.take(swapped, perm, axis=0)
+        local_batch = dlrm.Batch(
+            dense=batch.dense,
+            indices=batch.indices[:, :1, :],
+            labels=batch.labels,
+            mask=None,
+        )
+        logits, _ = dlrm.forward(
+            config, {**state.mlp, "emb": []}, local_batch, state.qstate,
+            train=False, raw_pooled=raw_pooled,
+        )
+        p = jax.nn.sigmoid(logits)
+        if 0.0 < config.loss_threshold < 1.0:
+            p = jnp.clip(p, config.loss_threshold, 1.0 - config.loss_threshold)
+        return jax.lax.all_gather(p, axis, tiled=True)
+
+    batch_specs = dlrm.Batch(
+        dense=P(axis),
+        indices=P(),
+        labels=P(axis),
+        mask=P() if has_mask else None,
+    )
+    state_specs = HybridState(mega=P(axis), mlp=P(), qstate=P())
+    fn = shard_map(
+        device_eval,
+        mesh=mesh,
+        in_specs=(state_specs, batch_specs),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)

@@ -478,15 +478,21 @@ def run(argv=None) -> dict:
                 logger.add_scalar("Train/Loss", loss_v, it)
             if tc.test_freq > 0 and it % tc.test_freq == 0:
                 if step_mode == "hybrid":
+                    # sharded eval: tables stay distributed (no single-chip
+                    # unpack; Terabyte tables may not fit one device)
                     from deep_quantized_recommendation_model_dqrm_tpu.parallel.hybrid import (
+                        make_hybrid_eval_step,
                         unpack_tables,
                     )
 
+                    hev = make_hybrid_eval_step(cfg, mesh, plan)
+                    m = evaluate(cfg, hstate, test_loader, hev)
                     state = state._replace(
                         params={**hstate.mlp, "emb": unpack_tables(hstate.mega, plan, cfg.table_sizes)},
                         qstate=hstate.qstate,
                     )
-                m = evaluate(cfg, state, test_loader, eval_fn)
+                else:
+                    m = evaluate(cfg, state, test_loader, eval_fn)
                 rank0_print(rank, f"Testing at - {it}/{epoch}: {m}")
                 logger.add_scalar("Test/Acc", m.get("accuracy", 0.0), it)
                 logger.add_scalar("Test/AUC", m.get("roc_auc", 0.0), it)

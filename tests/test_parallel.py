@@ -420,3 +420,27 @@ class TestMultihostHelpers:
         assert (rank, count) == (0, 1)  # single-process environment
         start, size = local_batch_slice(128)
         assert (start, size) == (0, 128)
+
+
+class TestHybridEval:
+    def test_sharded_eval_matches_single_chip(self):
+        tc = TC.replace(grad_quant_bits=32)
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(CFG.table_sizes, 8)
+        hstate = hybrid.init_hybrid_state(CFG, tc, mesh, plan)
+        hstep = hybrid.make_hybrid_train_step(CFG, tc, mesh, plan)
+        b = random_batch(CFG, 64, np.random.RandomState(51))
+        hstate, _ = hstep(hstate, b)
+        jax.block_until_ready(hstate)
+
+        ev = hybrid.make_hybrid_eval_step(CFG, mesh, plan)
+        b2 = random_batch(CFG, 64, np.random.RandomState(52))
+        p_sharded = np.asarray(ev(hstate, b2))
+        jax.block_until_ready(p_sharded)
+
+        back = {
+            **hstate.mlp,
+            "emb": hybrid.unpack_tables(hstate.mega, plan, CFG.table_sizes),
+        }
+        p_single = np.asarray(dlrm.predict(CFG, back, b2, hstate.qstate))
+        np.testing.assert_allclose(p_sharded, p_single, rtol=1e-5, atol=1e-6)
