@@ -249,10 +249,13 @@ def evaluate(cfg, state, test_loader, eval_fn, max_batches: Optional[int] = None
     for i, b in enumerate(test_loader):
         if max_batches is not None and i >= max_batches:
             break
-        scores.append(np.asarray(eval_fn(state, b)))
+        # keep dispatches async; fetch once at the end (per-batch sync costs
+        # 40ms+ on tunneled chips — see .claude/skills/verify)
+        scores.append(eval_fn(state, b))
         targets.append(np.asarray(b.labels))
     if not scores:
         return {}
+    scores = [np.asarray(s) for s in scores]
     return binary_metrics(np.concatenate(scores), np.concatenate(targets))
 
 
