@@ -255,7 +255,10 @@ def batch_frexp(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     m = jnp.where(ax > 0, ax / jnp.exp2(e), 0.0)
     m_shifted = jnp.floor(m * (2.0**31) + 0.5)  # round-half-up like Decimal
     m_shifted = jnp.sign(x) * m_shifted
-    return m_shifted.astype(jnp.int64), (31.0 - e).astype(jnp.float32)
+    # 31-bit mantissas exceed int32; keep them in f32 (exact for our use —
+    # consumers multiply in floating point) unless x64 is enabled.
+    m_dtype = jnp.int64 if jax.config.jax_enable_x64 else jnp.float32
+    return m_shifted.astype(m_dtype), (31.0 - e).astype(jnp.float32)
 
 
 def fixedpoint_requantize(
