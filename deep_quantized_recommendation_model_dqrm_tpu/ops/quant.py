@@ -278,7 +278,10 @@ def fixedpoint_requantize(
     new_scale = pre_act_scale * pre_weight_scale / act_scale
     m, e = batch_frexp(new_scale)
     # new_scale == m * 2^-e with m a 31-bit integer mantissa, so
-    # x * new_scale == (x * m) >> e in exact integer arithmetic.
-    out = x_int.astype(jnp.float64) * m.astype(jnp.float64)
-    out = jnp.round(out / jnp.exp2(e.astype(jnp.float64)))
+    # x * new_scale == (x * m) >> e in exact integer arithmetic. f64 is used
+    # when x64 is enabled (exact); f32 otherwise (sufficient for the INT<=8
+    # activation grids this requantizes onto).
+    wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    out = x_int.astype(wide) * m.astype(wide)
+    out = jnp.round(out / jnp.exp2(e.astype(wide)))
     return jnp.clip(out, -n - 1, n).astype(jnp.float32)
