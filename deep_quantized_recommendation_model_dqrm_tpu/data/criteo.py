@@ -202,9 +202,16 @@ class CriteoDataset:
         self.data_dir = data_dir
         self.split = split
         self.max_ind_range = max_ind_range
+        # Sort numerically by day index: lexicographic order would put
+        # day_10 before day_2 once >=10 days exist (Terabyte day_0..day_23),
+        # silently corrupting the temporal ordering and the last-day
+        # val/test split.
         days = sorted(
-            f for f in os.listdir(data_dir)
-            if f.startswith("day_") and f.endswith(".npz")
+            (
+                f for f in os.listdir(data_dir)
+                if f.startswith("day_") and f.endswith(".npz")
+            ),
+            key=lambda f: int(f[len("day_"):-len(".npz")]),
         )
         if num_days is not None:
             days = days[:num_days]

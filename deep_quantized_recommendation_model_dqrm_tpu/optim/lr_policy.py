@@ -24,8 +24,11 @@ def lr_policy(
     - decay_start <= step < decay_end:
                                 max(1e-7, base_lr * ((decay - d)/decay)^2)
     - step >= decay_end:        frozen at the final decay value
-    - between warmup and decay: base_lr (the reference holds `last_lr`,
-      which after warmup equals base_lr)
+    - between warmup and decay (num_decay_steps > 0): the reference holds
+      `last_lr` from the FINAL warmup step, i.e. base_lr*(1 - 1/warmup) —
+      it never reaches base_lr. Reproduced exactly when warmup > 0. (With
+      warmup == 0 the reference would read an unset `last_lr` and crash;
+      we hold base_lr there — documented deviation, PARITY.md.)
     - num_decay_steps == 0:     base_lr after warmup (no adjustment)
     """
     step = jnp.asarray(step, jnp.float32)
@@ -41,7 +44,8 @@ def lr_policy(
         decayed = jnp.clip(step - ds, 0.0, nd - 1.0)
         decay_scale = ((nd - decayed) / nd) ** 2
         decay_lr = jnp.maximum(1e-7, base_lr * decay_scale)
-        after = jnp.where(step < ds, base_lr, decay_lr)
+        hold_lr = base_lr * (1.0 - 1.0 / warm) if warm > 0 else base_lr
+        after = jnp.where(step < ds, hold_lr, decay_lr)
     else:
         after = jnp.asarray(base_lr, jnp.float32)
 

@@ -42,6 +42,7 @@ from deep_quantized_recommendation_model_dqrm_tpu.config import DLRMConfig, Trai
 from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm
 from deep_quantized_recommendation_model_dqrm_tpu.ops import quant as q
 from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import (
+    coalesce_sparse_grad,
     rows_grad_from_pooled,
 )
 from deep_quantized_recommendation_model_dqrm_tpu.optim import lr_policy
@@ -162,6 +163,16 @@ def make_dp_train_step(
     backward -> clear/quantize/communicate grads -> manual SGD -> lr step ->
     periodic weight sync.
     """
+    if config.weighted_pooling == "learned":
+        # The sparse-gradient autodiff cut (raw_pooled injection) severs
+        # v_W from the graph, so its gradients would silently be zero.
+        # "fixed" pooling weights work (applied inside the raw lookup); the
+        # reference's comm_grad driver has no weighted pooling either.
+        raise NotImplementedError(
+            "weighted_pooling='learned' is not supported by the compressed-"
+            "gradient DP step; use weighted_pooling='fixed' or parallelism="
+            "dp-nosync"
+        )
     qc = config.quant
     grad_bits = tc.grad_quant_bits
 
@@ -251,14 +262,22 @@ def make_dp_train_step(
             new_ec[part] = new_ec_layers
 
         # ---- Embedding gradients: sparse compressed exchange ----
-        sparse_grads = [
-            rows_grad_from_pooled(
+        # Coalesce duplicate rows BEFORE quantizing, matching the
+        # reference's `.coalesce()` -> scale -> quantize order
+        # (sgd_…_parallel_comm.py:850-866): sum-then-quantize is the
+        # correct numerics, and for small tables (rows < B*P) the unique-
+        # rows bound shrinks the wire payload to min(B*P, rows) rows.
+        sparse_grads = []
+        for k in range(len(params["emb"])):
+            ids, vals = rows_grad_from_pooled(
                 g_pooled[k],
                 batch.indices[k],
                 batch.mask[k] if batch.mask is not None else None,
             )
-            for k in range(len(params["emb"]))
-        ]
+            rows = params["emb"][k].shape[0]
+            sparse_grads.append(
+                coalesce_sparse_grad(ids, vals, rows, min(ids.shape[0], rows))
+            )
 
         if tc.ranking_range:
             # Mixed-bit policy (grad_precision_and_scale): all-reduce per-
@@ -304,13 +323,18 @@ def make_dp_train_step(
                 )
             )
 
-        # LSQ step sizes (if present) ride the dense compressed path.
+        # Remaining non-MLP dense params (LSQ step sizes, learned pooling
+        # weights v_W) ride the uncompressed pmean path; "fixed" pooling
+        # weights have zero grads and pass through unchanged.
         new_params = {**new_mlp, "emb": new_emb}
-        if "lsq_emb" in params:
-            new_params["lsq_emb"] = [
-                p - lr * jax.lax.pmean(g, axis)
-                for p, g in zip(params["lsq_emb"], mlp_grads["lsq_emb"])
-            ]
+        for key in params:
+            if key in ("bot", "top", "emb"):
+                continue
+            new_params[key] = jax.tree_util.tree_map(
+                lambda p, g: p - lr * jax.lax.pmean(g, axis),
+                params[key],
+                mlp_grads[key],
+            )
 
         new_qs = new_qs._replace(step=qstate.step + 1)
         return DPState(new_params, new_qs, new_ec), mean_loss

@@ -210,6 +210,13 @@ def make_hybrid_train_step(
     `axis` and indices/mask are replicated (every device needs the full batch
     for its local tables). Output: (HybridState, mean loss).
     """
+    if config.weighted_pooling == "learned":
+        # _local_pooled does not apply v_W and the raw_pooled injection cuts
+        # it from autodiff — learned pooling weights would silently neither
+        # apply nor train. ("fixed" is a mathematical no-op: v_W stays ones.)
+        raise NotImplementedError(
+            "weighted_pooling='learned' is not supported by the hybrid step"
+        )
     qc = config.quant
     n_dev = plan.n_dev
     local_ids_np = jnp.asarray(plan.local_ids)

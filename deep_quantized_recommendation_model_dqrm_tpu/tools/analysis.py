@@ -173,8 +173,12 @@ def comm_volume_report(
     mlp_params += sum(a * b + b for a, b in zip(mlp_top[:-1], mlp_top[1:]))
     dense_bytes = (emb_params + mlp_params) * 4.0
     if sparse:
-        rows = len(table_sizes) * min(batch_per_rank * pooling, max(table_sizes))
-        per_rank_rows = len(table_sizes) * batch_per_rank * pooling
+        # The exchange coalesces duplicates first (comm_grad.py), so each
+        # table ships at most min(B*P, rows) unique rows per rank; values
+        # travel nibble-packed below INT8 (grad_bits/8 bytes per element).
+        per_rank_rows = sum(
+            min(batch_per_rank * pooling, n) for n in table_sizes
+        )
         emb_vals = per_rank_rows * embedding_dim * grad_bits / 8
         emb_ids = per_rank_rows * 4
         emb_bytes = (emb_vals + emb_ids) * world_size  # all-gather volume

@@ -36,14 +36,18 @@ def save_checkpoint(
     state: Any,
     metadata: Optional[Dict[str, Any]] = None,
 ) -> None:
-    """Save a pytree state + metadata. `path` should end in .npz."""
+    """Save a pytree state + metadata. `path` should end in .npz.
+
+    Metadata travels INSIDE the npz (reserved key ``__metadata__``) so the
+    single `os.replace` promotion is atomic — a crash mid-save can never
+    leave a slot whose weights and training progress disagree (the two-slot
+    crash-safety contract, comm_grad.py:2064-2072).
+    """
     leaves = _flatten_with_paths(state)
+    meta_json = json.dumps(dict(metadata or {}), default=float)
     tmp = path + ".tmp"
-    np.savez(tmp, **leaves)
+    np.savez(tmp, __metadata__=np.frombuffer(meta_json.encode(), np.uint8), **leaves)
     os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
-    meta = dict(metadata or {})
-    with open(path + ".meta.json", "w") as f:
-        json.dump(meta, f, indent=1, default=float)
 
 
 def load_checkpoint(path: str, like: Any) -> Tuple[Any, Dict[str, Any]]:
@@ -65,12 +69,16 @@ def load_checkpoint(path: str, like: Any) -> Tuple[Any, Dict[str, Any]]:
                 f"shape mismatch for {key}: ckpt {arr.shape} vs model {np.shape(leaf)}"
             )
         new_leaves.append(jax.numpy.asarray(arr, dtype=np.asarray(leaf).dtype))
-    meta_path = path + ".meta.json"
-    meta = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-    return jax.tree_util.tree_unflatten(treedef, [l for _, l in flat].__class__(new_leaves) if False else new_leaves), meta
+    if "__metadata__" in data:
+        meta = json.loads(bytes(data["__metadata__"]).decode())
+    else:
+        # legacy sidecar format
+        meta_path = path + ".meta.json"
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves), meta
 
 
 class CheckpointManager:

@@ -409,6 +409,80 @@ class TestHybridMask:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
 
 
+class TestCoalescedExchange:
+    """The compressed sparse exchange coalesces duplicates BEFORE quantizing
+    (reference order: .coalesce() -> scale -> quantize,
+    sgd_quantized_gradients_parallel_comm.py:850-866)."""
+
+    def test_coalesce_sparse_grad_dedups_and_pads(self):
+        from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import (
+            coalesce_sparse_grad,
+        )
+
+        ids = jnp.asarray([3, 1, 3, 0, 1, 3], jnp.int32)
+        vals = jnp.arange(12, dtype=jnp.float32).reshape(6, 2)
+        uids, uvals = coalesce_sparse_grad(ids, vals, num_rows=5, max_unique=5)
+        # scatter both forms into a dense table: must agree exactly
+        dense_raw = np.zeros((5, 2), np.float32)
+        np.add.at(dense_raw, np.asarray(ids), np.asarray(vals))
+        dense_co = np.zeros((6, 2), np.float32)  # row 5 catches the padding
+        np.add.at(dense_co, np.minimum(np.asarray(uids), 5), np.asarray(uvals))
+        np.testing.assert_allclose(dense_co[:5], dense_raw)
+        # 3 unique ids -> 2 padded slots pointing at num_rows (dropped)
+        assert int(np.sum(np.asarray(uids) == 5)) == 2
+
+    def test_sum_then_quantize_recovers_underflowing_duplicates(self):
+        """Duplicated tiny gradients that individually round to 0 on the int
+        grid must survive the exchange via their coalesced sum — the numerics
+        reason the reference coalesces first."""
+        from deep_quantized_recommendation_model_dqrm_tpu.ops import quant as q
+        from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import (
+            coalesce_sparse_grad,
+        )
+
+        bits = 8
+        # one big row grad (sets the scale) + 64 duplicates of a tiny one
+        big = 1.0
+        tiny = 0.003  # < scale/2 = 1/254: quantizes to 0 alone
+        ids = jnp.asarray([0] + [1] * 64, jnp.int32)
+        vals = jnp.concatenate(
+            [jnp.full((1, 4), big), jnp.full((64, 4), tiny)]
+        ).astype(jnp.float32)
+        scale = q.symmetric_quantization_params(bits, jnp.min(vals), jnp.max(vals))
+        # old (wrong) order: quantize each row then sum duplicates -> row 1 lost
+        lost = q.dequantize(q.quantize(vals[1:], scale, bits), scale).sum(0)
+        assert float(np.max(np.abs(np.asarray(lost)))) == 0.0
+        # new order: coalesce first; the summed row survives quantization
+        uids, uvals = coalesce_sparse_grad(ids, vals, num_rows=4, max_unique=4)
+        s2 = q.symmetric_quantization_params(bits, jnp.min(uvals), jnp.max(uvals))
+        kept = q.dequantize(q.quantize(uvals, s2, bits), s2)
+        row1 = np.asarray(kept)[np.asarray(uids) == 1][0]
+        np.testing.assert_allclose(row1, 64 * tiny, rtol=0.05)
+
+    def test_dp_int8_tiny_table_matches_uncompressed(self):
+        """Heavy-duplicate regime (table smaller than the batch): compressed
+        training must still track fp32 closely now that sums are quantized."""
+        cfg = dataclasses.replace(CFG, table_sizes=(3, 5, 7, 64, 200))
+        rng = np.random.RandomState(23)
+        batches = [random_batch(cfg, 64, rng) for _ in range(4)]
+
+        def run(bits):
+            tc = TC.replace(grad_quant_bits=bits)
+            mesh = make_mesh(8)
+            st = comm_grad.init_dp_state(cfg, tc)
+            step = comm_grad.make_dp_train_step(cfg, tc, mesh)
+            for b in batches:
+                st, l = step(st, b)
+                jax.block_until_ready(st)
+            return st, float(l)
+
+        s8, l8 = run(8)
+        s32, l32 = run(32)
+        assert abs(l8 - l32) < 0.05
+        for a, b_ in zip(s8.params["emb"][:3], s32.params["emb"][:3]):
+            assert float(np.max(np.abs(np.asarray(a) - np.asarray(b_)))) < 0.05
+
+
 class TestMultihostHelpers:
     def test_local_batch_slice_single_host(self):
         from deep_quantized_recommendation_model_dqrm_tpu.parallel.multihost import (

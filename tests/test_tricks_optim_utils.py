@@ -57,10 +57,14 @@ class TestMD:
 
 
 class TestLRPolicy:
-    def test_warmup_then_base(self):
+    def test_warmup_then_hold(self):
         # reference: scale = 1 - (warmup - step)/warmup
         assert np.isclose(float(lr_policy(1.0, 5, 10, 100, 50)), 0.5)
-        assert np.isclose(float(lr_policy(1.0, 50, 10, 100, 50)), 1.0)
+        # between warmup and decay the reference holds last_lr from the
+        # FINAL warmup step = base_lr * (1 - 1/warmup), not base_lr
+        assert np.isclose(float(lr_policy(1.0, 50, 10, 100, 50)), 0.9)
+        # without decay configured there is no hold: base_lr after warmup
+        assert np.isclose(float(lr_policy(1.0, 50, 10, 0, 0)), 1.0)
 
     def test_quadratic_decay(self):
         # at step 125 with decay_start=100, nd=50: scale = ((50-25)/50)^2
