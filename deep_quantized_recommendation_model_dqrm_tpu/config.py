@@ -131,6 +131,23 @@ class DLRMConfig:
     # dlrm_s_pytorch.py:276-281, :360-366): None | "fixed" (ones, frozen) |
     # "learned" (trainable parameter).
     weighted_pooling: Optional[str] = None
+    # Quotient-remainder compositional embeddings (`--qr-flag` etc.,
+    # dlrm_s_pytorch.py:928-931; tricks/qr_embedding_bag.py:25): tables with
+    # rows > qr_threshold are replaced by two small composed tables. QR
+    # tables stay full-precision even under QAT (reference create_emb
+    # ordering, dlrm_s_pytorch_comm_grad.py:360-383).
+    qr_flag: bool = False
+    qr_operation: str = "mult"
+    qr_collisions: int = 4
+    qr_threshold: int = 200
+    # Mixed-dimension embeddings (`--md-flag` etc., dlrm_s_pytorch.py:
+    # 924-927 + md_solver at :1202; tricks/md_embedding_bag.py:20,63):
+    # tables with rows > md_threshold get a reduced dim from the alpha-power
+    # rule + a projection back to embedding_dim.
+    md_flag: bool = False
+    md_threshold: int = 200
+    md_temperature: float = 0.3
+    md_round_dims: bool = False
     quant: QuantConfig = QuantConfig()
 
     def __post_init__(self):
@@ -150,6 +167,42 @@ class DLRMConfig:
                 "bottom MLP output dim must equal embedding dim for dot "
                 f"interaction: {self.mlp_bot[-1]} != {self.embedding_dim}"
             )  # mirrors arch sanity checks dlrm_s_pytorch.py:1161-1198
+        if self.qr_flag and self.qr_operation not in ("mult", "add", "concat"):
+            raise ValueError(f"unknown qr_operation {self.qr_operation!r}")
+        if self.qr_flag and self.md_flag:
+            raise ValueError("qr_flag and md_flag are mutually exclusive")
+
+    def table_kind(self, k: int) -> str:
+        """Embedding representation for table k: "dense" | "qr" | "md"
+        (the reference's create_emb dispatch, dlrm_s_pytorch.py:239-286)."""
+        n = self.table_sizes[k]
+        if self.qr_flag and n > self.qr_threshold:
+            return "qr"
+        if self.md_flag and n > self.md_threshold:
+            return "md"
+        return "dense"
+
+    def md_dims(self) -> Tuple[int, ...]:
+        """Per-table embedding dims under the MD rule (md_solver output for
+        md-eligible tables, embedding_dim for the rest)."""
+        from deep_quantized_recommendation_model_dqrm_tpu.models.tricks import (
+            md_solver,
+        )
+
+        if not self.md_flag:
+            return tuple(self.embedding_dim for _ in self.table_sizes)
+        dims = md_solver(
+            self.table_sizes,
+            self.md_temperature,
+            d0=self.embedding_dim,
+            round_dim=self.md_round_dims,
+        )
+        return tuple(
+            min(int(dims[k]), self.embedding_dim)
+            if self.table_kind(k) == "md"
+            else self.embedding_dim
+            for k in range(len(self.table_sizes))
+        )
 
     @property
     def num_tables(self) -> int:

@@ -54,17 +54,31 @@ class CriteoBinDataset:
         seed: int = 0,
         rank: int = 0,
         world_size: int = 1,
+        start_record: int = 0,
+        num_records: int = -1,
     ):
+        """`start_record`/`num_records` restrict the reader to a sample
+        range, so a single file can carry disjoint train/test splits (the
+        reference ships them as separate bin files,
+        dlrm_data_pytorch.py:441-461; the range form covers both)."""
         self.path = path
         self.batch_size = batch_size
         self.max_ind_range = max_ind_range
         file_size = os.path.getsize(path)
         assert file_size % (RECORD_INTS * 4) == 0, "corrupt binary file"
-        self.num_samples = file_size // (RECORD_INTS * 4)
+        total_samples = file_size // (RECORD_INTS * 4)
+        if not (0 <= start_record <= total_samples):
+            raise ValueError(f"start_record {start_record} out of range")
+        self.start_record = start_record
+        self.num_samples = (
+            total_samples - start_record
+            if num_records < 0
+            else min(num_records, total_samples - start_record)
+        )
         self.num_batches = self.num_samples // batch_size
         self._mm = np.memmap(path, dtype=np.int32, mode="r").reshape(
-            self.num_samples, RECORD_INTS
-        )
+            total_samples, RECORD_INTS
+        )[start_record : start_record + self.num_samples]
         self._order = np.arange(self.num_batches)
         if shuffle:
             # batch-level shuffle, like the reference's RandomSampler option

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from deep_quantized_recommendation_model_dqrm_tpu.config import DLRMConfig
+from deep_quantized_recommendation_model_dqrm_tpu.models import tricks
 from deep_quantized_recommendation_model_dqrm_tpu.ops import quant as q
 from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import pooled_lookup
 from deep_quantized_recommendation_model_dqrm_tpu.ops.interaction import (
@@ -122,10 +123,55 @@ def init_params(config: DLRMConfig, seed: int = 0, dtype=jnp.float32) -> Params:
 
     emb = []
     t_dtype = jnp.bfloat16 if config.table_dtype == "bfloat16" else dtype
-    for n in config.table_sizes:
+    md_dims = config.md_dims()
+    for k, n in enumerate(config.table_sizes):
         bound = np.sqrt(1.0 / n)
-        w = rng.uniform(-bound, bound, size=(n, config.embedding_dim)).astype(np.float32)
-        emb.append(jnp.asarray(w, t_dtype))
+        kind = config.table_kind(k)
+        if kind == "qr":
+            # QR compositional tables (QREmbeddingBag init,
+            # tricks/qr_embedding_bag.py:118-137): two U(-1/sqrt(n), ..)
+            # tables; "concat" splits the dim. Arrays only — static metadata
+            # (collisions/operation) lives in the config so the entry is a
+            # clean pytree.
+            c = config.qr_collisions
+            num_q = (n + c - 1) // c
+            d_q = d_r = config.embedding_dim
+            if config.qr_operation == "concat":
+                d_q = config.embedding_dim // 2
+                d_r = config.embedding_dim - d_q
+            emb.append(
+                {
+                    "q": jnp.asarray(
+                        rng.uniform(-bound, bound, size=(num_q, d_q)).astype(np.float32),
+                        t_dtype,
+                    ),
+                    "r": jnp.asarray(
+                        rng.uniform(-bound, bound, size=(c, d_r)).astype(np.float32),
+                        t_dtype,
+                    ),
+                }
+            )
+        elif kind == "md":
+            # Mixed-dim table + projection (PrEmbeddingBag,
+            # tricks/md_embedding_bag.py:20-60).
+            d_k = md_dims[k]
+            entry = {
+                "table": jnp.asarray(
+                    rng.uniform(-bound, bound, size=(n, d_k)).astype(np.float32),
+                    t_dtype,
+                )
+            }
+            if d_k < config.embedding_dim:
+                lim = np.sqrt(6.0 / (d_k + config.embedding_dim))
+                entry["proj"] = jnp.asarray(
+                    rng.uniform(
+                        -lim, lim, size=(config.embedding_dim, d_k)
+                    ).astype(np.float32)
+                )
+            emb.append(entry)
+        else:
+            w = rng.uniform(-bound, bound, size=(n, config.embedding_dim)).astype(np.float32)
+            emb.append(jnp.asarray(w, t_dtype))
 
     params: Params = {"bot": mlp(config.mlp_bot), "top": mlp(config.mlp_top), "emb": emb}
     if config.weighted_pooling is not None:
@@ -139,6 +185,8 @@ def init_params(config: DLRMConfig, seed: int = 0, dtype=jnp.float32) -> Params:
         qp = 2 ** (config.quant.embedding_bit - 1) - 1
         params["lsq_emb"] = [
             jnp.asarray(2.0 * jnp.mean(jnp.abs(t)) / np.sqrt(qp), jnp.float32)
+            if not isinstance(t, dict)
+            else jnp.ones((), jnp.float32)  # QR/MD: unused placeholder
             for t in emb
         ]
     return params
@@ -151,9 +199,13 @@ def init_params(config: DLRMConfig, seed: int = 0, dtype=jnp.float32) -> Params:
 
 def compute_emb_scales(config: DLRMConfig, params: Params) -> jax.Array:
     """Per-table whole-table symmetric scales (the periodic min/max scan,
-    quant_utils.py:141-194). One fused reduction per table."""
+    quant_utils.py:141-194). One fused reduction per table. QR/MD tables
+    stay full-precision (reference create_emb dispatch precedes the
+    quantization branch) and get placeholder scales."""
     scales = [
         q.table_scale(config.quant.embedding_bit, t.astype(jnp.float32))
+        if not isinstance(t, dict)
+        else jnp.ones((), jnp.float32)
         for t in params["emb"]
     ]
     return jnp.stack(scales)
@@ -332,9 +384,21 @@ def lookup_all(
             # dlrm_s_pytorch.py:407-411), composed with the bag mask
             w_rows = jnp.take(vw, indices[k], axis=0)  # [B, P]
             m = w_rows if m is None else m * w_rows
-        if pact:
-            table = q.fake_quant_pact(table, qc.embedding_bit)
-        pooled = pooled_lookup(table, indices[k], m)
+        if isinstance(table, dict):
+            # QR / MD compositional tables (full-precision even under QAT —
+            # reference create_emb dispatch, comm_grad.py:360-383)
+            if "q" in table:
+                pooled = tricks.qr_pooled_lookup(
+                    table, indices[k], m,
+                    collisions=config.qr_collisions,
+                    operation=config.qr_operation,
+                )
+            else:
+                pooled = tricks.md_pooled_lookup(table, indices[k], m)
+        else:
+            if pact:
+                table = q.fake_quant_pact(table, qc.embedding_bit)
+            pooled = pooled_lookup(table, indices[k], m)
         outs.append(pooled.astype(jnp.float32))  # compute path stays fp32
     return jnp.stack(outs)  # [T, B, D]
 
@@ -359,7 +423,9 @@ def emb_postprocess(
         return pooled
     outs = []
     for k in range(config.num_tables):
-        if qc.quant_scheme == "lsq":
+        if config.table_kind(k) != "dense":
+            outs.append(pooled[k])  # QR/MD tables stay full-precision
+        elif qc.quant_scheme == "lsq":
             outs.append(
                 q.fake_quant_lsq(pooled[k], params["lsq_emb"][k], qc.embedding_bit)
             )

@@ -30,6 +30,7 @@ def init_qr_table(
     collisions: int,
     operation: str = "mult",
     seed: int = 0,
+    include_meta: bool = True,
 ) -> Dict[str, jax.Array]:
     """Two tables: q [ceil(n/c), d], r [c, d] (concat splits d in half).
 
@@ -44,31 +45,37 @@ def init_qr_table(
         d_q = embedding_dim // 2
         d_r = embedding_dim - d_q
     bound = np.sqrt(1.0 / num_embeddings)
-    return {
+    out = {
         "q": jnp.asarray(
             rng.uniform(-bound, bound, size=(num_q, d_q)).astype(np.float32)
         ),
         "r": jnp.asarray(
             rng.uniform(-bound, bound, size=(collisions, d_r)).astype(np.float32)
         ),
-        "collisions": collisions,
-        "operation": operation,
     }
+    if include_meta:
+        out["collisions"] = collisions
+        out["operation"] = operation
+    return out
 
 
 def qr_pooled_lookup(
     qr: Dict[str, jax.Array],
     indices: jax.Array,  # [B, P]
     mask: Optional[jax.Array] = None,
+    collisions: Optional[int] = None,
+    operation: Optional[str] = None,
 ) -> jax.Array:  # [B, D]
     """Compositional lookup + sum pool (qr_embedding_bag.py:141-185):
-    emb = op(Q[idx // c], R[idx % c])."""
-    c = qr["collisions"]
+    emb = op(Q[idx // c], R[idx % c]). `collisions`/`operation` default to
+    the dict's metadata; pass them explicitly for metadata-free pytrees
+    (jax tree_map chokes on non-array leaves)."""
+    c = collisions if collisions is not None else qr["collisions"]
+    op = operation if operation is not None else qr["operation"]
     iq = indices // c
     ir = indices % c
     eq = jnp.take(qr["q"], iq, axis=0)  # [B, P, dq]
     er = jnp.take(qr["r"], ir, axis=0)  # [B, P, dr]
-    op = qr["operation"]
     if op == "mult":
         rows = eq * er
     elif op == "add":

@@ -173,6 +173,13 @@ def make_dp_train_step(
             "gradient DP step; use weighted_pooling='fixed' or parallelism="
             "dp-nosync"
         )
+    if any(config.table_kind(k) != "dense" for k in range(config.num_tables)):
+        # The reference's comm path iterates emb_l expecting .embedding_bag
+        # (sgd_…_parallel_comm.py:850-890) — QR/MD would crash there too.
+        raise NotImplementedError(
+            "QR/MD embeddings are not supported by the compressed-gradient "
+            "DP step (nor by the reference's); use parallelism=none/dp-nosync"
+        )
     qc = config.quant
     grad_bits = tc.grad_quant_bits
 

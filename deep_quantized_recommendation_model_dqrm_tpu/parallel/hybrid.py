@@ -168,10 +168,25 @@ def init_hybrid_state(
     axis: str = "mp",
     seed: Optional[int] = None,
 ) -> HybridState:
+    if any(config.table_kind(k) != "dense" for k in range(config.num_tables)):
+        raise NotImplementedError(
+            "QR/MD embeddings cannot be packed into the row-sharded mega-table"
+        )
     params = dlrm.init_params(config, seed if seed is not None else tc.seed)
     mega = pack_tables(params["emb"], plan, mesh, axis)
-    mlp = {k: v for k, v in params.items() if k != "emb"}
-    return HybridState(mega=mega, mlp=mlp, qstate=dlrm.init_quant_state(config))
+    # MLPs + quant state are explicitly replicated over the mesh so their
+    # shardings survive checkpoint round-trips (Orbax restores into the
+    # `like` arrays' shardings; an uncommitted array would come back pinned
+    # to device 0 and clash with the sharded mega-table).
+    rep = NamedSharding(mesh, P())
+    mlp = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, rep),
+        {k: v for k, v in params.items() if k != "emb"},
+    )
+    qstate = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, rep), dlrm.init_quant_state(config)
+    )
+    return HybridState(mega=mega, mlp=mlp, qstate=qstate)
 
 
 def _local_pooled(
@@ -216,6 +231,11 @@ def make_hybrid_train_step(
         # apply nor train. ("fixed" is a mathematical no-op: v_W stays ones.)
         raise NotImplementedError(
             "weighted_pooling='learned' is not supported by the hybrid step"
+        )
+    if any(config.table_kind(k) != "dense" for k in range(config.num_tables)):
+        raise NotImplementedError(
+            "QR/MD embeddings cannot be packed into the row-sharded "
+            "mega-table; use parallelism=none/dp-nosync"
         )
     qc = config.quant
     n_dev = plan.n_dev

@@ -66,6 +66,12 @@ def ptq_export(
     Mirrors quantize_dynamic + quantize_embedding (dlrm_s_pytorch.py:
     1446-1471).
     """
+    if any(isinstance(t, dict) for t in params["emb"]):
+        raise NotImplementedError(
+            "PTQ packing expects dense tables; QR/MD models are already "
+            "compressed structurally (reference PTQ packs emb_l weights too, "
+            "dlrm_s_pytorch.py:457-474)"
+        )
     if emb_bits in (4, 8):
         emb = [pack_table(t, bits=emb_bits, rowwise=rowwise) for t in params["emb"]]
     else:

@@ -46,6 +46,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--arch-interaction-op", type=str, default="dot")
     p.add_argument("--arch-interaction-itself", action="store_true")
     p.add_argument("--loss-threshold", type=float, default=0.0)
+    # embedding compression tricks + weighted pooling
+    # (dlrm_s_pytorch.py:922-931 + md_solver :1202)
+    p.add_argument("--weighted-pooling", type=str, default=None,
+                   choices=[None, "fixed", "learned"])
+    p.add_argument("--qr-flag", action="store_true")
+    p.add_argument("--qr-operation", type=str, default="mult",
+                   choices=["mult", "add", "concat"])
+    p.add_argument("--qr-collisions", type=int, default=4)
+    p.add_argument("--qr-threshold", type=int, default=200)
+    p.add_argument("--md-flag", action="store_true")
+    p.add_argument("--md-threshold", type=int, default=200)
+    p.add_argument("--md-temperature", type=float, default=0.3)
+    p.add_argument("--md-round-dims", action="store_true")
     # data (dlrm_s_pytorch.py:940-975)
     p.add_argument("--data-generation", type=str, default="random",
                    choices=["random", "dataset", "binary"])
@@ -54,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--processed-data-dir", type=str, default="")
     p.add_argument("--raw-data-file", type=str, default="")
     p.add_argument("--binary-data-file", type=str, default="")
+    p.add_argument("--binary-test-data-file", type=str, default="",
+                   help="separate mlperf bin file for eval (reference "
+                        "test_data.bin); default: split --binary-data-file 7/8-1/8")
     p.add_argument("--max-ind-range", type=int, default=-1)
     p.add_argument("--data-sub-sample-rate", type=float, default=0.0)
     p.add_argument("--num-batches", type=int, default=0)
@@ -97,10 +113,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shift-bit-width-to", type=int, default=4)
     # gradient communication (the DQRM contribution)
     p.add_argument("--parallelism", type=str, default="none",
-                   choices=["none", "dp", "hybrid", "pseudo"])
-    p.add_argument("--grad-quant-bits", type=int, default=8)
+                   choices=["none", "dp", "dp-nosync", "hybrid", "pseudo"])
+    p.add_argument("--grad-quant-bits", type=int, default=8,
+                   help="gradient exchange bits (reference "
+                        "--embedding_bag_gradient_bit_num); 32 = uncompressed")
     p.add_argument("--error-compensation", action="store_true")
     p.add_argument("--weight-sync-period", type=int, default=200)
+    # ranking-range mixed-bit embedding-gradient policy (reference
+    # --quantize_embedding_bag_gradient + grad_precision_and_scale,
+    # sgd_quantized_gradients_parallel_comm.py:158-255)
+    p.add_argument("--ranking-range", action="store_true")
+    p.add_argument("--ranking-frac-hi", type=float, default=0.2)
+    p.add_argument("--ranking-frac-int8", type=float, default=0.3)
+    # INT-compressed all-to-all of pooled embeddings in the hybrid step
+    p.add_argument("--a2a-quant-bits", type=int, default=32)
     # PTQ inference (dlrm_s_pytorch.py:1446-1471)
     p.add_argument("--quantize-emb-with-bit", type=int, default=32)
     p.add_argument("--quantize-mlp-with-bit", type=int, default=32)
@@ -141,6 +167,15 @@ def make_configs(args) -> tuple:
         loss_threshold=args.loss_threshold,
         pooling_size=args.num_indices_per_lookup,
         max_ind_range=args.max_ind_range,
+        weighted_pooling=args.weighted_pooling,
+        qr_flag=args.qr_flag,
+        qr_operation=args.qr_operation,
+        qr_collisions=args.qr_collisions,
+        qr_threshold=args.qr_threshold,
+        md_flag=args.md_flag,
+        md_threshold=args.md_threshold,
+        md_temperature=args.md_temperature,
+        md_round_dims=args.md_round_dims,
         quant=quant,
     )
     # derive ln_top input like the reference (dlrm_s_pytorch.py:1141-1164)
@@ -163,6 +198,10 @@ def make_configs(args) -> tuple:
         grad_quant_bits=args.grad_quant_bits,
         error_compensation=args.error_compensation,
         weight_sync_period=args.weight_sync_period,
+        ranking_range=args.ranking_range,
+        ranking_frac_hi=args.ranking_frac_hi,
+        ranking_frac_int8=args.ranking_frac_int8,
+        a2a_quant_bits=args.a2a_quant_bits,
         pretrain_epochs=1 if args.pretrain_and_quantize else 0,
         # reference epoch switches: MLP quantizes at k==2, bit shift at k==3
         # (comm_grad.py:1854-1856, :1870-1872)
@@ -229,14 +268,72 @@ def make_loaders(args, cfg, tc):
                 return self.ds.iter_batches(self.bs)
 
         return cfg, _Iter(train_ds, tc.batch_size), _Iter(test_ds, tc.test_batch_size)
-    # binary
+    # binary (mlperf format). The reference ships train/test as separate bin
+    # files (dlrm_data_pytorch.py:441-461); with a single file we carve a
+    # disjoint 7/8-1/8 record split so eval never sees training data.
     from deep_quantized_recommendation_model_dqrm_tpu.data.binary import (
         CriteoBinDataset,
     )
 
-    train = CriteoBinDataset(args.binary_data_file, tc.batch_size, args.max_ind_range)
-    test = CriteoBinDataset(args.binary_data_file, tc.test_batch_size, args.max_ind_range)
+    if args.binary_test_data_file:
+        train = CriteoBinDataset(
+            args.binary_data_file, tc.batch_size, args.max_ind_range
+        )
+        test = CriteoBinDataset(
+            args.binary_test_data_file, tc.test_batch_size, args.max_ind_range
+        )
+    else:
+        probe = CriteoBinDataset(args.binary_data_file, 1)
+        n_train = (probe.num_samples * 7) // 8
+        train = CriteoBinDataset(
+            args.binary_data_file, tc.batch_size, args.max_ind_range,
+            num_records=n_train,
+        )
+        test = CriteoBinDataset(
+            args.binary_data_file, tc.test_batch_size, args.max_ind_range,
+            start_record=n_train,
+        )
     return cfg, train, test
+
+
+def pad_eval(fn, ndev: int):
+    """Wrap a sharded eval step so batch sizes not divisible by the mesh
+    still evaluate: pad the batch to the next multiple of `ndev`, trim the
+    returned probabilities. (The reference instead skips indivisible batches
+    with a warning, dlrm_s_pytorch.py:789-791 — padding evaluates ALL data.)
+    """
+    from deep_quantized_recommendation_model_dqrm_tpu.models.dlrm import Batch
+
+    def wrapped(state, b):
+        B = int(b.labels.shape[0])
+        rem = B % ndev
+        if rem == 0:
+            return fn(state, b)
+        pad = ndev - rem
+        dense = np.asarray(b.dense)
+        indices = np.asarray(b.indices)
+        padded = Batch(
+            dense=np.concatenate(
+                [dense, np.zeros((pad, dense.shape[1]), dense.dtype)]
+            ),
+            indices=np.concatenate(
+                [indices, np.zeros(indices.shape[:1] + (pad,) + indices.shape[2:], indices.dtype)],
+                axis=1,
+            ),
+            labels=np.concatenate(
+                [np.asarray(b.labels), np.zeros(pad, np.float32)]
+            ),
+            mask=None
+            if b.mask is None
+            else np.concatenate(
+                [np.asarray(b.mask),
+                 np.ones(b.mask.shape[:1] + (pad,) + b.mask.shape[2:], np.float32)],
+                axis=1,
+            ),
+        )
+        return np.asarray(fn(state, padded))[:B]
+
+    return wrapped
 
 
 def evaluate(cfg, state, test_loader, eval_fn, max_batches: Optional[int] = None):
@@ -307,10 +404,20 @@ def run(argv=None) -> dict:
         for k, t in enumerate(state.params["emb"]):
             t = np.asarray(t[: min(4, t.shape[0])])
             rank0_print(rank, f"emb[{k}] first rows:\n{t}")
-    ckpt = CheckpointManager(args.save_model) if args.save_model else None
+    # hybrid state checkpoints sharded via Orbax (the mega-table never
+    # gathers to one device — Terabyte tables may not fit); other modes use
+    # the npz two-slot manager
+    if args.parallelism == "hybrid":
+        from deep_quantized_recommendation_model_dqrm_tpu.utils.checkpoint_orbax import (
+            ShardedCheckpointManager,
+        )
+
+        ckpt = ShardedCheckpointManager(args.save_model) if args.save_model else None
+    else:
+        ckpt = CheckpointManager(args.save_model) if args.save_model else None
     start_epoch = start_batch = 0
     best_acc = best_auc = 0.0
-    if args.load_model:
+    if args.load_model and args.parallelism != "hybrid":
         loaded = CheckpointManager(args.load_model)
         state, meta = loaded.restore(state)
         start_epoch = int(meta.get("epoch", 0))
@@ -365,13 +472,18 @@ def run(argv=None) -> dict:
     step_mode = args.parallelism
     sync_fn = None
     plan = None
-    if step_mode == "dp":
+    if step_mode in ("dp", "dp-nosync"):
         from deep_quantized_recommendation_model_dqrm_tpu.parallel import comm_grad
         from deep_quantized_recommendation_model_dqrm_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
         dstate = comm_grad.init_dp_state(cfg, tc)
-        sync_fn = comm_grad.make_weight_sync(mesh) if tc.weight_sync_period > 0 else None
+        # dp: periodic drift-bounding sync (weight_syncc, comm_grad.py:1977);
+        # dp-nosync: the dp_only.py ablation has NO sync — we still build the
+        # sync fn to re-average replicas before evaluation.
+        sync_fn = comm_grad.make_weight_sync(mesh) if (
+            tc.weight_sync_period > 0 or step_mode == "dp-nosync"
+        ) else None
     elif step_mode == "pseudo":
         from deep_quantized_recommendation_model_dqrm_tpu.parallel import pseudo
 
@@ -383,6 +495,20 @@ def run(argv=None) -> dict:
         mesh = make_mesh()
         plan = hybrid.plan_table_sharding(cfg.table_sizes, len(mesh.devices))
         hstate = hybrid.init_hybrid_state(cfg, tc, mesh, plan)
+        if args.load_model:
+            from deep_quantized_recommendation_model_dqrm_tpu.utils.checkpoint_orbax import (
+                ShardedCheckpointManager,
+            )
+
+            hstate, meta = ShardedCheckpointManager(args.load_model).restore(hstate)
+            start_epoch = int(meta.get("epoch", 0))
+            start_batch = int(meta.get("batch", 0))
+            best_acc = float(meta.get("test_acc", 0.0))
+            rank0_print(
+                rank,
+                f"resumed sharded hybrid state from {args.load_model} @ "
+                f"epoch {start_epoch} batch {start_batch}",
+            )
 
     # QAT epoch schedule: the jitted step is rebuilt (and cached) whenever
     # the effective config changes at an epoch boundary (comm_grad.py:
@@ -394,6 +520,8 @@ def run(argv=None) -> dict:
         if eff not in _step_cache:
             if step_mode == "dp":
                 _step_cache[eff] = comm_grad.make_dp_train_step(eff, tc, mesh)
+            elif step_mode == "dp-nosync":
+                _step_cache[eff] = comm_grad.make_dp_nosync_train_step(eff, tc, mesh)
             elif step_mode == "hybrid":
                 _step_cache[eff] = hybrid.make_hybrid_train_step(eff, tc, mesh, plan)
             elif step_mode == "pseudo":
@@ -410,6 +538,7 @@ def run(argv=None) -> dict:
                     tc.optimizer in ("sgd", "rwsadagrad")
                     and eff.quant.quant_scheme == "hawq"
                     and eff.weighted_pooling != "learned"
+                    and not (eff.qr_flag or eff.md_flag)
                 )
                 _step_cache[eff] = make_train_step(
                     eff, tc, sparse_emb_grad=use_sparse
@@ -434,6 +563,22 @@ def run(argv=None) -> dict:
     loss_acc = 0.0
     loss_n = 0
     result = {}
+    # eval steps are built ONCE (a fresh jax.jit wrapper per --test-freq
+    # interval would pay full compile every eval)
+    hybrid_eval_fn = None
+    dp_eval_fn = None
+    if step_mode == "hybrid":
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel.hybrid import (
+            make_hybrid_eval_step,
+        )
+
+        hybrid_eval_fn = pad_eval(
+            make_hybrid_eval_step(cfg, mesh, plan), len(mesh.devices.reshape(-1))
+        )
+    elif step_mode in ("dp", "dp-nosync"):
+        dp_eval_fn = pad_eval(
+            comm_grad.make_dp_eval_step(cfg, mesh), len(mesh.devices.reshape(-1))
+        )
     from deep_quantized_recommendation_model_dqrm_tpu.data.prefetch import prefetch
 
     for epoch in range(start_epoch, tc.nepochs):
@@ -443,7 +588,7 @@ def run(argv=None) -> dict:
         for bi, batch in enumerate(prefetch(train_loader, depth=3)):
             if epoch == start_epoch and bi < start_batch:
                 continue  # fast-forward resume (dlrm_s_pytorch.py:1523-1534)
-            if step_mode in ("dp", "hybrid"):
+            if step_mode in ("dp", "dp-nosync", "hybrid"):
                 ndev = len(mesh.devices.reshape(-1))
                 if batch.labels.shape[0] % ndev != 0:
                     # mirror the reference's skip-with-warning for batches
@@ -454,9 +599,15 @@ def run(argv=None) -> dict:
                         f"{batch.labels.shape[0]} % {ndev} != 0)",
                     )
                     continue
-            if step_mode == "dp":
+            if step_mode in ("dp", "dp-nosync"):
                 dstate, loss = step_fn(dstate, batch)
-                if sync_fn is not None and (it + 1) % tc.weight_sync_period == 0:
+                # dp-nosync = the dp_only.py ablation: NO periodic sync
+                if (
+                    step_mode == "dp"
+                    and sync_fn is not None
+                    and tc.weight_sync_period > 0
+                    and (it + 1) % tc.weight_sync_period == 0
+                ):
                     dstate = sync_fn(dstate)
                 state = state._replace(params=dstate.params, qstate=dstate.qstate)
             elif step_mode == "hybrid":
@@ -482,18 +633,19 @@ def run(argv=None) -> dict:
             if tc.test_freq > 0 and it % tc.test_freq == 0:
                 if step_mode == "hybrid":
                     # sharded eval: tables stay distributed (no single-chip
-                    # unpack; Terabyte tables may not fit one device)
-                    from deep_quantized_recommendation_model_dqrm_tpu.parallel.hybrid import (
-                        make_hybrid_eval_step,
-                        unpack_tables,
-                    )
-
-                    hev = make_hybrid_eval_step(cfg, mesh, plan)
-                    m = evaluate(cfg, hstate, test_loader, hev)
-                    state = state._replace(
-                        params={**hstate.mlp, "emb": unpack_tables(hstate.mega, plan, cfg.table_sizes)},
-                        qstate=hstate.qstate,
-                    )
+                    # unpack; Terabyte tables may not fit one device), eval
+                    # step compiled exactly once (hoisted above the loop)
+                    m = evaluate(cfg, hstate, test_loader, hybrid_eval_fn)
+                elif step_mode in ("dp", "dp-nosync"):
+                    # rank-sharded eval (inference_distributed,
+                    # comm_grad.py:1170-1305); nosync replicas are
+                    # re-averaged first (dp_only.py's accuracy aggregation)
+                    if step_mode == "dp-nosync" and sync_fn is not None:
+                        dstate = sync_fn(dstate)
+                        state = state._replace(
+                            params=dstate.params, qstate=dstate.qstate
+                        )
+                    m = evaluate(cfg, dstate, test_loader, dp_eval_fn)
                 else:
                     m = evaluate(cfg, state, test_loader, eval_fn)
                 rank0_print(rank, f"Testing at - {it}/{epoch}: {m}")
@@ -502,8 +654,13 @@ def run(argv=None) -> dict:
                 result = m
                 if ckpt and m.get("accuracy", 0.0) > best_acc:
                     best_acc = m["accuracy"]
+                    # hybrid saves the SHARDED state via Orbax (each device
+                    # writes its mega-table shard; no single-device unpack).
+                    # dp modes save the replicated TrainState (npz), which
+                    # the standard --load-model path restores.
+                    save_state = hstate if step_mode == "hybrid" else state
                     ckpt.save(
-                        state,
+                        save_state,
                         {"epoch": epoch, "batch": bi + 1, "iter": it,
                          "test_acc": best_acc, "test_auc": m.get("roc_auc", 0.0)},
                     )
@@ -525,23 +682,25 @@ def run(argv=None) -> dict:
     mll.end("run")
     if prof_ctx is not None:
         prof_ctx.__exit__(None, None, None)
-    if step_mode == "hybrid":
-        # sync trained shards back into the eval/checkpoint state (otherwise
-        # a run without --test-freq would eval/save the INITIAL params)
-        from deep_quantized_recommendation_model_dqrm_tpu.parallel.hybrid import (
-            unpack_tables,
-        )
-
-        state = state._replace(
-            params={**hstate.mlp, "emb": unpack_tables(hstate.mega, plan, cfg.table_sizes)},
-            qstate=hstate.qstate,
-        )
+    if step_mode in ("dp", "dp-nosync"):
+        if step_mode == "dp-nosync" and sync_fn is not None:
+            dstate = sync_fn(dstate)
+        state = state._replace(params=dstate.params, qstate=dstate.qstate)
     if not result:
-        result = evaluate(cfg, state, test_loader, eval_fn, max_batches=8)
+        if step_mode == "hybrid":
+            # sharded final eval — the mega-table stays distributed
+            result = evaluate(
+                cfg, hstate, test_loader, hybrid_eval_fn, max_batches=8
+            )
+        else:
+            result = evaluate(cfg, state, test_loader, eval_fn, max_batches=8)
         rank0_print(rank, f"final eval: {result}")
         if ckpt:
-            ckpt.save(state, {"epoch": tc.nepochs, "batch": 0, "iter": it,
-                              "test_acc": result.get("accuracy", 0.0)})
+            ckpt.save(
+                hstate if step_mode == "hybrid" else state,
+                {"epoch": tc.nepochs, "batch": 0, "iter": it,
+                 "test_acc": result.get("accuracy", 0.0)},
+            )
     logger.close()
     return result
 

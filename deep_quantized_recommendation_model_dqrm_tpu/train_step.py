@@ -136,6 +136,12 @@ def _build_sparse_step_fn(
 
     if tc.optimizer not in ("sgd", "adagrad", "rwsadagrad"):
         raise ValueError("sparse step supports sgd / adagrad / rwsadagrad")
+    if any(config.table_kind(k) != "dense" for k in range(config.num_tables)):
+        raise NotImplementedError(
+            "QR/MD embeddings are not pure gathers; use the dense step "
+            "(sparse_emb_grad=False), matching the reference where QR/MD "
+            "run only under autograd (dlrm_s_pytorch.py:239-286)"
+        )
     qc = config.quant
 
     def step_fn(state: TrainState, batch: dlrm.Batch) -> Tuple[TrainState, jax.Array]:

@@ -15,14 +15,31 @@ from typing import Any, Dict, Optional
 
 
 class ScalarLogger:
-    """Append-only JSONL scalar log: {"tag": ..., "value": ..., "step": ...}."""
+    """Append-only JSONL scalar log: {"tag": ..., "value": ..., "step": ...}.
 
-    def __init__(self, log_dir: Optional[str], run_name: str = "run"):
+    Also writes real TensorBoard tfevents next to the JSONL (utils/tfevents
+    .py — the reference's SummaryWriter output, dlrm_s_pytorch.py:1497) so
+    standard dashboards read the curves; set `tfevents=False` to disable.
+    """
+
+    def __init__(
+        self,
+        log_dir: Optional[str],
+        run_name: str = "run",
+        tfevents: bool = True,
+    ):
         self.path = None
+        self._tb = None
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self.path = os.path.join(log_dir, f"{run_name}.scalars.jsonl")
             self._f = open(self.path, "a")
+            if tfevents:
+                from deep_quantized_recommendation_model_dqrm_tpu.utils.tfevents import (
+                    TFEventWriter,
+                )
+
+                self._tb = TFEventWriter(log_dir)
         else:
             self._f = None
 
@@ -36,10 +53,15 @@ class ScalarLogger:
             + "\n"
         )
         self._f.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+            self._tb.flush()
 
     def close(self) -> None:
         if self._f:
             self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class MLPerfLogger:

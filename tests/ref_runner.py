@@ -1,0 +1,210 @@
+"""Reference A/B runner: drives the ACTUAL PyTorch reference implementation
+(`/root/reference`, imported at runtime — nothing is copied) on tiny synthetic
+data with caller-provided weights and batches, returning per-step losses and
+final parameters. `tests/test_reference_parity.py` feeds the identical
+init/batches to our JAX engine and asserts trajectory agreement.
+
+Covered reference paths (dlrm_s_pytorch_comm_grad.py):
+- FP32 model + plain SGD                  (DLRM_Net, quantization_flag=False)
+- emb-only INT4 QAT + plain SGD           (QuantEmbeddingBagTwo pooled-output
+                                           fake-quant; QuantLinear in
+                                           full-precision mode)
+- full INT4 QAT (emb + MLP weights, bias_bit=weight_bit) + plain SGD
+- full INT4 QAT + quantized-gradient communication at world_size=1
+  (clear_gradients -> backward -> grad_update_parallel_comm ->
+   weight_update_parallel_comm, sgd_quantized_gradients_parallel_comm.py)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+REFERENCE_DIR = "/root/reference"
+
+
+def have_reference() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
+
+
+_ref_mod = None
+
+
+def _import_reference():
+    """Import the reference driver module once, with CPU-torch shims."""
+    global _ref_mod
+    if _ref_mod is not None:
+        return _ref_mod
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    import torch
+
+    if not torch.cuda.is_available():
+        # The reference hardcodes `.cuda()` on the quantization zero-point
+        # (quant_utils.py:337) even on CPU paths; neutralize it for the
+        # CPU-only torch build. Test-process-local monkeypatch.
+        torch.Tensor.cuda = lambda self, *a, **k: self
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        import dlrm_s_pytorch_comm_grad as ref  # noqa: F401
+    _ref_mod = ref
+    return ref
+
+
+def _build_model(ref, weights: Dict, mode: str, embedding_bit: int, weight_bit: int):
+    import torch
+
+    table_sizes = [w.shape[0] for w in weights["emb"]]
+    m_spa = weights["emb"][0].shape[1]
+    ln_bot = np.array(
+        [weights["bot"][0]["w"].shape[1]]
+        + [l["w"].shape[0] for l in weights["bot"]]
+    )
+    ln_top = np.array(
+        [weights["top"][0]["w"].shape[1]]
+        + [l["w"].shape[0] for l in weights["top"]]
+    )
+    quantized = mode != "fp32"
+    with contextlib.redirect_stdout(io.StringIO()):
+        model = ref.DLRM_Net(
+            m_spa,
+            np.array(table_sizes),
+            ln_bot,
+            ln_top,
+            arch_interaction_op="dot",
+            sigmoid_bot=-1,
+            sigmoid_top=ln_top.size - 2,
+            quantization_flag=quantized,
+            embedding_bit=embedding_bit,
+            weight_bit=weight_bit,
+            quantize_act_and_lin=(mode in ("full4", "commgrad")),
+            quantize_activation=False,
+        )
+    # epoch-schedule globals of the driver (train() sets these from args;
+    # we pin them to the steady quantized phase)
+    ref.full_precision_flag = False
+    ref.change_bitw = False
+    ref.change_lin_full_quantize = False
+
+    # overwrite every parameter with the caller's init
+    with torch.no_grad():
+        for k, w in enumerate(weights["emb"]):
+            if quantized:
+                model.emb_l[k].embedding_bag.weight.data = torch.tensor(w)
+            else:
+                model.emb_l[k].weight.data = torch.tensor(w)
+        for part, layers in (("bot", model.bot_l), ("top", model.top_l)):
+            li = 0
+            for layer in layers:
+                if hasattr(layer, "weight"):
+                    layer.weight.data = torch.tensor(weights[part][li]["w"])
+                    layer.bias.data = torch.tensor(weights[part][li]["b"])
+                    li += 1
+    return model
+
+
+def _extract_params(model, quantized: bool) -> Dict:
+    out = {"emb": [], "bot": [], "top": []}
+    for e in model.emb_l:
+        w = e.embedding_bag.weight if quantized else e.weight
+        out["emb"].append(w.detach().numpy().copy())
+    for part, layers in (("bot", model.bot_l), ("top", model.top_l)):
+        for layer in layers:
+            if hasattr(layer, "weight"):
+                out[part].append(
+                    {
+                        "w": layer.weight.detach().numpy().copy(),
+                        "b": layer.bias.detach().numpy().copy(),
+                    }
+                )
+    return out
+
+
+def run_reference(
+    weights: Dict,
+    batches: Sequence[Dict],
+    lr: float,
+    mode: str = "fp32",
+    embedding_bit: int = 4,
+    weight_bit: int = 4,
+    grad_bits: int = 8,
+) -> Dict:
+    """Train the reference model and return its trajectory.
+
+    weights: {"emb": [np [n,D]], "bot"/"top": [{"w","b"}]} (our init layout;
+      torch Linear uses the same [out,in] weight shape).
+    batches: [{"dense" [B,nd] f32, "indices" [T,B] int64, "labels" [B] f32}].
+    mode: fp32 | emb4 | full4 | commgrad.
+    Returns {"losses": [float], "probs_last": np [B], "params": final}.
+    """
+    ref = _import_reference()
+    import torch
+
+    torch.manual_seed(0)
+    quantized = mode != "fp32"
+    model = _build_model(ref, weights, mode, embedding_bit, weight_bit)
+
+    use_commgrad = mode == "commgrad"
+    if use_commgrad:
+        import torch.distributed as dist
+
+        from sgd_quantized_gradients_parallel_comm import (  # noqa: E501
+            clear_gradients,
+            grad_update_parallel_comm,
+            weight_update_parallel_comm,
+        )
+
+        if not dist.is_initialized():
+            dist.init_process_group(
+                "gloo",
+                init_method="tcp://127.0.0.1:29781",
+                world_size=1,
+                rank=0,
+            )
+    else:
+        opt = torch.optim.SGD(model.parameters(), lr=lr)
+
+    losses: List[float] = []
+    probs = None
+    for b in batches:
+        dense = torch.tensor(b["dense"])
+        lS_i = [torch.tensor(b["indices"][k]) for k in range(len(b["indices"]))]
+        lS_o = [torch.arange(dense.shape[0]) for _ in lS_i]
+        labels = torch.tensor(b["labels"]).view(-1, 1)
+        with contextlib.redirect_stdout(io.StringIO()):
+            Z = model(dense, lS_o, lS_i)
+        E = model.loss_fn(Z, labels)
+        losses.append(float(E.detach()))
+        probs = Z.detach().numpy().reshape(-1).copy()
+        if use_commgrad:
+            with contextlib.redirect_stdout(io.StringIO()):
+                clear_gradients(model)
+                E.backward()
+                grad_update_parallel_comm(
+                    model,
+                    1,
+                    emb_grad_quantized=True,
+                    num_bits=grad_bits,
+                    ranking_range=False,
+                )
+                weight_update_parallel_comm(
+                    model,
+                    lr,
+                    emb_grad_quantized=True,
+                    update_embedding=True,
+                    num_gpus=1,
+                )
+        else:
+            opt.zero_grad()
+            E.backward()
+            opt.step()
+    return {
+        "losses": losses,
+        "probs_last": probs,
+        "params": _extract_params(model, quantized),
+    }

@@ -1,0 +1,179 @@
+"""Reference A/B parity: run the ACTUAL PyTorch reference (via
+tests/ref_runner.py) and this engine on identical inits and batches, and
+assert the training trajectories agree.
+
+This is the strongest obtainable evidence (real Criteo is unreachable here)
+that our numerics match the reference end-to-end: same per-step losses =>
+same loss surface, gradients, and update rule. Covers FP32, emb-only INT4,
+full INT4 (bias_bit=weight_bit), and the quantized-gradient-communication
+path at world_size=1 (dlrm_s_pytorch_comm_grad.py:1934-1991 +
+sgd_quantized_gradients_parallel_comm.py numerics).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from deep_quantized_recommendation_model_dqrm_tpu.config import (
+    DLRMConfig,
+    QuantConfig,
+    TrainConfig,
+)
+from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm
+from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+    TrainState,
+    init_train_state,
+    make_train_step,
+)
+
+from ref_runner import have_reference, run_reference
+
+pytestmark = pytest.mark.skipif(
+    not have_reference(), reason="reference checkout not available"
+)
+
+TABLE_SIZES = (60, 30, 11, 5)
+D = 8
+CFG_BASE = DLRMConfig(
+    table_sizes=TABLE_SIZES,
+    embedding_dim=D,
+    mlp_bot=(4, 16, D),
+    mlp_top=(18, 12, 1),
+)
+B = 16
+N_STEPS = 12
+LR = 0.05
+TC = TrainConfig(batch_size=B, learning_rate=LR, seed=5)
+
+
+def _make_batches(n_steps: int, seed: int = 0):
+    rng = np.random.RandomState(seed)
+    batches = []
+    for _ in range(n_steps):
+        idx = np.stack(
+            [rng.randint(0, n, size=B) for n in TABLE_SIZES]
+        ).astype(np.int64)
+        batches.append(
+            {
+                "dense": rng.uniform(0, 1, size=(B, 4)).astype(np.float32),
+                "indices": idx,
+                "labels": (rng.uniform(size=B) < 0.5).astype(np.float32),
+            }
+        )
+    return batches
+
+
+def _weights_numpy(params):
+    return {
+        "emb": [np.asarray(t) for t in params["emb"]],
+        "bot": [{"w": np.asarray(l["w"]), "b": np.asarray(l["b"])} for l in params["bot"]],
+        "top": [{"w": np.asarray(l["w"]), "b": np.asarray(l["b"])} for l in params["top"]],
+    }
+
+
+def _to_batch(b):
+    return dlrm.Batch(
+        dense=b["dense"],
+        indices=b["indices"][:, :, None].astype(np.int32),
+        labels=b["labels"],
+    )
+
+
+def _run_ours_single(cfg, batches):
+    state = init_train_state(cfg, TC)
+    step = make_train_step(cfg, TC, sparse_emb_grad=True)
+    losses = []
+    for b in batches:
+        state, loss = step(state, _to_batch(b))
+        losses.append(float(loss))
+    return state, losses
+
+
+def _assert_params_close(ours, ref, atol):
+    for a, b in zip(ours["emb"], ref["emb"]):
+        np.testing.assert_allclose(np.asarray(a), b, atol=atol)
+    for part in ("bot", "top"):
+        for la, lb in zip(ours[part], ref[part]):
+            np.testing.assert_allclose(np.asarray(la["w"]), lb["w"], atol=atol)
+            np.testing.assert_allclose(np.asarray(la["b"]), lb["b"], atol=atol)
+
+
+class TestReferenceParity:
+    def _ab(self, mode, cfg, loss_rtol, param_atol, grad_bits=8):
+        batches = _make_batches(N_STEPS)
+        params0 = dlrm.init_params(cfg, TC.seed)
+        ref = run_reference(
+            _weights_numpy(params0),
+            batches,
+            lr=LR,
+            mode=mode,
+            embedding_bit=cfg.quant.embedding_bit,
+            weight_bit=cfg.quant.weight_bit,
+            grad_bits=grad_bits,
+        )
+        if mode == "commgrad":
+            from deep_quantized_recommendation_model_dqrm_tpu.parallel import (
+                comm_grad,
+            )
+            from deep_quantized_recommendation_model_dqrm_tpu.parallel.mesh import (
+                make_mesh,
+            )
+
+            tc = TC.replace(grad_quant_bits=grad_bits, weight_sync_period=0)
+            mesh = make_mesh(1)
+            state = comm_grad.init_dp_state(cfg, tc)
+            step = comm_grad.make_dp_train_step(cfg, tc, mesh)
+            losses = []
+            for b in batches:
+                state, loss = step(state, _to_batch(b))
+                losses.append(float(loss))
+            final = state.params
+        else:
+            state, losses = _run_ours_single(cfg, batches)
+            final = state.params
+        np.testing.assert_allclose(
+            np.asarray(losses), np.asarray(ref["losses"]), rtol=loss_rtol,
+            err_msg=f"per-step loss mismatch [{mode}]",
+        )
+        _assert_params_close(final, ref["params"], atol=param_atol)
+        return losses, ref["losses"]
+
+    def test_fp32_trajectory_matches(self):
+        cfg = CFG_BASE
+        self._ab("fp32", cfg, loss_rtol=2e-4, param_atol=1e-4)
+
+    def test_emb_only_int4_trajectory_matches(self):
+        cfg = dataclasses.replace(
+            CFG_BASE,
+            quant=QuantConfig(
+                enabled=True, embedding_bit=4, weight_bit=4,
+                quantize_mlp=False, scale_update_period=1,
+            ),
+        )
+        self._ab("emb4", cfg, loss_rtol=2e-4, param_atol=1e-4)
+
+    def test_full_int4_trajectory_matches(self):
+        # bias_bit = weight_bit: the reference constructs QuantLinear with
+        # bias_bit=weight_bit (dlrm_s_pytorch_comm_grad.py:316-323)
+        cfg = dataclasses.replace(
+            CFG_BASE,
+            quant=QuantConfig(
+                enabled=True, embedding_bit=4, weight_bit=4, bias_bit=4,
+                quantize_mlp=True, scale_update_period=1,
+            ),
+        )
+        self._ab("full4", cfg, loss_rtol=2e-4, param_atol=1e-4)
+
+    def test_commgrad_int8_trajectory_matches(self):
+        """Full INT4 QAT + the quantized+sparsified gradient exchange at
+        world_size=1: coalesce -> scale -> INT8 quantize -> (no-op) allreduce
+        -> manual SGD must match our compressed DP step on a 1-device mesh."""
+        cfg = dataclasses.replace(
+            CFG_BASE,
+            quant=QuantConfig(
+                enabled=True, embedding_bit=4, weight_bit=4, bias_bit=4,
+                quantize_mlp=True, scale_update_period=1,
+            ),
+        )
+        self._ab("commgrad", cfg, loss_rtol=5e-4, param_atol=2e-4)
