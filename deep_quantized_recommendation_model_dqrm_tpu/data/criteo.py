@@ -68,6 +68,16 @@ def _parse_lines_numpy(
     return y, xi, xc
 
 
+def _savez(path: str, **arrays) -> None:
+    """Uncompressed npz write. zip-deflate of the old savez_compressed was
+    >50%% of total preprocessing wall-clock; day files are scratch data, not
+    archives. Set DQRM_COMPRESS_NPZ=1 to get compressed output back."""
+    if os.environ.get("DQRM_COMPRESS_NPZ"):
+        np.savez_compressed(path, **arrays)
+    else:
+        np.savez(path, **arrays)
+
+
 def _native_parser():
     try:
         from deep_quantized_recommendation_model_dqrm_tpu.data import native_ext
@@ -75,6 +85,102 @@ def _native_parser():
         return native_ext if native_ext.available() else None
     except Exception:
         return None
+
+
+def _iter_text_chunks(path: str, chunk_bytes: int = 64 << 20) -> Iterator[bytes]:
+    """Stream a raw TSV file in bounded chunks aligned to line boundaries —
+    memory stays O(chunk_bytes) regardless of file size (replaces
+    whole-file readlines; the reference streams per-day files,
+    data_utils.py:876-1290)."""
+    with open(path, "rb") as f:
+        carry = b""
+        while True:
+            block = f.read(chunk_bytes)
+            if not block:
+                if carry:
+                    yield carry
+                return
+            block = carry + block
+            cut = block.rfind(b"\n")
+            if cut < 0:
+                carry = block
+                continue
+            yield block[: cut + 1]
+            carry = block[cut + 1 :]
+
+
+def _parse_chunk(chunk: bytes, native) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parse one text chunk -> (y, X_int, raw X_cat int64)."""
+    if native is not None:
+        return native.parse_buffer(chunk)
+    lines = chunk.splitlines()
+    return _parse_lines_numpy(lines, None)
+
+
+def _map_categories(
+    xc_raw: np.ndarray,  # [n, 26] raw int64 hex values
+    dicts: List[Dict[int, int]],
+) -> np.ndarray:
+    """Map raw categorical values through per-column first-appearance
+    dictionaries, VECTORIZED: Python dict work happens once per UNIQUE value
+    instead of once per row (data_utils.py's per-row
+    convertUStringToDistinctInts loop is the reference's Terabyte
+    bottleneck). Returns int32 ids.
+    """
+    n = xc_raw.shape[0]
+    out = np.empty((n, NUM_SPARSE), np.int32)
+    for j in range(NUM_SPARSE):
+        col = xc_raw[:, j]
+        uniq, first, inv = np.unique(
+            col, return_index=True, return_inverse=True
+        )
+        d = dicts[j]
+        ids = np.empty(len(uniq), np.int32)
+        # visit new values in FIRST-APPEARANCE order so assigned ids are
+        # identical to the reference's per-row dict build
+        order = np.argsort(first, kind="stable")
+        for u_i in order.tolist():
+            raw = int(uniq[u_i])
+            idx = d.get(raw)
+            if idx is None:
+                idx = len(d)
+                d[raw] = idx
+            ids[u_i] = idx
+        out[:, j] = ids[inv]
+    return out
+
+
+class _CatMapper:
+    """Categorical dictionary build: native C++ hash maps when available
+    (NativeCatDicts, ~30x the Python build), per-column Python dicts
+    otherwise. Both assign ids in first-appearance order — identical output.
+    """
+
+    def __init__(self, use_native: bool):
+        self.native = None
+        self.dicts: Optional[List[Dict[int, int]]] = None
+        if use_native:
+            try:
+                from deep_quantized_recommendation_model_dqrm_tpu.data import (
+                    native_ext,
+                )
+
+                if native_ext.available():
+                    self.native = native_ext.NativeCatDicts(NUM_SPARSE)
+            except Exception:
+                self.native = None
+        if self.native is None:
+            self.dicts = [dict() for _ in range(NUM_SPARSE)]
+
+    def map(self, xc_raw: np.ndarray) -> np.ndarray:
+        if self.native is not None:
+            return self.native.map(xc_raw)
+        return _map_categories(xc_raw, self.dicts)
+
+    def counts(self) -> np.ndarray:
+        if self.native is not None:
+            return np.maximum(self.native.sizes(), 1)
+        return np.array([max(len(d), 1) for d in self.dicts], np.int64)
 
 
 def preprocess_criteo(
@@ -89,52 +195,93 @@ def preprocess_criteo(
     """Split raw TSV into days, build dictionaries, write per-day npz.
 
     Mirrors `getCriteoAdData` (data_utils.py:876): rows are dealt to days
-    round-robin by line count (the Kaggle file has no timestamps; the
-    reference splits by offset chunks — we match chunk semantics), zero-label
-    rows dropped with probability (1 - sub_sample_rate kept)
-    (data_utils.py:1021-1031). Returns per-day npz paths with keys
-    y / X_int / X_cat plus a counts file (`_fea_count.npz` analogue).
+    by contiguous line-count chunks, zero-label rows dropped with
+    probability (1 - sub_sample_rate kept) (data_utils.py:1021-1031).
+    Returns per-day npz paths with keys y / X_int / X_cat plus a counts
+    file (`_fea_count.npz` analogue).
+
+    Terabyte-viable by construction: the raw text is STREAMED in bounded
+    chunks (never a whole-file readlines), parsing runs in the C++ parser,
+    and the dictionary build is vectorized (Python dict work once per
+    UNIQUE value, not per row). Peak memory = O(chunk) + O(one parsed day)
+    for the npz write + the dictionaries.
     """
     os.makedirs(out_dir, exist_ok=True)
+    # cheap counting pass to place day boundaries (IO-bound, no parsing)
+    total = 0
+    last = b"\n"
     with open(raw_path, "rb") as f:
-        lines = f.readlines()
+        while True:
+            block = f.read(64 << 20)
+            if not block:
+                break
+            total += block.count(b"\n")
+            last = block
+    if not last.endswith(b"\n") and os.path.getsize(raw_path):
+        total += 1  # unterminated final line
     if max_rows:
-        lines = lines[:max_rows]
-    total = len(lines)
+        total = min(total, max_rows)
     per_day = (total + num_days - 1) // num_days
     rng = np.random.RandomState(seed)
     native = _native_parser() if use_native else None
+    mapper = _CatMapper(use_native)
 
-    dicts: List[Dict[int, int]] = [dict() for _ in range(NUM_SPARSE)]
-    paths = []
-    for day in range(num_days):
-        chunk = lines[day * per_day : (day + 1) * per_day]
-        if not chunk:
-            chunk = []
-        if native is not None:
-            y, xi, xc_raw = native.parse_lines(chunk)
-            xc = np.zeros_like(xc_raw)
-            for j in range(NUM_SPARSE):
-                col = xc_raw[:, j]
-                d = dicts[j]
-                out = np.empty(col.shape, np.int64)
-                for r, raw in enumerate(col):
-                    idx = d.get(int(raw))
-                    if idx is None:
-                        idx = len(d)
-                        d[int(raw)] = idx
-                    out[r] = idx
-                xc[:, j] = out
-        else:
-            y, xi, xc = _parse_lines_numpy(chunk, dicts)
-        if sub_sample_rate > 0.0:
-            keep = (y == 1) | (rng.rand(len(y)) > sub_sample_rate)
-            y, xi, xc = y[keep], xi[keep], xc[keep]
+    paths: List[str] = []
+    day = 0
+    day_y: List[np.ndarray] = []
+    day_xi: List[np.ndarray] = []
+    day_xc: List[np.ndarray] = []
+    rows_in_day = 0
+    rows_seen = 0
+
+    def flush_day():
+        nonlocal day, day_y, day_xi, day_xc, rows_in_day
+        y = np.concatenate(day_y) if day_y else np.zeros(0, np.int32)
+        xi = (
+            np.concatenate(day_xi)
+            if day_xi
+            else np.zeros((0, NUM_DENSE), np.int32)
+        )
+        xc = (
+            np.concatenate(day_xc)
+            if day_xc
+            else np.zeros((0, NUM_SPARSE), np.int32)
+        )
         path = os.path.join(out_dir, f"day_{day}.npz")
-        np.savez_compressed(path, y=y, X_int=xi, X_cat=xc.astype(np.int64))
+        _savez(path, y=y, X_int=xi, X_cat=xc.astype(np.int32))
         paths.append(path)
-    counts = np.array([max(len(d), 1) for d in dicts], np.int64)
-    np.savez(os.path.join(out_dir, "counts.npz"), counts=counts)
+        day += 1
+        day_y, day_xi, day_xc = [], [], []
+        rows_in_day = 0
+
+    for chunk in _iter_text_chunks(raw_path):
+        y, xi, xc_raw = _parse_chunk(chunk, native)
+        if rows_seen + len(y) > total:  # max_rows cap
+            keep_n = total - rows_seen
+            y, xi, xc_raw = y[:keep_n], xi[:keep_n], xc_raw[:keep_n]
+        rows_seen += len(y)
+        # split the parsed chunk across day boundaries
+        start = 0
+        while start < len(y):
+            take = min(per_day - rows_in_day, len(y) - start)
+            ys = y[start : start + take]
+            xis = xi[start : start + take]
+            xcs = mapper.map(xc_raw[start : start + take])
+            if sub_sample_rate > 0.0:
+                keep = (ys == 1) | (rng.rand(len(ys)) > sub_sample_rate)
+                ys, xis, xcs = ys[keep], xis[keep], xcs[keep]
+            day_y.append(ys)
+            day_xi.append(xis)
+            day_xc.append(xcs)
+            rows_in_day += take
+            start += take
+            if rows_in_day >= per_day and day < num_days - 1:
+                flush_day()
+        if rows_seen >= total:
+            break
+    while day < num_days:
+        flush_day()
+    np.savez(os.path.join(out_dir, "counts.npz"), counts=mapper.counts())
     return paths
 
 
@@ -148,40 +295,172 @@ def preprocess_criteo_days(
     """Terabyte-style preprocessing: ONE RAW FILE PER DAY (the Terabyte
     dataset ships day_0 ... day_23 as separate files; data_utils.py:876
     iterates `days` files). Shares the Kaggle path's dictionary build across
-    days; day k's npz is built from raw_day_paths[k].
+    days; day k's npz is built from raw_day_paths[k]. Each day STREAMS in
+    bounded chunks through the C++ parser + vectorized dict mapping.
     """
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
     native = _native_parser() if use_native else None
-    dicts: List[Dict[int, int]] = [dict() for _ in range(NUM_SPARSE)]
+    mapper = _CatMapper(use_native)
     paths = []
     for day, rp in enumerate(raw_day_paths):
-        with open(rp, "rb") as f:
-            chunk = f.readlines()
-        if native is not None:
-            y, xi, xc_raw = native.parse_lines(chunk)
-            xc = np.zeros_like(xc_raw)
-            for j in range(NUM_SPARSE):
-                d = dicts[j]
-                out = np.empty(len(chunk), np.int64)
-                for r, raw in enumerate(xc_raw[:, j]):
-                    idx = d.get(int(raw))
-                    if idx is None:
-                        idx = len(d)
-                        d[int(raw)] = idx
-                    out[r] = idx
-                xc[:, j] = out
-        else:
-            y, xi, xc = _parse_lines_numpy(chunk, dicts)
-        if sub_sample_rate > 0.0:
-            keep = (y == 1) | (rng.rand(len(y)) > sub_sample_rate)
-            y, xi, xc = y[keep], xi[keep], xc[keep]
+        day_y, day_xi, day_xc = [], [], []
+        for chunk in _iter_text_chunks(rp):
+            y, xi, xc_raw = _parse_chunk(chunk, native)
+            xc = mapper.map(xc_raw)
+            if sub_sample_rate > 0.0:
+                keep = (y == 1) | (rng.rand(len(y)) > sub_sample_rate)
+                y, xi, xc = y[keep], xi[keep], xc[keep]
+            day_y.append(y)
+            day_xi.append(xi)
+            day_xc.append(xc)
+        y = np.concatenate(day_y) if day_y else np.zeros(0, np.int32)
+        xi = np.concatenate(day_xi) if day_xi else np.zeros((0, NUM_DENSE), np.int32)
+        xc = np.concatenate(day_xc) if day_xc else np.zeros((0, NUM_SPARSE), np.int32)
         path = os.path.join(out_dir, f"day_{day}.npz")
-        np.savez_compressed(path, y=y, X_int=xi, X_cat=xc.astype(np.int64))
+        _savez(path, y=y, X_int=xi, X_cat=xc.astype(np.int32))
         paths.append(path)
+    np.savez(os.path.join(out_dir, "counts.npz"), counts=mapper.counts())
+    return paths
+
+
+def _worker_day_pass1(args) -> Tuple[int, List[np.ndarray], int]:
+    """Phase A of the parallel Terabyte pipeline: stream-parse one raw day,
+    write a temp binary of (y, X_int, raw X_cat) records, and return the
+    per-column UNIQUE raw categorical values (small) for the global merge.
+    Memory stays O(chunk); the temp file is appended chunk-by-chunk.
+    """
+    day, rp, tmp_path, use_native = args
+    native = _native_parser() if use_native else None
+    uniq_sets: List[np.ndarray] = [
+        np.zeros(0, np.int64) for _ in range(NUM_SPARSE)
+    ]
+    n_rows = 0
+    with open(tmp_path, "wb") as out:
+        for chunk in _iter_text_chunks(rp):
+            y, xi, xc_raw = _parse_chunk(chunk, native)
+            n_rows += len(y)
+            rec = np.concatenate(
+                [
+                    y.astype(np.int64).reshape(-1, 1),
+                    xi.astype(np.int64),
+                    xc_raw,
+                ],
+                axis=1,
+            )
+            out.write(rec.astype(np.int64).tobytes())
+            for j in range(NUM_SPARSE):
+                uniq_sets[j] = np.union1d(uniq_sets[j], np.unique(xc_raw[:, j]))
+    return day, uniq_sets, n_rows
+
+
+def _worker_day_pass2(args) -> str:
+    """Phase C: remap one temp day through the broadcast global mapping
+    (sorted raw values -> ids, np.searchsorted) and write the final npz.
+    Streams the temp file in bounded chunks."""
+    day, tmp_path, out_dir, sorted_raw, sorted_ids, sub_sample_rate, seed = args
+    rng = np.random.RandomState(seed + day)
+    rec_ints = 1 + NUM_DENSE + NUM_SPARSE
+    day_y, day_xi, day_xc = [], [], []
+    chunk_rows = 1 << 20
+    with open(tmp_path, "rb") as f:
+        while True:
+            buf = f.read(chunk_rows * rec_ints * 8)
+            if not buf:
+                break
+            rec = np.frombuffer(buf, np.int64).reshape(-1, rec_ints)
+            y = rec[:, 0].astype(np.int32)
+            xi = rec[:, 1 : 1 + NUM_DENSE].astype(np.int32)
+            xc_raw = rec[:, 1 + NUM_DENSE :]
+            xc = np.empty(xc_raw.shape, np.int32)
+            for j in range(NUM_SPARSE):
+                pos = np.searchsorted(sorted_raw[j], xc_raw[:, j])
+                xc[:, j] = sorted_ids[j][pos]
+            if sub_sample_rate > 0.0:
+                keep = (y == 1) | (rng.rand(len(y)) > sub_sample_rate)
+                y, xi, xc = y[keep], xi[keep], xc[keep]
+            day_y.append(y)
+            day_xi.append(xi)
+            day_xc.append(xc)
+    y = np.concatenate(day_y) if day_y else np.zeros(0, np.int32)
+    xi = np.concatenate(day_xi) if day_xi else np.zeros((0, NUM_DENSE), np.int32)
+    xc = np.concatenate(day_xc) if day_xc else np.zeros((0, NUM_SPARSE), np.int32)
+    path = os.path.join(out_dir, f"day_{day}.npz")
+    _savez(path, y=y, X_int=xi, X_cat=xc.astype(np.int32))
+    os.unlink(tmp_path)
+    return path
+
+
+def preprocess_criteo_days_parallel(
+    raw_day_paths: List[str],
+    out_dir: str,
+    sub_sample_rate: float = 0.0,
+    seed: int = 123,
+    use_native: bool = True,
+    workers: int = 4,
+) -> List[str]:
+    """Parallel Terabyte preprocessing: per-day worker processes, bounded
+    memory per worker (the reference's multiprocessing-per-day option,
+    data_utils.py:1080-1290, with its two-phase dict-merge semantics).
+
+    Phase A (parallel): each worker streams its raw day into a temp int64
+    record file and collects per-column unique raw values.
+    Phase B (serial, cheap): merge per-day uniques into one global id
+    assignment. Ids are assigned day-by-day in day order (values seen on an
+    earlier day get smaller ids), matching the reference's merge of per-day
+    dictionaries into a cross-day mapping (data_utils.py:1080-1130); within
+    a day new values are id'd in sorted order (deviation from strict
+    first-row-appearance — any consistent bijection is equivalent for
+    training).
+    Phase C (parallel): workers remap each temp day through the global
+    mapping (vectorized searchsorted) and emit the final npz.
+    """
+    import multiprocessing as mp
+
+    os.makedirs(out_dir, exist_ok=True)
+    tmp_paths = [
+        os.path.join(out_dir, f"_tmp_day_{d}.bin")
+        for d in range(len(raw_day_paths))
+    ]
+    jobs = [
+        (d, rp, tmp_paths[d], use_native)
+        for d, rp in enumerate(raw_day_paths)
+    ]
+    if workers > 1:
+        with mp.get_context("spawn").Pool(min(workers, len(jobs))) as pool:
+            pass1 = pool.map(_worker_day_pass1, jobs)
+    else:
+        pass1 = [_worker_day_pass1(j) for j in jobs]
+    pass1.sort(key=lambda t: t[0])
+
+    # Phase B: day-ordered global id assignment
+    dicts: List[Dict[int, int]] = [dict() for _ in range(NUM_SPARSE)]
+    for _, uniq_sets, _ in pass1:
+        for j in range(NUM_SPARSE):
+            d = dicts[j]
+            for raw in uniq_sets[j].tolist():
+                if raw not in d:
+                    d[raw] = len(d)
+    sorted_raw, sorted_ids = [], []
+    for j in range(NUM_SPARSE):
+        raws = np.fromiter(dicts[j].keys(), np.int64, len(dicts[j]))
+        ids = np.fromiter(dicts[j].values(), np.int32, len(dicts[j]))
+        order = np.argsort(raws)
+        sorted_raw.append(raws[order])
+        sorted_ids.append(ids[order])
+
+    jobs2 = [
+        (d, tmp_paths[d], out_dir, sorted_raw, sorted_ids, sub_sample_rate, seed)
+        for d in range(len(raw_day_paths))
+    ]
+    if workers > 1:
+        with mp.get_context("spawn").Pool(min(workers, len(jobs2))) as pool:
+            paths = pool.map(_worker_day_pass2, jobs2)
+    else:
+        paths = [_worker_day_pass2(j) for j in jobs2]
     counts = np.array([max(len(d), 1) for d in dicts], np.int64)
     np.savez(os.path.join(out_dir, "counts.npz"), counts=counts)
-    return paths
+    return sorted(paths, key=lambda p: int(p.split("day_")[-1].split(".")[0]))
 
 
 class CriteoDataset:

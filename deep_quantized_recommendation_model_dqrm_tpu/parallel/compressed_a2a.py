@@ -33,10 +33,25 @@ def _quantized_exchange(
     """
     n = jax.lax.psum(1, axis)
     s_local = q.symmetric_quantization_params(bits, jnp.min(x), jnp.max(x))
-    x_int = q.quantize(x, s_local, bits)  # int8
+    x_int = q.quantize(x, s_local, bits)  # int8 container
+    pack4 = bits <= 4 and x.shape[-1] % 2 == 0
+    if pack4:
+        # INT4 nibble packing along the feature axis: two values per byte,
+        # halving wire bytes vs the int8 floor (same packing as the sparse
+        # gradient exchange, comm_grad.compressed_sparse_allgather). The
+        # a2a splits/concats on batch/table axes, so the packed last axis
+        # travels untouched.
+        D = x.shape[-1]
+        u = (x_int.astype(jnp.int32) + 8).astype(jnp.uint8)  # [-8,7]->[0,15]
+        x_int = u[..., : D // 2] | (u[..., D // 2 :] << 4)  # uint8 [.., D/2]
     y_int = jax.lax.all_to_all(
         x_int, axis, split_axis=split_axis, concat_axis=concat_axis, tiled=True
     )
+    if pack4:
+        v = y_int.astype(jnp.int32)
+        lo = (v & 0xF) - 8
+        hi = ((v >> 4) & 0xF) - 8
+        y_int = jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
     scales = jax.lax.all_gather(s_local, axis)  # [n]
     # After a tiled a2a the concat axis is sender-major: chunk i came from
     # device i and must be dequantized with device i's scale.

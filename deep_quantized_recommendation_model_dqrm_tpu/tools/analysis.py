@@ -192,3 +192,25 @@ def comm_volume_report(
         "total_bytes": emb_bytes + mlp_bytes,
         "reduction": dense_bytes / max(emb_bytes + mlp_bytes, 1),
     }
+
+
+def a2a_volume_report(
+    tables_per_rank: int,
+    batch: int,
+    embedding_dim: int,
+    world_size: int = 4,
+    a2a_bits: int = 32,
+) -> Dict[str, float]:
+    """Per-iteration hybrid all-to-all volume (pooled-embedding exchange,
+    hybrid_multi_gpu.py:866 ships fp32; our compressed_all_to_all packs
+    INT8, or nibble-packed INT4 at half those bytes again)."""
+    elems = tables_per_rank * batch * embedding_dim  # per-rank payload
+    bytes_fp32 = elems * 4.0 * world_size
+    per_elem = 0.5 if a2a_bits <= 4 else (1.0 if a2a_bits <= 8 else 4.0)
+    scale_bytes = world_size * 4.0
+    compressed = elems * per_elem * world_size + scale_bytes
+    return {
+        "fp32_bytes": bytes_fp32,
+        "compressed_bytes": compressed,
+        "reduction": bytes_fp32 / compressed,
+    }

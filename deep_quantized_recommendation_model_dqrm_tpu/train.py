@@ -134,6 +134,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serialize the packed inference fn (the --save-onnx analogue)")
     # simulation / audit / profiling (SURVEY §3.4, §4.4, §5)
     p.add_argument("--num-pseudo-workers", type=int, default=4)
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="unroll N train steps into one jitted dispatch "
+                        "(single-chip mode): amortizes host dispatch "
+                        "overhead ~N-fold; numerically identical")
     p.add_argument("--investigating-inputs", action="store_true")
     p.add_argument("--debug-mode", action="store_true")
     p.add_argument("--enable-profiling", action="store_true")
@@ -547,6 +551,30 @@ def run(argv=None) -> dict:
                 rank0_print(rank, f"epoch {epoch}: QAT schedule config {eff.quant}")
         return _step_cache[eff]
 
+    # Optional K-step megastep (single-chip mode): one dispatch per K
+    # batches amortizes the ~0.2 ms host dispatch overhead that otherwise
+    # dominates DQRM's ~10 us device step (see make_multi_train_step).
+    multi_k = max(1, args.steps_per_dispatch) if step_mode == "none" else 1
+    _multi_cache = {}
+
+    def get_multi_step(epoch: int):
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            make_multi_train_step,
+        )
+
+        eff = config_for_epoch(cfg, tc, epoch)
+        if eff not in _multi_cache:
+            use_sparse = (
+                tc.optimizer in ("sgd", "rwsadagrad")
+                and eff.quant.quant_scheme == "hawq"
+                and eff.weighted_pooling != "learned"
+                and not (eff.qr_flag or eff.md_flag)
+            )
+            _multi_cache[eff] = make_multi_train_step(
+                eff, tc, multi_k, sparse_emb_grad=use_sparse
+            )
+        return _multi_cache[eff]
+
     mll.end("init")
     mll.start("run")
     prof_ctx = None
@@ -559,9 +587,11 @@ def run(argv=None) -> dict:
         prof_ctx.__enter__()
         rank0_print(rank, f"profiling to {args.profile_dir}")
     it = 0
+    it_last_print = 0
+    next_print = tc.print_freq
+    next_test = tc.test_freq if tc.test_freq > 0 else 1 << 62
+    _buf = []  # pending batches for the K-step megastep
     t_print = time.perf_counter()
-    loss_acc = 0.0
-    loss_n = 0
     result = {}
     # eval steps are built ONCE (a fresh jax.jit wrapper per --test-freq
     # interval would pay full compile every eval)
@@ -615,22 +645,35 @@ def run(argv=None) -> dict:
             elif step_mode == "pseudo":
                 pstate, loss = step_fn(pstate, batch)
                 state = state._replace(params=pstate.params, qstate=pstate.qstate)
+            elif multi_k > 1:
+                # K-batch megastep: buffer then dispatch once
+                _buf.append(batch)
+                if len(_buf) < multi_k:
+                    continue
+                state, loss = get_multi_step(epoch)(state, _buf)
+                _buf = []
             else:
                 state, loss = step_fn(state, batch)
-            it += 1
+            it += multi_k if (step_mode == "none" and multi_k > 1) else 1
             # fetch the loss only at print boundaries — sync readback per
             # step costs ~40ms+ on tunneled TPUs (see .claude/skills/verify)
-            if it % tc.print_freq == 0:
+            if it >= next_print:
                 loss_v = float(loss)
-                dt = (time.perf_counter() - t_print) / tc.print_freq * 1e3
+                n_since = it - it_last_print
+                dt = (time.perf_counter() - t_print) / max(n_since, 1) * 1e3
                 t_print = time.perf_counter()
+                it_last_print = it
+                while next_print <= it:
+                    next_print += tc.print_freq
                 rank0_print(
                     rank,
                     f"Finished training it {it}/{len(train_loader)} of epoch {epoch}, "
                     f"{dt:.2f} ms/it, loss {loss_v:.6f}",
                 )
                 logger.add_scalar("Train/Loss", loss_v, it)
-            if tc.test_freq > 0 and it % tc.test_freq == 0:
+            if tc.test_freq > 0 and it >= next_test:
+                while next_test <= it:
+                    next_test += tc.test_freq
                 if step_mode == "hybrid":
                     # sharded eval: tables stay distributed (no single-chip
                     # unpack; Terabyte tables may not fit one device), eval
@@ -678,6 +721,12 @@ def run(argv=None) -> dict:
                     if prof_ctx is not None:
                         prof_ctx.__exit__(None, None, None)
                     return m
+        if _buf:
+            # flush a partial megastep buffer with the single-step fn
+            for b in _buf:
+                state, loss = step_fn(state, b)
+                it += 1
+            _buf = []
         mll.end("epoch", {"num": epoch})
     mll.end("run")
     if prof_ctx is not None:

@@ -273,6 +273,39 @@ def make_train_step(
     return jax.jit(body, donate_argnums=(0,))
 
 
+def make_multi_train_step(
+    config: DLRMConfig,
+    tc: TrainConfig,
+    k: int,
+    sparse_emb_grad: bool = False,
+):
+    """K-step training megastep: one dispatch runs `k` sequential train
+    steps (UNROLLED inside one jit — `lax.scan` would break XLA's
+    scatter-update fusion and rewrite the full tables every iteration;
+    unrolling preserves it).
+
+    Numerically identical to `k` calls of the single step. Takes
+    (TrainState, [Batch; k] list) and returns (state, last loss). Python
+    dispatch overhead on a tunneled host is ~0.2 ms/call — at DQRM step
+    times (~10 us on one v5e chip) the dispatch IS the training wall-clock,
+    so amortizing it over k steps is the difference between ~5k and ~50k
+    steps/s. Compile time grows ~linearly in k (k=16 ~= 40 s remote).
+    """
+    body = (
+        _build_sparse_step_fn(config, tc)
+        if sparse_emb_grad
+        else _build_step_fn(config, tc)
+    )
+
+    def multi(state: TrainState, batches):
+        loss = None
+        for b in batches:
+            state, loss = body(state, b)
+        return state, loss
+
+    return jax.jit(multi, donate_argnums=(0,))
+
+
 def make_eval_step(
     config: DLRMConfig,
 ) -> Callable[[TrainState, dlrm.Batch], jax.Array]:

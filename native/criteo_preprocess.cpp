@@ -133,3 +133,126 @@ int64_t criteo_parse_file(const char* path, int64_t max_rows, int32_t* y,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Categorical dictionary build (int64 raw value -> dense int32 id), the
+// preprocessing bottleneck the reference pays in per-row Python dict loops
+// (data_utils.py:967-1080). Open-addressing hash tables, ids assigned in
+// first-appearance order (identical semantics to the Python dict build).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Dict64 {
+  int64_t* keys = nullptr;
+  int32_t* vals = nullptr;
+  uint8_t* used = nullptr;
+  size_t cap = 0;
+  size_t n = 0;
+
+  void init(size_t c) {
+    cap = c;
+    keys = static_cast<int64_t*>(malloc(cap * sizeof(int64_t)));
+    vals = static_cast<int32_t*>(malloc(cap * sizeof(int32_t)));
+    used = static_cast<uint8_t*>(calloc(cap, 1));
+  }
+  void destroy() {
+    free(keys);
+    free(vals);
+    free(used);
+  }
+  static inline uint64_t hash(uint64_t x) {
+    x ^= x >> 33;
+    x *= 0xff51afd7ed558ccdULL;
+    x ^= x >> 33;
+    x *= 0xc4ceb9fe1a85ec53ULL;
+    x ^= x >> 33;
+    return x;
+  }
+  void grow() {
+    Dict64 bigger;
+    bigger.init(cap * 2);
+    for (size_t i = 0; i < cap; ++i) {
+      if (!used[i]) continue;
+      size_t j = hash(static_cast<uint64_t>(keys[i])) & (bigger.cap - 1);
+      while (bigger.used[j]) j = (j + 1) & (bigger.cap - 1);
+      bigger.used[j] = 1;
+      bigger.keys[j] = keys[i];
+      bigger.vals[j] = vals[i];
+    }
+    bigger.n = n;
+    destroy();
+    *this = bigger;
+  }
+  inline int32_t get_or_insert(int64_t key) {
+    if (n * 10 >= cap * 7) grow();
+    size_t j = hash(static_cast<uint64_t>(key)) & (cap - 1);
+    while (used[j]) {
+      if (keys[j] == key) return vals[j];
+      j = (j + 1) & (cap - 1);
+    }
+    used[j] = 1;
+    keys[j] = key;
+    vals[j] = static_cast<int32_t>(n++);
+    return vals[j];
+  }
+};
+
+struct DictSet {
+  Dict64* dicts;
+  int32_t ncols;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* criteo_dicts_new(int32_t ncols) {
+  DictSet* s = new DictSet;
+  s->ncols = ncols;
+  s->dicts = new Dict64[ncols];
+  for (int32_t j = 0; j < ncols; ++j) s->dicts[j].init(1 << 16);
+  return s;
+}
+
+void criteo_dicts_free(void* h) {
+  DictSet* s = static_cast<DictSet*>(h);
+  for (int32_t j = 0; j < s->ncols; ++j) s->dicts[j].destroy();
+  delete[] s->dicts;
+  delete s;
+}
+
+// Map row-major raw[n_rows * ncols] -> out ids (first-appearance order).
+void criteo_dicts_map(void* h, const int64_t* raw, int64_t n_rows,
+                      int32_t ncols, int32_t* out) {
+  DictSet* s = static_cast<DictSet*>(h);
+  for (int64_t r = 0; r < n_rows; ++r) {
+    const int64_t* row = raw + r * ncols;
+    int32_t* orow = out + r * ncols;
+    for (int32_t j = 0; j < ncols; ++j) {
+      orow[j] = s->dicts[j].get_or_insert(row[j]);
+    }
+  }
+}
+
+int64_t criteo_dicts_size(void* h, int32_t col) {
+  DictSet* s = static_cast<DictSet*>(h);
+  return static_cast<int64_t>(s->dicts[col].n);
+}
+
+// Dump (key, id) pairs of one column (for merges/exports).
+int64_t criteo_dicts_items(void* h, int32_t col, int64_t* keys_out,
+                           int32_t* ids_out, int64_t max_items) {
+  DictSet* s = static_cast<DictSet*>(h);
+  Dict64& d = s->dicts[col];
+  int64_t m = 0;
+  for (size_t i = 0; i < d.cap && m < max_items; ++i) {
+    if (!d.used[i]) continue;
+    keys_out[m] = d.keys[i];
+    ids_out[m] = d.vals[i];
+    ++m;
+  }
+  return m;
+}
+
+}  // extern "C"

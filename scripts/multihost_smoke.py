@@ -1,0 +1,133 @@
+"""Two-process jax.distributed smoke test on CPU — exercises
+`multihost.init_distributed` beyond its single-host no-op path (the
+analogue of the reference's process-group smoke tests,
+python_profiling_script/example_multiple_cpu_dp.py + the launcher env
+handling of extend_distributed.py:74-132).
+
+Run:  python scripts/multihost_smoke.py
+It re-execs itself as 2 worker processes (4 virtual CPU devices each),
+initializes the 2-process JAX runtime through init_distributed's env-var
+path (RANK/WORLD_SIZE/COORDINATOR_ADDRESS), builds a GLOBAL 8-device mesh
+spanning both processes, assembles a global batch from per-host shards
+(make_global_batch + local_batch_slice), and runs one compressed-gradient
+DP train step — asserting both processes agree on the loss.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+PORT = int(os.environ.get("SMOKE_PORT", "12355"))
+
+
+def worker(rank: int) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from deep_quantized_recommendation_model_dqrm_tpu.parallel.multihost import (
+        init_distributed,
+        local_batch_slice,
+        make_global_batch,
+    )
+
+    # env-var path: RANK / WORLD_SIZE / COORDINATOR_ADDRESS (set by launcher)
+    pid, pcount = init_distributed()
+    assert pcount == 2, f"expected 2 processes, got {pcount}"
+    assert len(jax.devices()) == 8, jax.devices()
+
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from deep_quantized_recommendation_model_dqrm_tpu.config import (
+        DLRMConfig,
+        TrainConfig,
+    )
+    from deep_quantized_recommendation_model_dqrm_tpu.data.synthetic import (
+        random_batch,
+    )
+    from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm
+    from deep_quantized_recommendation_model_dqrm_tpu.parallel import comm_grad
+    from deep_quantized_recommendation_model_dqrm_tpu.parallel.mesh import make_mesh
+
+    cfg = DLRMConfig(
+        table_sizes=(64, 40, 9),
+        embedding_dim=8,
+        mlp_bot=(4, 16, 8),
+        mlp_top=(14, 8, 1),
+    )
+    tc = TrainConfig(batch_size=32, learning_rate=0.05)
+    mesh = make_mesh(8)  # spans BOTH processes (4 local + 4 remote devices)
+
+    B = 32
+    full = random_batch(cfg, B, np.random.RandomState(0))  # same on each host
+    start, size = local_batch_slice(B)
+    local = dlrm.Batch(
+        dense=np.asarray(full.dense)[start : start + size],
+        indices=np.asarray(full.indices)[:, start : start + size],
+        labels=np.asarray(full.labels)[start : start + size],
+        mask=None,
+    )
+    specs = dlrm.Batch(dense=P("mp"), indices=P(None, "mp"), labels=P("mp"), mask=None)
+    gbatch = make_global_batch(local, mesh, specs)
+
+    state = comm_grad.init_dp_state(cfg, tc)
+    step = comm_grad.make_dp_train_step(cfg, tc, mesh)
+    for _ in range(3):
+        state, loss = step(state, gbatch)
+    loss_v = float(loss)
+    assert np.isfinite(loss_v)
+    print(f"[rank {pid}/{pcount}] 3 dp-comm-grad steps OK, loss {loss_v:.6f}",
+          flush=True)
+
+
+def launcher() -> int:
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env_base = {
+        **os.environ,
+        "PYTHONPATH": repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        "WORLD_SIZE": "2",
+        "COORDINATOR_ADDRESS": f"127.0.0.1:{PORT}",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "JAX_PLATFORMS": "cpu",
+    }
+    procs = []
+    for rank in range(2):
+        env = {**env_base, "RANK": str(rank)}
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, __file__, "--worker", str(rank)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+        )
+    rc = 0
+    outputs = []
+    for rank, p in enumerate(procs):
+        out, _ = p.communicate(timeout=420)
+        outputs.append(out.decode())
+        rc |= p.returncode
+    for rank, out in enumerate(outputs):
+        print(f"--- rank {rank} ---")
+        print(out)
+    losses = [
+        line.split("loss ")[-1]
+        for out in outputs
+        for line in out.splitlines()
+        if "steps OK, loss" in line
+    ]
+    if rc == 0 and len(losses) == 2 and losses[0] == losses[1]:
+        print("MULTIHOST SMOKE OK: both ranks agree, loss", losses[0])
+        return 0
+    print("MULTIHOST SMOKE FAILED", rc, losses)
+    return 1
+
+
+if __name__ == "__main__":
+    if "--worker" in sys.argv:
+        worker(int(sys.argv[sys.argv.index("--worker") + 1]))
+    else:
+        sys.exit(launcher())

@@ -298,3 +298,68 @@ class TestPrefetch:
         assert next(it) == 1
         with pytest.raises(ValueError, match="boom"):
             next(it)
+
+
+class TestParallelPreprocess:
+    def test_parallel_matches_serial_up_to_id_bijection(self, tmp_path):
+        """preprocess_criteo_days_parallel: labels/dense identical to the
+        serial path; categorical ids are a consistent per-column bijection
+        (ids are arbitrary labels — the reference's multiprocessing path
+        also reassigns them during the per-day dict merge,
+        data_utils.py:1080-1290)."""
+        from deep_quantized_recommendation_model_dqrm_tpu.data.criteo import (
+            preprocess_criteo_days,
+            preprocess_criteo_days_parallel,
+        )
+
+        raws = [
+            write_raw(str(tmp_path / f"raw_{d}.txt"), 120, seed=10 + d)
+            for d in range(3)
+        ]
+        p_ser = preprocess_criteo_days(raws, str(tmp_path / "ser"), use_native=False)
+        p_par = preprocess_criteo_days_parallel(
+            raws, str(tmp_path / "par"), use_native=False, workers=2
+        )
+        assert len(p_ser) == len(p_par) == 3
+        cs = np.load(str(tmp_path / "ser" / "counts.npz"))["counts"]
+        cp = np.load(str(tmp_path / "par" / "counts.npz"))["counts"]
+        np.testing.assert_array_equal(cs, cp)
+        fwd = [dict() for _ in range(26)]
+        bwd = [dict() for _ in range(26)]
+        for ps, pp in zip(p_ser, p_par):
+            zs, zp = np.load(ps), np.load(pp)
+            np.testing.assert_array_equal(zs["y"], zp["y"])
+            np.testing.assert_array_equal(zs["X_int"], zp["X_int"])
+            for j in range(26):
+                for a, b in zip(zs["X_cat"][:, j], zp["X_cat"][:, j]):
+                    a, b = int(a), int(b)
+                    assert fwd[j].setdefault(a, b) == b
+                    assert bwd[j].setdefault(b, a) == a
+
+    def test_parallel_single_worker_path(self, tmp_path):
+        from deep_quantized_recommendation_model_dqrm_tpu.data.criteo import (
+            CriteoDataset,
+            preprocess_criteo_days_parallel,
+        )
+
+        raws = [
+            write_raw(str(tmp_path / f"r_{d}.txt"), 80, seed=20 + d)
+            for d in range(2)
+        ]
+        preprocess_criteo_days_parallel(
+            raws, str(tmp_path / "out"), workers=1, use_native=False
+        )
+        ds = CriteoDataset(str(tmp_path / "out"), "train")
+        b = next(ds.iter_batches(16))
+        assert b.dense.shape == (16, 13)
+
+    def test_streaming_chunks_match_whole_file(self, tmp_path):
+        """_iter_text_chunks with a tiny chunk size reassembles the file."""
+        from deep_quantized_recommendation_model_dqrm_tpu.data.criteo import (
+            _iter_text_chunks,
+        )
+
+        raw = write_raw(str(tmp_path / "s.txt"), 200, seed=5)
+        whole = open(raw, "rb").read()
+        stitched = b"".join(_iter_text_chunks(raw, chunk_bytes=1000))
+        assert stitched == whole

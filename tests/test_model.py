@@ -408,3 +408,53 @@ class TestEmbOnlyWithActQuant:
         cfg2 = tiny_cfg(enabled=True, quantize_mlp=False, scale_update_period=1)
         l2, _ = dlrm.forward(cfg2, p, b, qs, train=True)
         assert not np.allclose(np.asarray(l1), np.asarray(l2))
+
+
+class TestMultiStepDispatch:
+    def test_k_step_megastep_matches_single_steps(self):
+        """make_multi_train_step(k) is numerically identical to k calls of
+        the single jitted step (it exists purely to amortize host dispatch
+        overhead)."""
+        import numpy as np
+
+        from deep_quantized_recommendation_model_dqrm_tpu.config import (
+            DLRMConfig,
+            QuantConfig,
+            TrainConfig,
+        )
+        from deep_quantized_recommendation_model_dqrm_tpu.data.synthetic import (
+            random_batch,
+        )
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            init_train_state,
+            make_multi_train_step,
+            make_train_step,
+        )
+
+        cfg = DLRMConfig(
+            table_sizes=(50, 20, 9),
+            embedding_dim=8,
+            mlp_bot=(4, 16, 8),
+            mlp_top=(14, 8, 1),
+            quant=QuantConfig(enabled=True, scale_update_period=2),
+        )
+        tc = TrainConfig(batch_size=16, learning_rate=0.1)
+        rng = np.random.RandomState(3)
+        batches = [random_batch(cfg, 16, rng) for _ in range(8)]
+
+        s1 = init_train_state(cfg, tc)
+        step = make_train_step(cfg, tc, sparse_emb_grad=True)
+        for b in batches:
+            s1, l1 = step(s1, b)
+
+        s2 = init_train_state(cfg, tc)
+        multi = make_multi_train_step(cfg, tc, 4, sparse_emb_grad=True)
+        s2, l2a = multi(s2, batches[:4])
+        s2, l2 = multi(s2, batches[4:])
+
+        assert float(l1) == float(l2)
+        for a, b_ in zip(s1.params["emb"], s2.params["emb"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+        for la, lb in zip(s1.params["top"], s2.params["top"]):
+            np.testing.assert_array_equal(np.asarray(la["w"]), np.asarray(lb["w"]))
+        assert int(s2.qstate.step) == 8

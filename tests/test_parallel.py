@@ -518,3 +518,82 @@ class TestHybridEval:
         }
         p_single = np.asarray(dlrm.predict(CFG, back, b2, hstate.qstate))
         np.testing.assert_allclose(p_sharded, p_single, rtol=1e-5, atol=1e-6)
+
+
+class TestMultihostTwoProcess:
+    @pytest.mark.slow
+    def test_two_process_distributed_smoke(self):
+        """2-process jax.distributed CPU run: init_distributed's env-var
+        path, a global mesh spanning both processes, and a compressed-grad
+        DP step with both ranks agreeing on the loss (scripts/
+        multihost_smoke.py; the reference analogue is the launcher env
+        handling of extend_distributed.py:74-132)."""
+        import subprocess
+        import sys
+
+        import os as _os
+        repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        r = subprocess.run(
+            [sys.executable, _os.path.join(repo, "scripts", "multihost_smoke.py")],
+            capture_output=True,
+            timeout=400,
+            env={**_os.environ, "SMOKE_PORT": "12421"},
+        )
+        out = r.stdout.decode()
+        assert r.returncode == 0, out + r.stderr.decode()
+        assert "MULTIHOST SMOKE OK" in out, out
+
+
+class TestInt4A2A:
+    def test_int4_packed_a2a_close_to_exact(self):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel.compressed_a2a import (
+            compressed_all_to_all,
+        )
+
+        mesh = make_mesh(8)
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(rng.uniform(-1, 1, size=(8, 16, 4)).astype(np.float32))
+
+        def exact(xs):
+            return jax.lax.all_to_all(xs, "mp", split_axis=1, concat_axis=0, tiled=True)
+
+        def comp4(xs):
+            return compressed_all_to_all(xs, "mp", 4, 1, 0)
+
+        f_e = jax.jit(shard_map(exact, mesh=mesh, in_specs=(P("mp"),),
+                                out_specs=P("mp"), check_vma=False))
+        f_c = jax.jit(shard_map(comp4, mesh=mesh, in_specs=(P("mp"),),
+                                out_specs=P("mp"), check_vma=False))
+        ye = np.asarray(f_e(x))
+        jax.block_until_ready(ye)
+        yc = np.asarray(f_c(x))
+        assert ye.shape == yc.shape
+        assert np.max(np.abs(ye - yc)) < 1.0 / 7 + 1e-6  # one int4 step
+
+    def test_hybrid_trains_with_int4_a2a(self):
+        rng = np.random.RandomState(33)
+        batches = [random_batch(CFG, 64, rng) for _ in range(3)]
+        tc = TC.replace(a2a_quant_bits=4, grad_quant_bits=32)
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(CFG.table_sizes, 8)
+        st = hybrid.init_hybrid_state(CFG, tc, mesh, plan)
+        step = hybrid.make_hybrid_train_step(CFG, tc, mesh, plan)
+        losses = []
+        for b in batches:
+            st, l = step(st, b)
+            jax.block_until_ready(st)
+            losses.append(float(l))
+        assert all(np.isfinite(losses)), losses
+
+    def test_a2a_volume_report_halves_at_int4(self):
+        from deep_quantized_recommendation_model_dqrm_tpu.tools.analysis import (
+            a2a_volume_report,
+        )
+
+        r8 = a2a_volume_report(4, 128, 16, world_size=4, a2a_bits=8)
+        r4 = a2a_volume_report(4, 128, 16, world_size=4, a2a_bits=4)
+        assert abs(r8["compressed_bytes"] / r4["compressed_bytes"] - 2.0) < 0.01
+        assert r4["reduction"] > 7.9  # ~8x vs fp32
