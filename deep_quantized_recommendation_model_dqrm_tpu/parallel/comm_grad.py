@@ -154,6 +154,7 @@ def make_dp_train_step(
     mesh: Mesh,
     axis: str = "mp",
     has_mask: bool = False,
+    steps_per_dispatch: int = 1,
 ):
     """Build the jitted DP train step with compressed gradient exchange.
 
@@ -162,6 +163,11 @@ def make_dp_train_step(
     iteration sequence of comm_grad.py:1874-1991: slice batch -> forward ->
     backward -> clear/quantize/communicate grads -> manual SGD -> lr step ->
     periodic weight sync.
+
+    steps_per_dispatch > 1 unrolls k sequential steps inside ONE dispatch
+    (the returned fn then takes a LIST of k batches) — numerically identical
+    to k single dispatches; amortizes host dispatch overhead like
+    train_step.make_multi_train_step.
     """
     if config.weighted_pooling == "learned":
         # The sparse-gradient autodiff cut (raw_pooled injection) severs
@@ -352,6 +358,23 @@ def make_dp_train_step(
         labels=P(axis),
         mask=P(None, axis) if has_mask else None,
     )
+
+    if steps_per_dispatch > 1:
+
+        def device_multi(state: DPState, batches):
+            loss = None
+            for b in batches:
+                state, loss = device_step(state, b)
+            return state, loss
+
+        step = shard_map(
+            device_multi,
+            mesh=mesh,
+            in_specs=(P(), [batch_specs] * steps_per_dispatch),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(step, donate_argnums=(0,))
 
     step = shard_map(
         device_step,

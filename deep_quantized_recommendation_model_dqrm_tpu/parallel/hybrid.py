@@ -218,8 +218,12 @@ def make_hybrid_train_step(
     plan: TableShardingPlan,
     axis: str = "mp",
     has_mask: bool = False,
+    steps_per_dispatch: int = 1,
 ):
     """Build the jitted hybrid-parallel train step.
+
+    steps_per_dispatch > 1 unrolls k steps in one dispatch (takes a LIST of
+    k batches) — see comm_grad.make_dp_train_step.
 
     Input: (HybridState, Batch) where Batch.dense/labels are batch-sharded on
     `axis` and indices/mask are replicated (every device needs the full batch
@@ -412,6 +416,23 @@ def make_hybrid_train_step(
         mask=P() if has_mask else None,
     )
     state_specs = HybridState(mega=P(axis), mlp=P(), qstate=P())
+
+    if steps_per_dispatch > 1:
+
+        def device_multi(state: HybridState, batches):
+            loss = None
+            for b in batches:
+                state, loss = device_step(state, b)
+            return state, loss
+
+        step = shard_map(
+            device_multi,
+            mesh=mesh,
+            in_specs=(state_specs, [batch_specs] * steps_per_dispatch),
+            out_specs=(state_specs, P()),
+            check_vma=False,
+        )
+        return jax.jit(step, donate_argnums=(0,))
 
     step = shard_map(
         device_step,

@@ -13,8 +13,13 @@ Parallelism (`--parallelism`):
   none          single chip (default)
   dp            data-parallel with DQRM compressed gradient exchange
                 (the comm_grad drivers)
+  dp-nosync     local-SGD ablation: replicas never sync gradients
+                (dlrm_s_pytorch_dp_only.py)
   hybrid        table-sharded embeddings + all-to-all + DP MLPs
                 (the hybrid_multi_gpu / quantization_tr_two drivers)
+  pseudo        N simulated workers on one chip (pseudo_multigpu drivers)
+`--steps-per-dispatch=K` unrolls K train steps into one jitted dispatch
+(none/dp/hybrid) — numerically identical, amortizes host dispatch overhead.
 Device count comes from the visible JAX devices (`jax.distributed` handles
 multi-host); the pseudo-multigpu validation trick is
 `XLA_FLAGS=--xla_force_host_platform_device_count=N` + --platform=cpu.
@@ -66,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["kaggle", "terabyte"])
     p.add_argument("--processed-data-dir", type=str, default="")
     p.add_argument("--raw-data-file", type=str, default="")
+    p.add_argument("--raw-data-files", type=str, default="",
+                   help="comma-separated or glob list of per-day raw files "
+                        "(Terabyte day_0..day_23); preprocessed in parallel "
+                        "via preprocess_criteo_days_parallel")
+    p.add_argument("--preprocess-workers", type=int, default=4)
     p.add_argument("--binary-data-file", type=str, default="")
     p.add_argument("--binary-test-data-file", type=str, default="",
                    help="separate mlperf bin file for eval (reference "
@@ -236,12 +246,37 @@ def make_loaders(args, cfg, tc):
             preprocess_criteo,
         )
 
-        if (
-            args.raw_data_file
-            and not os.path.exists(
-                os.path.join(args.processed_data_dir, "day_0.npz")
+        have_npz = os.path.exists(
+            os.path.join(args.processed_data_dir, "day_0.npz")
+        )
+        if args.raw_data_files and not have_npz:
+            # Terabyte flow: one raw file per day, preprocessed with per-day
+            # worker parallelism (data_utils.py:1080-1290 semantics)
+            import glob as _glob
+
+            from deep_quantized_recommendation_model_dqrm_tpu.data.criteo import (
+                preprocess_criteo_days_parallel,
             )
-        ):
+
+            if "," in args.raw_data_files:
+                day_files = args.raw_data_files.split(",")
+            else:
+                day_files = sorted(_glob.glob(args.raw_data_files))
+            if not day_files:
+                raise FileNotFoundError(
+                    f"no raw day files match {args.raw_data_files!r}"
+                )
+            print(
+                f"preprocessing {len(day_files)} day files -> "
+                f"{args.processed_data_dir} ({args.preprocess_workers} workers)"
+            )
+            preprocess_criteo_days_parallel(
+                day_files,
+                args.processed_data_dir,
+                sub_sample_rate=args.data_sub_sample_rate,
+                workers=args.preprocess_workers,
+            )
+        elif args.raw_data_file and not have_npz:
             # preprocess-if-needed (CriteoDataset.__init__ behavior,
             # dlrm_data_pytorch.py:50-120 -> data_utils.getCriteoAdData)
             days = 7 if args.data_set == "kaggle" else 24
@@ -514,66 +549,69 @@ def run(argv=None) -> dict:
                 f"epoch {start_epoch} batch {start_batch}",
             )
 
+    # Optional K-step megastep: one dispatch per K batches amortizes the
+    # ~0.2 ms host dispatch overhead that otherwise dominates DQRM's ~10 us
+    # device step (see train_step.make_multi_train_step). Supported for the
+    # single-chip, dp and hybrid modes.
+    multi_k = (
+        max(1, args.steps_per_dispatch)
+        if step_mode in ("none", "dp", "hybrid")
+        else 1
+    )
+
     # QAT epoch schedule: the jitted step is rebuilt (and cached) whenever
     # the effective config changes at an epoch boundary (comm_grad.py:
     # 1849-1872 — FP pretrain -> quantize -> MLP quantize -> bit shift).
     _step_cache = {}
 
-    def get_step(epoch: int):
+    def _sparse_ok(eff):
+        # explicit-sparse embedding updates guarantee O(touched rows)
+        # update cost (see train_step._build_sparse_step_fn); the
+        # dense-autodiff body is required when table gradients are
+        # not pure gathers (PACT weight-side quant, learned pooling
+        # weights, QR/MD).
+        return (
+            tc.optimizer in ("sgd", "adagrad", "rwsadagrad")
+            and eff.quant.quant_scheme == "hawq"
+            and eff.weighted_pooling != "learned"
+            and not (eff.qr_flag or eff.md_flag)
+        )
+
+    def get_step(epoch: int, k: Optional[int] = None):
+        """Jitted step for `epoch`; k>1 gives the k-batch megastep."""
+        k = multi_k if k is None else k
         eff = config_for_epoch(cfg, tc, epoch)
-        if eff not in _step_cache:
+        key = (eff, k)
+        if key not in _step_cache:
             if step_mode == "dp":
-                _step_cache[eff] = comm_grad.make_dp_train_step(eff, tc, mesh)
+                _step_cache[key] = comm_grad.make_dp_train_step(
+                    eff, tc, mesh, steps_per_dispatch=k
+                )
             elif step_mode == "dp-nosync":
-                _step_cache[eff] = comm_grad.make_dp_nosync_train_step(eff, tc, mesh)
+                _step_cache[key] = comm_grad.make_dp_nosync_train_step(eff, tc, mesh)
             elif step_mode == "hybrid":
-                _step_cache[eff] = hybrid.make_hybrid_train_step(eff, tc, mesh, plan)
+                _step_cache[key] = hybrid.make_hybrid_train_step(
+                    eff, tc, mesh, plan, steps_per_dispatch=k
+                )
             elif step_mode == "pseudo":
-                _step_cache[eff] = pseudo.make_pseudo_train_step(
+                _step_cache[key] = pseudo.make_pseudo_train_step(
                     eff, tc, args.num_pseudo_workers
                 )
-            else:
-                # explicit-sparse embedding updates guarantee O(touched rows)
-                # update cost (see train_step._build_sparse_step_fn); the
-                # dense-autodiff body is required when table gradients are
-                # not pure gathers (PACT weight-side quant, learned pooling
-                # weights) or for dense-accumulator optimizers.
-                use_sparse = (
-                    tc.optimizer in ("sgd", "rwsadagrad")
-                    and eff.quant.quant_scheme == "hawq"
-                    and eff.weighted_pooling != "learned"
-                    and not (eff.qr_flag or eff.md_flag)
+            elif k > 1:
+                from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+                    make_multi_train_step,
                 )
-                _step_cache[eff] = make_train_step(
-                    eff, tc, sparse_emb_grad=use_sparse
+
+                _step_cache[key] = make_multi_train_step(
+                    eff, tc, k, sparse_emb_grad=_sparse_ok(eff)
+                )
+            else:
+                _step_cache[key] = make_train_step(
+                    eff, tc, sparse_emb_grad=_sparse_ok(eff)
                 )
             if eff is not cfg:
                 rank0_print(rank, f"epoch {epoch}: QAT schedule config {eff.quant}")
-        return _step_cache[eff]
-
-    # Optional K-step megastep (single-chip mode): one dispatch per K
-    # batches amortizes the ~0.2 ms host dispatch overhead that otherwise
-    # dominates DQRM's ~10 us device step (see make_multi_train_step).
-    multi_k = max(1, args.steps_per_dispatch) if step_mode == "none" else 1
-    _multi_cache = {}
-
-    def get_multi_step(epoch: int):
-        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
-            make_multi_train_step,
-        )
-
-        eff = config_for_epoch(cfg, tc, epoch)
-        if eff not in _multi_cache:
-            use_sparse = (
-                tc.optimizer in ("sgd", "rwsadagrad")
-                and eff.quant.quant_scheme == "hawq"
-                and eff.weighted_pooling != "learned"
-                and not (eff.qr_flag or eff.md_flag)
-            )
-            _multi_cache[eff] = make_multi_train_step(
-                eff, tc, multi_k, sparse_emb_grad=use_sparse
-            )
-        return _multi_cache[eff]
+        return _step_cache[key]
 
     mll.end("init")
     mll.start("run")
@@ -629,32 +667,44 @@ def run(argv=None) -> dict:
                         f"{batch.labels.shape[0]} % {ndev} != 0)",
                     )
                     continue
-            if step_mode in ("dp", "dp-nosync"):
-                dstate, loss = step_fn(dstate, batch)
-                # dp-nosync = the dp_only.py ablation: NO periodic sync
-                if (
-                    step_mode == "dp"
-                    and sync_fn is not None
-                    and tc.weight_sync_period > 0
-                    and (it + 1) % tc.weight_sync_period == 0
-                ):
-                    dstate = sync_fn(dstate)
-                state = state._replace(params=dstate.params, qstate=dstate.qstate)
-            elif step_mode == "hybrid":
-                hstate, loss = step_fn(hstate, batch)
-            elif step_mode == "pseudo":
-                pstate, loss = step_fn(pstate, batch)
-                state = state._replace(params=pstate.params, qstate=pstate.qstate)
-            elif multi_k > 1:
+            it_prev = it
+            if multi_k > 1:
                 # K-batch megastep: buffer then dispatch once
                 _buf.append(batch)
                 if len(_buf) < multi_k:
                     continue
-                state, loss = get_multi_step(epoch)(state, _buf)
-                _buf = []
+                pack, _buf = _buf, []
+                if step_mode == "dp":
+                    dstate, loss = step_fn(dstate, pack)
+                elif step_mode == "hybrid":
+                    hstate, loss = step_fn(hstate, pack)
+                else:
+                    state, loss = step_fn(state, pack)
+                it += multi_k
+            elif step_mode in ("dp", "dp-nosync"):
+                dstate, loss = step_fn(dstate, batch)
+                it += 1
+            elif step_mode == "hybrid":
+                hstate, loss = step_fn(hstate, batch)
+                it += 1
+            elif step_mode == "pseudo":
+                pstate, loss = step_fn(pstate, batch)
+                state = state._replace(params=pstate.params, qstate=pstate.qstate)
+                it += 1
             else:
                 state, loss = step_fn(state, batch)
-            it += multi_k if (step_mode == "none" and multi_k > 1) else 1
+                it += 1
+            if step_mode in ("dp", "dp-nosync"):
+                # dp-nosync = the dp_only.py ablation: NO periodic sync;
+                # dp syncs when the step count crosses a period boundary
+                if (
+                    step_mode == "dp"
+                    and sync_fn is not None
+                    and tc.weight_sync_period > 0
+                    and it // tc.weight_sync_period > it_prev // tc.weight_sync_period
+                ):
+                    dstate = sync_fn(dstate)
+                state = state._replace(params=dstate.params, qstate=dstate.qstate)
             # fetch the loss only at print boundaries — sync readback per
             # step costs ~40ms+ on tunneled TPUs (see .claude/skills/verify)
             if it >= next_print:
@@ -723,8 +773,15 @@ def run(argv=None) -> dict:
                     return m
         if _buf:
             # flush a partial megastep buffer with the single-step fn
+            single = get_step(epoch, k=1)
             for b in _buf:
-                state, loss = step_fn(state, b)
+                if step_mode == "dp":
+                    dstate, loss = single(dstate, b)
+                    state = state._replace(params=dstate.params, qstate=dstate.qstate)
+                elif step_mode == "hybrid":
+                    hstate, loss = single(hstate, b)
+                else:
+                    state, loss = single(state, b)
                 it += 1
             _buf = []
         mll.end("epoch", {"num": epoch})

@@ -10,5 +10,6 @@ python -m deep_quantized_recommendation_model_dqrm_tpu.train \
   --quantization_flag --embedding_bit=4 --weight_bit=4 \
   --scale-update-period=200 \
   --mini-batch-size=128 --learning-rate=0.1 --nepochs=5 \
+  --steps-per-dispatch=16 \
   --print-freq=1024 --test-freq=30000 \
   --save-model=./ckpt_kaggle_int4 "$@"

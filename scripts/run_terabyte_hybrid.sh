@@ -3,7 +3,11 @@
 # MLPs (the hybrid_multi_gpu / hp_with_quantization recipe). Multi-host:
 # set COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID (parallel/multihost.py).
 DATA=${DATA:-./criteo_terabyte_processed}
-python -m deep_quantized_recommendation_model_dqrm_tpu.train \
+# Raw day files? Set RAW_GLOB='day_*' to preprocess in parallel first
+# (streams each file in bounded chunks; C++ dict build; N workers).
+EXTRA=""
+if [ -n "$RAW_GLOB" ]; then EXTRA="--raw-data-files=$RAW_GLOB --preprocess-workers=8"; fi
+python -m deep_quantized_recommendation_model_dqrm_tpu.train $EXTRA \
   --data-generation=dataset --processed-data-dir="$DATA" \
   --arch-sparse-feature-size=64 --arch-mlp-bot=13-512-256-64 \
   --arch-mlp-top=512-512-256-1 --max-ind-range=10000000 \

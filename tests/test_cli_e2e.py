@@ -237,3 +237,35 @@ class TestConfigMapping:
         assert tc.quantize_mlp_from_epoch == 2
         assert tc.shift_bit_width_at_epoch == 3
         assert tc.shift_bit_width_to == 2
+
+
+class TestRawDayFiles:
+    def test_terabyte_style_day_files_cli(self, tmp_path):
+        """--raw-data-files: per-day raw files preprocessed in parallel
+        (Terabyte flow), then trained through the standard dataset path."""
+        for d in range(3):
+            write_raw(str(tmp_path / f"day_{d}.txt"), 200, seed=40 + d)
+        out = str(tmp_path / "proc")
+        m = run([
+            "--data-generation=dataset",
+            f"--raw-data-files={tmp_path}/day_*.txt",
+            f"--processed-data-dir={out}",
+            "--preprocess-workers=2",
+            "--arch-sparse-feature-size=8",
+            "--arch-mlp-bot=13-32-8",
+            "--arch-mlp-top=16-1",
+            "--mini-batch-size=25",
+            "--test-mini-batch-size=25",
+            "--print-freq=4",
+        ])
+        import os
+
+        assert os.path.exists(out + "/day_2.npz")
+        assert np.isfinite(m["roc_auc"])
+
+
+class TestAdagradSparsePath:
+    def test_adagrad_cli_runs(self, tmp_path):
+        argv, _ = _common(tmp_path, ["--optimizer=adagrad", "--test-freq=4"])
+        m = run(argv)
+        assert np.isfinite(m["roc_auc"])

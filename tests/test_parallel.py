@@ -597,3 +597,53 @@ class TestInt4A2A:
         r4 = a2a_volume_report(4, 128, 16, world_size=4, a2a_bits=4)
         assert abs(r8["compressed_bytes"] / r4["compressed_bytes"] - 2.0) < 0.01
         assert r4["reduction"] > 7.9  # ~8x vs fp32
+
+
+class TestDistributedMegastep:
+    def test_dp_multi_matches_singles(self):
+        rng = np.random.RandomState(61)
+        batches = [random_batch(CFG, 64, rng) for _ in range(4)]
+        tc = TC.replace(grad_quant_bits=8)
+        mesh = make_mesh(8)
+
+        s1 = comm_grad.init_dp_state(CFG, tc)
+        step1 = comm_grad.make_dp_train_step(CFG, tc, mesh)
+        for b in batches:
+            s1, l1 = step1(s1, b)
+        jax.block_until_ready(s1)
+
+        s2 = comm_grad.init_dp_state(CFG, tc)
+        step2 = comm_grad.make_dp_train_step(CFG, tc, mesh, steps_per_dispatch=2)
+        s2, _ = step2(s2, batches[:2])
+        jax.block_until_ready(s2)
+        s2, l2 = step2(s2, batches[2:])
+        jax.block_until_ready(s2)
+
+        assert float(l1) == float(l2)
+        for a, b_ in zip(s1.params["emb"], s2.params["emb"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    def test_hybrid_multi_matches_singles(self):
+        rng = np.random.RandomState(62)
+        batches = [random_batch(CFG, 64, rng) for _ in range(4)]
+        tc = TC.replace(grad_quant_bits=32)
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(CFG.table_sizes, 8)
+
+        s1 = hybrid.init_hybrid_state(CFG, tc, mesh, plan)
+        step1 = hybrid.make_hybrid_train_step(CFG, tc, mesh, plan)
+        for b in batches:
+            s1, l1 = step1(s1, b)
+        jax.block_until_ready(s1)
+
+        s2 = hybrid.init_hybrid_state(CFG, tc, mesh, plan)
+        step2 = hybrid.make_hybrid_train_step(
+            CFG, tc, mesh, plan, steps_per_dispatch=2
+        )
+        s2, _ = step2(s2, batches[:2])
+        jax.block_until_ready(s2)
+        s2, l2 = step2(s2, batches[2:])
+        jax.block_until_ready(s2)
+
+        assert float(l1) == float(l2)
+        np.testing.assert_array_equal(np.asarray(s1.mega), np.asarray(s2.mega))
