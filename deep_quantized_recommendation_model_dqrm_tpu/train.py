@@ -679,7 +679,13 @@ def run(argv=None) -> dict:
                 elif step_mode == "hybrid":
                     hstate, loss = step_fn(hstate, pack)
                 else:
-                    state, loss = step_fn(state, pack)
+                    # stacked upload: one device transfer per field instead
+                    # of one per batch (tunnel round trips dominate)
+                    from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+                        stack_batches,
+                    )
+
+                    state, loss = step_fn(state, stack_batches(pack))
                 it += multi_k
             elif step_mode in ("dp", "dp-nosync"):
                 dstate, loss = step_fn(dstate, batch)

@@ -298,12 +298,37 @@ def make_multi_train_step(
     )
 
     def multi(state: TrainState, batches):
+        # Accepts a list of k Batches OR one Batch with a leading [k] axis.
+        # The stacked form is strongly preferred on tunneled hosts: a list
+        # dispatch uploads ~4k separate host buffers (each a tunnel round
+        # trip); stacked is 3-4 uploads total (measured 10 s -> ms per
+        # dispatch on the remote chip).
         loss = None
-        for b in batches:
-            state, loss = body(state, b)
+        if isinstance(batches, dlrm.Batch):  # stacked [k, ...] form
+            for i in range(k):
+                b = jax.tree_util.tree_map(lambda x: x[i], batches)
+                state, loss = body(state, b)
+        else:
+            for b in batches:
+                state, loss = body(state, b)
         return state, loss
 
     return jax.jit(multi, donate_argnums=(0,))
+
+
+def stack_batches(batches) -> dlrm.Batch:
+    """Stack k host Batches into one leading-[k]-axis Batch (host-side
+    numpy — one device upload per field instead of one per batch)."""
+    import numpy as np
+
+    return dlrm.Batch(
+        dense=np.stack([np.asarray(b.dense) for b in batches]),
+        indices=np.stack([np.asarray(b.indices) for b in batches]),
+        labels=np.stack([np.asarray(b.labels) for b in batches]),
+        mask=None
+        if batches[0].mask is None
+        else np.stack([np.asarray(b.mask) for b in batches]),
+    )
 
 
 def make_eval_step(

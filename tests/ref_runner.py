@@ -10,6 +10,9 @@ Covered reference paths (dlrm_s_pytorch_comm_grad.py):
                                            fake-quant; QuantLinear in
                                            full-precision mode)
 - full INT4 QAT (emb + MLP weights, bias_bit=weight_bit) + plain SGD
+- full INT4 + INT8 integer-activation chains ("act4": quantize_activation,
+  QuantAct running-extremum ranges + ste_round integer MLPs,
+  comm_grad.py:863-879 / quant_modules_not_quantize_grad.py:104-214)
 - full INT4 QAT + quantized-gradient communication at world_size=1
   (clear_gradients -> backward -> grad_update_parallel_comm ->
    weight_update_parallel_comm, sgd_quantized_gradients_parallel_comm.py)
@@ -82,8 +85,8 @@ def _build_model(ref, weights: Dict, mode: str, embedding_bit: int, weight_bit: 
             quantization_flag=quantized,
             embedding_bit=embedding_bit,
             weight_bit=weight_bit,
-            quantize_act_and_lin=(mode in ("full4", "commgrad")),
-            quantize_activation=False,
+            quantize_act_and_lin=(mode in ("full4", "act4", "commgrad")),
+            quantize_activation=(mode == "act4"),
         )
     # epoch-schedule globals of the driver (train() sets these from args;
     # we pin them to the steady quantized phase)
@@ -139,7 +142,7 @@ def run_reference(
     weights: {"emb": [np [n,D]], "bot"/"top": [{"w","b"}]} (our init layout;
       torch Linear uses the same [out,in] weight shape).
     batches: [{"dense" [B,nd] f32, "indices" [T,B] int64, "labels" [B] f32}].
-    mode: fp32 | emb4 | full4 | commgrad.
+    mode: fp32 | emb4 | full4 | act4 | commgrad.
     Returns {"losses": [float], "probs_last": np [B], "params": final}.
     """
     ref = _import_reference()

@@ -447,10 +447,14 @@ class TestMultiStepDispatch:
         for b in batches:
             s1, l1 = step(s1, b)
 
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            stack_batches,
+        )
+
         s2 = init_train_state(cfg, tc)
         multi = make_multi_train_step(cfg, tc, 4, sparse_emb_grad=True)
-        s2, l2a = multi(s2, batches[:4])
-        s2, l2 = multi(s2, batches[4:])
+        s2, l2a = multi(s2, batches[:4])          # list form
+        s2, l2 = multi(s2, stack_batches(batches[4:]))  # stacked form
 
         assert float(l1) == float(l2)
         for a, b_ in zip(s1.params["emb"], s2.params["emb"]):

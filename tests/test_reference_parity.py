@@ -177,3 +177,18 @@ class TestReferenceParity:
             ),
         )
         self._ab("commgrad", cfg, loss_rtol=5e-4, param_atol=2e-4)
+
+    def test_integer_activation_chain_matches(self):
+        """quantize_activation=True: INT8 QuantAct running-extremum ranges +
+        ste_round integer MLP chains (reference branch 3, comm_grad.py:
+        863-879). Measured agreement is ~1e-7 — effectively bit-exact."""
+        cfg = dataclasses.replace(
+            CFG_BASE,
+            quant=QuantConfig(
+                enabled=True, embedding_bit=4, weight_bit=4, bias_bit=4,
+                quantize_mlp=True, quantize_activation=True,
+                activation_bit=8, act_range_momentum=-1.0,
+                scale_update_period=1,
+            ),
+        )
+        self._ab("act4", cfg, loss_rtol=1e-4, param_atol=1e-4)

@@ -1,0 +1,121 @@
+"""Accuracy-gate proxy at Kaggle scale on the attached chip.
+
+Real Criteo is unreachable (no network egress), so the gate runs on the
+learnable-synthetic stand-in (data/synthetic.LearnableSyntheticLoader) with
+the full Kaggle architecture (26 tables, d=16, 13-512-256-64-16 /
+512-256-1). Trains FP32, emb-only INT4, and full INT4 QAT for --steps
+steps and prints one JSON line per mode with the held-out AUC.
+
+NOTE the regime caveat (PARITY.md): an infinite synthetic stream has no
+overfitting, so INT4's regularization benefit (the paper's INT4 >= FP32 on
+Criteo) cannot appear here — expect emb-only INT4 to track FP32 closely and
+full INT4 to trail slightly. Numerics parity with the reference is proven
+separately by tests/test_reference_parity.py.
+
+Usage: python tools/accuracy_proxy.py [--steps 10000] [--modes fp32,emb4,full4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+from deep_quantized_recommendation_model_dqrm_tpu.config import (
+    QuantConfig,
+    TrainConfig,
+    kaggle_config,
+)
+from deep_quantized_recommendation_model_dqrm_tpu.data.synthetic import (
+    LearnableSyntheticLoader,
+)
+from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm
+from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+    TrainState,
+    init_train_state,
+    make_eval_step,
+    make_multi_train_step,
+    stack_batches,
+)
+from deep_quantized_recommendation_model_dqrm_tpu.utils.metrics import roc_auc
+
+K = 16  # steps per dispatch
+
+
+def mode_config(mode: str):
+    if mode == "fp32":
+        return kaggle_config()
+    if mode == "emb4":
+        return kaggle_config(
+            QuantConfig(enabled=True, embedding_bit=4, quantize_mlp=False,
+                        scale_update_period=200)
+        )
+    if mode == "full4":
+        return kaggle_config(
+            QuantConfig(enabled=True, embedding_bit=4, weight_bit=4,
+                        scale_update_period=200)
+        )
+    raise ValueError(mode)
+
+
+def run_mode(mode: str, steps: int, batch: int, lr: float, seed: int) -> dict:
+    cfg = mode_config(mode)
+    tc = TrainConfig(batch_size=batch, learning_rate=lr, seed=seed)
+    # device-side init: host-side numpy generation + tunnel transfer of the
+    # 2.16 GB Kaggle tables takes minutes; the distributions are identical
+    # (see bench._fast_device_init)
+    import bench as _bench
+
+    state = TrainState(
+        params=_bench._fast_device_init(cfg),
+        opt_state=None,
+        qstate=dlrm.init_quant_state(cfg),
+    )
+    multi = make_multi_train_step(cfg, tc, K, sparse_emb_grad=True)
+    train = LearnableSyntheticLoader(cfg, batch, steps, seed=seed)
+    t0 = time.perf_counter()
+    buf = []
+    it = 0
+    for b in train:
+        buf.append(b)
+        if len(buf) == K:
+            state, loss = multi(state, stack_batches(buf))
+            buf = []
+            it += K
+    ev = make_eval_step(cfg)
+    scores, ys = [], []
+    for b in LearnableSyntheticLoader(cfg, 16384, 8, seed=seed + 99_999):
+        scores.append(np.asarray(ev(state, b)))
+        ys.append(np.asarray(b.labels))
+    auc = roc_auc(np.concatenate(scores), np.concatenate(ys))
+    return {
+        "mode": mode,
+        "steps": it,
+        "auc": round(float(auc), 4),
+        "final_loss": round(float(loss), 4),
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=10000)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--learning-rate", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=9)
+    p.add_argument("--modes", type=str, default="fp32,emb4,full4")
+    args = p.parse_args()
+    for mode in args.modes.split(","):
+        r = run_mode(mode, args.steps, args.batch, args.learning_rate, args.seed)
+        print(json.dumps(r), flush=True)
+
+
+if __name__ == "__main__":
+    main()
