@@ -53,6 +53,13 @@ class QuantConfig:
     quantize_activation: bool = False
     # Quantize MLP weights at all (False = embedding-only QAT, paper Table 2).
     quantize_mlp: bool = True
+    # Fake-quantize embedding pooled outputs (True = DQRM default). False =
+    # MLP-only QAT: the regime the reference pseudo-multigpu driver actually
+    # runs (dlrm_s_pytorch_pseudo_multigpu.py:1115-1116 with
+    # pretrain_and_quantize=False leaves the module-level full_precision_flag
+    # False, and quant_modules.py:335-344 only quantizes when that flag is
+    # True — inverted convention — so its embeddings stay full-precision).
+    quantize_emb: bool = True
     # Per-output-channel MLP weight scales (`--linear_channel`,
     # quant_modules.py:106-112).
     mlp_channelwise: bool = False

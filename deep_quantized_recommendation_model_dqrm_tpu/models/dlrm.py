@@ -217,6 +217,8 @@ def update_emb_scales(
     """Refresh emb scales when step % period == 0 (paper §3.2 periodic update;
     quant_modules_not_quantize_grad.py:331-344). The min/max scan only
     executes on refresh steps thanks to `lax.cond`."""
+    if not config.quant.quantize_emb:
+        return qstate  # MLP-only QAT: pooled outputs stay full-precision
     period = max(config.quant.scale_update_period, 1)
     do_update = (qstate.step % period) == 0
     new_scales = jax.lax.cond(
@@ -372,7 +374,12 @@ def lookup_all(
     in `emb_postprocess`.
     """
     qc = config.quant
-    pact = qc.enabled and not full_precision and qc.quant_scheme == "pact"
+    pact = (
+        qc.enabled
+        and qc.quantize_emb
+        and not full_precision
+        and qc.quant_scheme == "pact"
+    )
     outs = []
     for k, table in enumerate(params["emb"]):
         m = mask[k] if mask is not None else None
@@ -419,7 +426,12 @@ def emb_postprocess(
     (quant_learned_step_size_quan.py:65-100). PACT is handled in lookup_all.
     """
     qc = config.quant
-    if not qc.enabled or full_precision or qc.quant_scheme == "pact":
+    if (
+        not qc.enabled
+        or full_precision
+        or not qc.quantize_emb
+        or qc.quant_scheme == "pact"
+    ):
         return pooled
     outs = []
     for k in range(config.num_tables):

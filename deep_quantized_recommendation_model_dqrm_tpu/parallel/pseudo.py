@@ -4,23 +4,38 @@ Re-design of the reference's validation drivers
 `dlrm_s_pytorch_pseudo_multigpu.py` / `pseudo_cpustb.py` (SURVEY §3.4): the
 mini-batch is split into N micro-batches; each micro-step quantizes its
 gradients into accumulation buffers (`grad_buffer_update_added_quantization`,
-sgd_quantized_gradients.py:56-156: sparse INT8 embedding grads with the
-scale cached at the first micro-step, INT8 MLP grads with error
-compensation); after N micro-steps the buffers are dequantized and applied
-by manual SGD (`weights_update_added_quantization` :349-421) and zeroed
-(`grad_buffer_zeroing` :231-312).
+sgd_quantized_gradients.py:56-156); after N micro-steps the buffers are
+dequantized and applied by manual SGD (`weights_update_added_quantization`
+:349-421) and zeroed (`grad_buffer_zeroing` :231-312).
+
+Exact reference semantics (verified by the A/B harness,
+tests/test_reference_parity.py::test_pseudo_multigpu_trajectory_matches):
+
+- embedding grads are COALESCED before scale/quantize
+  (quantize_emb_grad, sgd_quantized_gradients.py:539-561: `.coalesce()`
+  then `symmetric_linear_quantization_param_two` over the summed unique
+  rows); the per-table scale is computed at the FIRST micro-step of each
+  round and reused (zero-check at :78-82), and the integer buffer is
+  dequantized by scale/N at apply (:368-371).
+- MLP weight grads use PER-CHANNEL scales (quantize_linear_grad :563-600,
+  per_channel=True default: min/max over dim 1) and bias grads a per-tensor
+  scale (quantize_bias_grad :602-641), both with ERROR COMPENSATION
+  (err_compensation=True at the pseudo call sites :104-137): the residual
+  `ec = (g + ec_prev) - q * scale` persists across micro-steps AND rounds
+  (grad_buffer_zeroing never clears it).
+- apply: `w -= lr * buffer * scale / N` (weights_update_added_quantization
+  :368-402), then buffers and cached scales are zeroed for the next round.
 
 TPU-native: ONE jitted step runs the whole simulated round as a
-`lax.scan` over the N micro-batches (no Python loop, no buffer zoo) —
-the numerical semantics (per-micro-step quantization into a shared-scale
-buffer, single apply) are preserved exactly. This was the reference's way
-of validating the distributed algorithm without a cluster; here it doubles
-as a single-chip regression harness for the comm_grad math.
+`lax.scan` over the N micro-batches (no Python loop, no buffer zoo). This
+was the reference's way of validating the distributed algorithm without a
+cluster; here it doubles as a single-chip regression harness for the
+comm_grad math.
 """
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Tuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +44,7 @@ from deep_quantized_recommendation_model_dqrm_tpu.config import DLRMConfig, Trai
 from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm
 from deep_quantized_recommendation_model_dqrm_tpu.ops import quant as q
 from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import (
+    coalesce_sparse_grad,
     rows_grad_from_pooled,
 )
 from deep_quantized_recommendation_model_dqrm_tpu.optim import lr_policy
@@ -37,11 +53,24 @@ from deep_quantized_recommendation_model_dqrm_tpu.optim import lr_policy
 class PseudoState(NamedTuple):
     params: Any
     qstate: dlrm.QuantState
+    ec: Any  # {"bot"/"top": [{"w","b"}]} error-compensation residuals
+
+
+def _zero_ec(params):
+    return {
+        part: [
+            {"w": jnp.zeros_like(l["w"]), "b": jnp.zeros_like(l["b"])}
+            for l in params[part]
+        ]
+        for part in ("bot", "top")
+    }
 
 
 def init_pseudo_state(config: DLRMConfig, tc: TrainConfig, seed=None) -> PseudoState:
     params = dlrm.init_params(config, seed if seed is not None else tc.seed)
-    return PseudoState(params=params, qstate=dlrm.init_quant_state(config))
+    return PseudoState(
+        params=params, qstate=dlrm.init_quant_state(config), ec=_zero_ec(params)
+    )
 
 
 def make_pseudo_train_step(
@@ -83,6 +112,7 @@ def make_pseudo_train_step(
         )
 
         mlp_params = {k: v for k, v in params.items() if k != "emb"}
+        table_rows = [t.shape[0] for t in params["emb"]]
 
         def micro_grads(mb_batch: dlrm.Batch):
             raw_pooled = dlrm.lookup_all(
@@ -110,73 +140,87 @@ def make_pseudo_train_step(
             return loss, mlp_g, g_pooled
 
         def scan_body(carry, mb_batch):
-            mlp_buf, emb_val_buf, scales, first = carry
+            mlp_buf, scales, ec, first = carry
             loss, mlp_g, g_pooled = micro_grads(mb_batch)
 
-            # --- MLP: INT8 quantize into buffer (scale cached first step) ---
+            # --- MLP: INT8 quantize into buffer (scale cached first step,
+            # per-channel for weights / per-tensor for bias, error
+            # compensation; quantize_linear_grad / quantize_bias_grad,
+            # sgd_quantized_gradients.py:563-641) ---
             new_mlp_buf = {}
             new_scales = dict(scales)
+            new_ec = {}
             for part in ("bot", "top"):
-                bufs, layer_scales = [], []
+                bufs, part_scales, part_ec = [], [], []
                 for li, (gl, bl) in enumerate(zip(mlp_g[part], mlp_buf[part])):
-                    entry = {}
+                    entry, sc_entry, ec_entry = {}, {}, {}
                     for key in ("w", "b"):
                         g = gl[key]
                         if gb >= 32:
-                            entry[key] = bl[key] + g
-                            layer_scales.append(jnp.float32(1.0))
+                            # non-quantized buffer path: grad/N accumulated,
+                            # no EC (grad_buffer_update, :28-55)
+                            entry[key] = bl[key] + g / num_workers
+                            sc_entry[key] = scales[part][li][key]
+                            ec_entry[key] = ec[part][li][key]
                             continue
-                        sc = scales[part][li][key]
-                        sc = jnp.where(
-                            first,
-                            q.symmetric_quantization_params(
-                                gb, jnp.min(g), jnp.max(g)
-                            ),
-                            sc,
-                        )
-                        layer_scales.append(sc)
-                        entry[key] = bl[key] + q.quantize_ste(g, sc, gb)
+                        g_eff = g + ec[part][li][key]
+                        if key == "w":
+                            fresh = q.symmetric_quantization_params(
+                                gb,
+                                jnp.min(g_eff, axis=1),
+                                jnp.max(g_eff, axis=1),
+                            )  # per-out-channel [out]
+                        else:
+                            fresh = q.symmetric_quantization_params(
+                                gb, jnp.min(g_eff), jnp.max(g_eff)
+                            )
+                        sc = jnp.where(first, fresh, scales[part][li][key])
+                        qv = q.quantize_ste(g_eff, sc, gb)
+                        dq = qv * (sc.reshape(-1, 1) if key == "w" else sc)
+                        ec_entry[key] = g_eff - dq
+                        sc_entry[key] = sc
+                        entry[key] = bl[key] + qv
                     bufs.append(entry)
+                    part_scales.append(sc_entry)
+                    part_ec.append(ec_entry)
                 new_mlp_buf[part] = bufs
-                new_scales[part] = [
-                    {"w": layer_scales[2 * i], "b": layer_scales[2 * i + 1]}
-                    for i in range(len(bufs))
-                ]
+                new_scales[part] = part_scales
+                new_ec[part] = part_ec
 
-            # --- embeddings: INT8 row-grads accumulated per micro-step ---
+            # --- embeddings: coalesce -> scale (first micro-step) ->
+            # quantize (quantize_emb_grad, :539-561) ---
+            new_emb_ids = []
             new_emb_vals = []
             emb_scales = []
             for k in range(len(params["emb"])):
-                _, vals = rows_grad_from_pooled(
+                ids, vals = rows_grad_from_pooled(
                     g_pooled[k],
                     mb_batch.indices[k],
                     mb_batch.mask[k] if mb_batch.mask is not None else None,
                 )
+                uids, uvals = coalesce_sparse_grad(
+                    ids, vals, table_rows[k], max_unique=ids.shape[0]
+                )
                 if gb >= 32:
-                    new_emb_vals.append(vals)
+                    new_emb_ids.append(uids)
+                    new_emb_vals.append(uvals)
                     emb_scales.append(jnp.float32(1.0))
                     continue
                 sc = scales["emb"][k]
                 sc = jnp.where(
                     first,
-                    q.symmetric_quantization_params(gb, jnp.min(vals), jnp.max(vals)),
+                    q.symmetric_quantization_params(
+                        gb, jnp.min(uvals), jnp.max(uvals)
+                    ),
                     sc,
                 )
                 emb_scales.append(sc)
-                new_emb_vals.append(q.quantize_ste(vals, sc, gb))
-            new_scales["emb"] = emb_scales
+                new_emb_ids.append(uids)
+                new_emb_vals.append(q.quantize_ste(uvals, sc, gb))
+            new_scales["emb"] = jnp.stack(emb_scales)
 
-            carry = (
-                new_mlp_buf,
-                emb_val_buf,  # placeholder; emb values stacked via scan ys
-                {
-                    "bot": new_scales["bot"],
-                    "top": new_scales["top"],
-                    "emb": jnp.stack(emb_scales),
-                },
-                jnp.asarray(False),
-            )
-            return carry, (loss, jnp.stack(new_emb_vals))
+            carry = (new_mlp_buf, new_scales, new_ec, jnp.asarray(False))
+            return carry, (loss, jnp.stack(new_emb_ids), jnp.stack(new_emb_vals))
 
         zero_mlp_buf = {
             part: [
@@ -186,15 +230,21 @@ def make_pseudo_train_step(
             for part in ("bot", "top")
         }
         init_scales = {
-            "bot": [{"w": jnp.float32(1.0), "b": jnp.float32(1.0)} for _ in params["bot"]],
-            "top": [{"w": jnp.float32(1.0), "b": jnp.float32(1.0)} for _ in params["top"]],
-            "emb": jnp.ones((len(params["emb"]),), jnp.float32),
+            part: [
+                {
+                    "w": jnp.ones((l["w"].shape[0],), jnp.float32),
+                    "b": jnp.float32(1.0),
+                }
+                for l in params[part]
+            ]
+            for part in ("bot", "top")
         }
-        carry0 = (zero_mlp_buf, 0, init_scales, jnp.asarray(True))
-        (mlp_buf, _, scales, _), (losses, emb_q_vals) = jax.lax.scan(
+        init_scales["emb"] = jnp.ones((len(params["emb"]),), jnp.float32)
+        carry0 = (zero_mlp_buf, init_scales, state.ec, jnp.asarray(True))
+        (mlp_buf, scales, ec, _), (losses, emb_ids, emb_q_vals) = jax.lax.scan(
             scan_body, carry0, micro
         )
-        # emb_q_vals: [N, T, mb*P, D]
+        # emb_ids: [N, T, mb*P]; emb_q_vals: [N, T, mb*P, D]
 
         lr = lr_policy(
             tc.learning_rate,
@@ -204,15 +254,20 @@ def make_pseudo_train_step(
             tc.lr_num_decay_steps,
         )
 
-        # --- apply: dequantize buffers, manual SGD, zero buffers ---
+        # --- apply: dequantize buffers, manual SGD
+        # (weights_update_added_quantization :349-421) ---
         new_params = {}
         for part in ("bot", "top"):
             layers = []
             for l, buf, sc in zip(params[part], mlp_buf[part], scales[part]):
                 upd = {}
                 for key in ("w", "b"):
-                    g_sum = buf[key] * (sc[key] if gb < 32 else 1.0)
-                    upd[key] = l[key] - lr * g_sum / num_workers
+                    if gb < 32:
+                        s = sc[key].reshape(-1, 1) if key == "w" else sc[key]
+                        g_sum = buf[key] * (s / num_workers)
+                    else:
+                        g_sum = buf[key]  # already /N at accumulate
+                    upd[key] = l[key] - lr * g_sum
                 layers.append(upd)
             new_params[part] = layers
         new_emb = []
@@ -220,23 +275,20 @@ def make_pseudo_train_step(
         for k in range(T):
             vals = emb_q_vals[:, k]  # [N, mb*P, D]
             if gb < 32:
-                vals = vals * scales["emb"][k]
-            ids = jnp.moveaxis(
-                batch.indices[k].reshape(num_workers, mb, -1), 0, 0
-            ).reshape(-1)
+                vals = vals * (scales["emb"][k] / num_workers)
+            else:
+                vals = vals / num_workers
+            ids = emb_ids[:, k].reshape(-1)  # padded ids drop via mode="drop"
             new_emb.append(
                 params["emb"][k]
                 .at[ids]
-                .add(
-                    -(lr / num_workers) * vals.reshape(-1, vals.shape[-1]),
-                    mode="drop",
-                )
+                .add(-lr * vals.reshape(-1, vals.shape[-1]), mode="drop")
             )
         new_params["emb"] = new_emb
         if "lsq_emb" in params:
             new_params["lsq_emb"] = params["lsq_emb"]
 
         new_qs = qstate._replace(step=qstate.step + 1)
-        return PseudoState(new_params, new_qs), jnp.mean(losses)
+        return PseudoState(new_params, new_qs, ec), jnp.mean(losses)
 
     return jax.jit(step_fn, donate_argnums=(0,))

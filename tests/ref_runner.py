@@ -211,3 +211,129 @@ def run_reference(
         "probs_last": probs,
         "params": _extract_params(model, quantized),
     }
+
+
+_ref_pseudo_mod = None
+
+
+def _import_reference_pseudo():
+    """Import the reference pseudo-multigpu driver module once."""
+    global _ref_pseudo_mod
+    if _ref_pseudo_mod is not None:
+        return _ref_pseudo_mod
+    _import_reference()  # sys.path + torch CPU shims
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        import dlrm_s_pytorch_pseudo_multigpu as refp  # noqa: F401
+    _ref_pseudo_mod = refp
+    return refp
+
+
+def run_reference_pseudo(
+    weights: Dict,
+    micro_batches: Sequence[Dict],
+    lr: float,
+    num_workers: int,
+    weight_bit: int = 4,
+) -> Dict:
+    """Drive the reference pseudo-multi-GPU path on caller-provided data.
+
+    Runs the ACTUAL dlrm_s_pytorch_pseudo_multigpu.DLRM_Net (QuantLinear MLPs
+    from quant_modules.py, FP embeddings — the module-level
+    full_precision_flag stays False so QuantEmbeddingBagTwo returns raw
+    pooled output, quant_modules.py:335-344 inverted convention) through the
+    ACTUAL sgd_quantized_gradients buffer algorithm:
+    clear_gradients -> backward -> grad_buffer_update_added_quantization
+    (INT8, EC, per-channel weight scales) each micro-step; every
+    `num_workers` micro-steps weights_update_added_quantization +
+    grad_buffer_zeroing.
+
+    Round boundary normalized: the driver's `j % N == 0` check
+    (dlrm_s_pytorch_pseudo_multigpu.py:1625) makes its FIRST round a single
+    micro-batch (off-by-one research quirk); we apply after every N
+    micro-batches — the algorithm as the paper describes it and as
+    parallel/pseudo.py implements it.
+
+    micro_batches: flat list, length divisible by num_workers; each of size
+    mb (the per-worker slice).
+    """
+    refp = _import_reference_pseudo()
+    import torch
+
+    from sgd_quantized_gradients import (  # noqa: E501
+        clear_gradients,
+        grad_buffer_update_added_quantization,
+        grad_buffer_zeroing,
+        weights_update_added_quantization,
+    )
+
+    torch.manual_seed(0)
+    table_sizes = [w.shape[0] for w in weights["emb"]]
+    m_spa = weights["emb"][0].shape[1]
+    ln_bot = np.array(
+        [weights["bot"][0]["w"].shape[1]] + [l["w"].shape[0] for l in weights["bot"]]
+    )
+    ln_top = np.array(
+        [weights["top"][0]["w"].shape[1]] + [l["w"].shape[0] for l in weights["top"]]
+    )
+    with contextlib.redirect_stdout(io.StringIO()):
+        model = refp.DLRM_Net(
+            m_spa,
+            np.array(table_sizes),
+            ln_bot,
+            ln_top,
+            arch_interaction_op="dot",
+            sigmoid_bot=-1,
+            sigmoid_top=ln_top.size - 2,
+            quantization_flag=True,
+            embedding_bit=32,
+            weight_bit=weight_bit,
+            quantize_act_and_lin=True,  # QuantLinear MLPs (create_mlp :421-426)
+            quantize_activation=False,
+        )
+    # module-level schedule flags: emb stays RAW (inverted convention),
+    # no epoch transitions
+    refp.full_precision_flag = False
+    refp.change_bitw = False
+    refp.change_lin_full_quantize = False
+
+    with torch.no_grad():
+        for k, w in enumerate(weights["emb"]):
+            model.emb_l[k].embedding_bag.weight.data = torch.tensor(w)
+        for part, layers in (("bot", model.bot_l), ("top", model.top_l)):
+            li = 0
+            for layer in layers:
+                if hasattr(layer, "weight"):
+                    layer.weight.data = torch.tensor(weights[part][li]["w"])
+                    layer.bias.data = torch.tensor(weights[part][li]["b"])
+                    li += 1
+
+    losses: List[float] = []
+    buffer_clean = True
+    for j, b in enumerate(micro_batches):
+        dense = torch.tensor(b["dense"])
+        lS_i = [torch.tensor(b["indices"][k]) for k in range(len(b["indices"]))]
+        lS_o = [torch.arange(dense.shape[0]) for _ in lS_i]
+        labels = torch.tensor(b["labels"]).view(-1, 1)
+        with contextlib.redirect_stdout(io.StringIO()):
+            Z = model(dense, lS_o, lS_i)
+            E = model.loss_fn(Z, labels)
+            losses.append(float(E.detach()))
+            clear_gradients(model)
+            if buffer_clean:
+                grad_buffer_zeroing(model)
+                buffer_clean = False
+            E.backward()
+            grad_buffer_update_added_quantization(
+                model, num_workers, emb_grad_quantized=True
+            )
+            if (j + 1) % num_workers == 0:
+                weights_update_added_quantization(
+                    model, lr, num_workers,
+                    emb_grad_quantized=True, update_embedding=True,
+                )
+                buffer_clean = True
+    return {
+        "losses": losses,
+        "params": _extract_params(model, quantized=True),
+    }

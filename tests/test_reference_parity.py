@@ -27,7 +27,7 @@ from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
     make_train_step,
 )
 
-from ref_runner import have_reference, run_reference
+from ref_runner import have_reference, run_reference, run_reference_pseudo
 
 pytestmark = pytest.mark.skipif(
     not have_reference(), reason="reference checkout not available"
@@ -177,6 +177,59 @@ class TestReferenceParity:
             ),
         )
         self._ab("commgrad", cfg, loss_rtol=5e-4, param_atol=2e-4)
+
+    def test_pseudo_multigpu_trajectory_matches(self):
+        """Pseudo-multi-GPU simulation (dlrm_s_pytorch_pseudo_multigpu.py):
+        N simulated workers, INT8 grad buffers with error compensation and
+        per-channel weight scales (sgd_quantized_gradients.py:56-156),
+        manual-SGD apply every N micro-steps (:349-421). The reference model
+        in this driver has QuantLinear MLPs (weight-side INT4 fake-quant)
+        and FULL-PRECISION embeddings (quant_modules.py:335-344 only
+        quantizes when the module-level full_precision_flag is True —
+        inverted convention — and the driver leaves it False)."""
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel import pseudo
+
+        N = 4
+        n_rounds = 6
+        cfg = dataclasses.replace(
+            CFG_BASE,
+            quant=QuantConfig(
+                enabled=True, embedding_bit=32, weight_bit=4, bias_bit=4,
+                quantize_mlp=True, quantize_emb=False, scale_update_period=1,
+            ),
+        )
+        micro = _make_batches(n_rounds * N)
+        params0 = dlrm.init_params(cfg, TC.seed)
+        ref = run_reference_pseudo(
+            _weights_numpy(params0), micro, lr=LR, num_workers=N, weight_bit=4
+        )
+
+        tc = TC.replace(grad_quant_bits=8)
+        state = pseudo.PseudoState(
+            params=params0,
+            qstate=dlrm.init_quant_state(cfg),
+            ec=pseudo._zero_ec(params0),
+        )
+        step = pseudo.make_pseudo_train_step(cfg, tc, num_workers=N)
+        losses = []
+        for r in range(n_rounds):
+            group = micro[r * N : (r + 1) * N]
+            batch = dlrm.Batch(
+                dense=np.concatenate([b["dense"] for b in group]),
+                indices=np.concatenate(
+                    [b["indices"] for b in group], axis=1
+                )[:, :, None].astype(np.int32),
+                labels=np.concatenate([b["labels"] for b in group]),
+            )
+            state, loss = step(state, batch)
+            losses.append(float(loss))
+
+        ref_round_losses = np.asarray(ref["losses"]).reshape(n_rounds, N).mean(1)
+        np.testing.assert_allclose(
+            np.asarray(losses), ref_round_losses, rtol=5e-4,
+            err_msg="per-round loss mismatch [pseudo]",
+        )
+        _assert_params_close(state.params, ref["params"], atol=2e-4)
 
     def test_integer_activation_chain_matches(self):
         """quantize_activation=True: INT8 QuantAct running-extremum ranges +
