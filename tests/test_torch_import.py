@@ -1,0 +1,140 @@
+"""Tests: torch-checkpoint importer (reference -> our npz format).
+
+Round-trips the ACTUAL reference model's torch.save checkpoint
+(dlrm_s_pytorch.py:863-869 model_metrics_dict layout) through
+tools/torch_import and asserts bit-identical weights, loadability into an
+initialized TrainState, and matching forward logits.
+"""
+
+import numpy as np
+import pytest
+
+from deep_quantized_recommendation_model_dqrm_tpu.config import (
+    DLRMConfig,
+    TrainConfig,
+)
+from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm
+from deep_quantized_recommendation_model_dqrm_tpu.tools.torch_import import (
+    import_torch_checkpoint,
+    params_from_torch_state_dict,
+)
+
+from ref_runner import have_reference
+
+pytestmark = pytest.mark.skipif(
+    not have_reference(), reason="reference checkout not available"
+)
+
+TABLE_SIZES = (40, 20, 7)
+D = 8
+CFG = DLRMConfig(
+    table_sizes=TABLE_SIZES,
+    embedding_dim=D,
+    mlp_bot=(4, 12, D),
+    mlp_top=(14, 8, 1),
+)
+
+
+def _build_ref_model(mode="fp32"):
+    import ref_runner
+
+    ref = ref_runner._import_reference()
+    params0 = dlrm.init_params(CFG, 3)
+    weights = {
+        "emb": [np.asarray(t) for t in params0["emb"]],
+        "bot": [
+            {"w": np.asarray(l["w"]), "b": np.asarray(l["b"])}
+            for l in params0["bot"]
+        ],
+        "top": [
+            {"w": np.asarray(l["w"]), "b": np.asarray(l["b"])}
+            for l in params0["top"]
+        ],
+    }
+    model = ref_runner._build_model(ref, weights, mode, 4, 4)
+    return model, weights
+
+
+class TestTorchImport:
+    def test_state_dict_mapping_fp32(self):
+        model, weights = _build_ref_model("fp32")
+        params, arch = params_from_torch_state_dict(model.state_dict())
+        assert arch["table_sizes"] == TABLE_SIZES
+        assert arch["embedding_dim"] == D
+        assert arch["mlp_bot"] == CFG.mlp_bot
+        assert arch["mlp_top"] == CFG.mlp_top
+        for a, b in zip(params["emb"], weights["emb"]):
+            np.testing.assert_array_equal(a, b)
+        for part in ("bot", "top"):
+            for la, lb in zip(params[part], weights[part]):
+                np.testing.assert_array_equal(la["w"], lb["w"])
+                np.testing.assert_array_equal(la["b"], lb["b"])
+
+    def test_state_dict_mapping_qat_variant(self):
+        """QAT state dicts key tables as emb_l.{k}.embedding_bag.weight and
+        carry quant buffers that must be skipped, not crashed on."""
+        model, weights = _build_ref_model("full4")
+        params, arch = params_from_torch_state_dict(model.state_dict())
+        assert arch["table_sizes"] == TABLE_SIZES
+        for a, b in zip(params["emb"], weights["emb"]):
+            np.testing.assert_array_equal(a, b)
+
+    def test_full_import_roundtrip_and_forward_parity(self, tmp_path):
+        import torch
+
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            init_train_state,
+        )
+        from deep_quantized_recommendation_model_dqrm_tpu.utils.checkpoint import (
+            load_checkpoint,
+        )
+
+        model, weights = _build_ref_model("fp32")
+        pt_path = tmp_path / "ref_ckpt.pt"
+        torch.save(
+            {"state_dict": model.state_dict(), "epoch": 2, "iter": 77},
+            pt_path,
+        )
+        out_path = tmp_path / "imported.npz"
+        arch = import_torch_checkpoint(str(pt_path), str(out_path))
+        assert arch["table_sizes"] == TABLE_SIZES
+
+        tc = TrainConfig(batch_size=1)
+        like = init_train_state(CFG, tc)
+        state, meta = load_checkpoint(str(out_path), like)
+        assert meta["iter"] == 77
+        for a, b in zip(state.params["emb"], weights["emb"]):
+            np.testing.assert_array_equal(np.asarray(a), b)
+
+        # forward parity: imported params must reproduce the torch model's
+        # probabilities on a random batch
+        rng = np.random.RandomState(0)
+        B = 8
+        dense = rng.uniform(0, 1, size=(B, 4)).astype(np.float32)
+        idx = np.stack(
+            [rng.randint(0, n, size=B) for n in TABLE_SIZES]
+        ).astype(np.int64)
+        labels = np.zeros(B, np.float32)
+
+        lS_i = [torch.tensor(idx[k]) for k in range(len(TABLE_SIZES))]
+        lS_o = [torch.arange(B) for _ in lS_i]
+        with torch.no_grad():
+            z_ref = model(torch.tensor(dense), lS_o, lS_i).numpy().reshape(-1)
+
+        batch = dlrm.Batch(
+            dense=dense,
+            indices=idx[:, :, None].astype(np.int32),
+            labels=labels,
+        )
+        logits, _ = dlrm.forward(
+            CFG, state.params, batch, state.qstate, train=False,
+            full_precision=True,
+        )
+        probs = np.asarray(jax_sigmoid(logits)).reshape(-1)
+        np.testing.assert_allclose(probs, z_ref, rtol=1e-5, atol=1e-6)
+
+
+def jax_sigmoid(x):
+    import jax
+
+    return jax.nn.sigmoid(x)
