@@ -67,13 +67,29 @@ def pack_table(
     if bits == 4:
         assert D % 2 == 0, "int4 packing requires even embedding dim"
     if rowwise:
-        # ATen embedding_bag_{4bit,byte}_prepack scheme: per-row asymmetric.
+        # ATen embedding_bag_{4bit,byte}_prepack scheme: per-row asymmetric
+        # (dlrm_s_pytorch.py:457-474 -> fbgemm FloatToFusedNBitRowwise-
+        # QuantizedSBHalf). Verified BIT-EXACT against the actual torch ops
+        # in tests/test_ptq_aten_parity.py:
+        #  - 4 bit: bias = fp16(row min); scale = fp16((max - bias)/15),
+        #    zero range -> scale 1.0; q = clip(rint((x-bias)/scale), 0, 15)
+        #    with the fp16-rounded params.
+        #  - 8 bit: fp32 scale = (max-min)/255 (stored even when 0), fp32
+        #    bias = min; quantize via the guarded inverse scale.
         lo = jnp.min(table, axis=1)  # [rows]
         hi = jnp.max(table, axis=1)
         n = 2**bits - 1
-        scale = jnp.maximum((hi - lo) / n, 1e-8)
-        bias = lo
-        qv = jnp.clip(jnp.round((table - lo[:, None]) / scale[:, None]), 0, n)
+        if bits == 4:
+            bias = lo.astype(jnp.float16).astype(jnp.float32)
+            scale = ((hi - bias) / n).astype(jnp.float16).astype(jnp.float32)
+            scale = jnp.where(scale == 0, 1.0, scale)
+            qv = jnp.clip(jnp.round((table - bias[:, None]) / scale[:, None]), 0, n)
+        else:
+            bias = lo
+            rng = hi - lo
+            inv = jnp.where(rng == 0, 1.0, n / rng)
+            scale = rng / n
+            qv = jnp.clip(jnp.round((table - bias[:, None]) * inv[:, None]), 0, n)
         qv = qv.astype(jnp.uint8)
     else:
         scale = q.table_scale(bits, table)

@@ -136,6 +136,8 @@ def run_reference(
     embedding_bit: int = 4,
     weight_bit: int = 4,
     grad_bits: int = 8,
+    optimizer: str = "sgd",
+    lr_schedule=None,
 ) -> Dict:
     """Train the reference model and return its trajectory.
 
@@ -143,6 +145,12 @@ def run_reference(
       torch Linear uses the same [out,in] weight shape).
     batches: [{"dense" [B,nd] f32, "indices" [T,B] int64, "labels" [B] f32}].
     mode: fp32 | emb4 | full4 | act4 | commgrad.
+    optimizer: sgd | adagrad | rwsadagrad (dlrm_s_pytorch.py:1330-1334);
+      only meaningful outside commgrad mode (which uses the manual update).
+    lr_schedule: optional (num_warmup_steps, decay_start_step,
+      num_decay_steps) driving the reference LRPolicyScheduler
+      (dlrm_s_pytorch.py:160-194), stepped once per iteration like the
+      driver loop (:1602-1603).
     Returns {"losses": [float], "probs_last": np [B], "params": final}.
     """
     ref = _import_reference()
@@ -170,7 +178,28 @@ def run_reference(
                 rank=0,
             )
     else:
-        opt = torch.optim.SGD(model.parameters(), lr=lr)
+        if optimizer == "sgd":
+            opt = torch.optim.SGD(model.parameters(), lr=lr)
+        elif optimizer == "adagrad":
+            opt = torch.optim.Adagrad(model.parameters(), lr=lr)
+        elif optimizer == "rwsadagrad":
+            from optim.rwsadagrad import RWSAdagrad
+
+            # RWSAdagrad's row-wise path requires sparse embedding grads:
+            # the canonical rwsadagrad driver builds its bags sparse=True
+            # (dlrm_s_pytorch.py:268); the comm_grad model this harness
+            # uses has sparse=False, so flip the flag (read at backward
+            # time) to get the canonical semantics.
+            if mode == "fp32":
+                for e in model.emb_l:
+                    e.sparse = True
+            opt = RWSAdagrad(model.parameters(), lr=lr)
+        else:
+            raise ValueError(f"unknown optimizer {optimizer!r}")
+        scheduler = None
+        if lr_schedule is not None:
+            warm, dstart, dsteps = lr_schedule
+            scheduler = ref.LRPolicyScheduler(opt, warm, dstart, dsteps)
 
     losses: List[float] = []
     probs = None
@@ -206,6 +235,8 @@ def run_reference(
             opt.zero_grad()
             E.backward()
             opt.step()
+            if scheduler is not None:
+                scheduler.step()
     return {
         "losses": losses,
         "probs_last": probs,

@@ -80,9 +80,9 @@ def _to_batch(b):
     )
 
 
-def _run_ours_single(cfg, batches):
-    state = init_train_state(cfg, TC)
-    step = make_train_step(cfg, TC, sparse_emb_grad=True)
+def _run_ours_single(cfg, batches, tc=TC):
+    state = init_train_state(cfg, tc)
+    step = make_train_step(cfg, tc, sparse_emb_grad=True)
     losses = []
     for b in batches:
         state, loss = step(state, _to_batch(b))
@@ -177,6 +177,46 @@ class TestReferenceParity:
             ),
         )
         self._ab("commgrad", cfg, loss_rtol=5e-4, param_atol=2e-4)
+
+    def _ab_optimizer(self, optimizer, lr_schedule=None, loss_rtol=2e-4,
+                      param_atol=1e-4):
+        batches = _make_batches(N_STEPS)
+        params0 = dlrm.init_params(CFG_BASE, TC.seed)
+        ref = run_reference(
+            _weights_numpy(params0), batches, lr=LR, mode="fp32",
+            optimizer=optimizer, lr_schedule=lr_schedule,
+        )
+        tc = TC.replace(optimizer=optimizer)
+        if lr_schedule is not None:
+            tc = tc.replace(
+                lr_num_warmup_steps=lr_schedule[0],
+                lr_decay_start_step=lr_schedule[1],
+                lr_num_decay_steps=lr_schedule[2],
+            )
+        state, losses = _run_ours_single(CFG_BASE, batches, tc)
+        np.testing.assert_allclose(
+            np.asarray(losses), np.asarray(ref["losses"]), rtol=loss_rtol,
+            err_msg=f"per-step loss mismatch [fp32+{optimizer}"
+                    f"{'+sched' if lr_schedule else ''}]",
+        )
+        _assert_params_close(state.params, ref["params"], atol=param_atol)
+
+    def test_adagrad_trajectory_matches(self):
+        """torch.optim.Adagrad (dlrm_s_pytorch.py:1332) vs optim/sgd.py
+        adagrad_update, incl. the sparse-embedding accumulator path."""
+        self._ab_optimizer("adagrad")
+
+    def test_rwsadagrad_trajectory_matches(self):
+        """Reference RWSAdagrad (optim/rwsadagrad.py:11-122: one accumulator
+        per embedding row = mean_d(g^2)) vs our row-wise sparse variant."""
+        self._ab_optimizer("rwsadagrad")
+
+    def test_lr_policy_trajectory_matches(self):
+        """LRPolicyScheduler (warmup -> hold -> quadratic decay,
+        dlrm_s_pytorch.py:160-194) stepped once per iteration, end-to-end
+        through SGD — validates our lr_policy offsets against the actual
+        scheduler, not just the formula."""
+        self._ab_optimizer("sgd", lr_schedule=(4, 7, 4))
 
     def test_pseudo_multigpu_trajectory_matches(self):
         """Pseudo-multi-GPU simulation (dlrm_s_pytorch_pseudo_multigpu.py):
