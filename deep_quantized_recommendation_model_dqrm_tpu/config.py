@@ -293,7 +293,6 @@ class TrainConfig:
     seed: int = 123  # `--numpy-rand-seed`
     # DQRM gradient-communication compression (§2.3 of the survey):
     grad_quant_bits: int = 8  # INT8 gradient all-reduce
-    grad_sparse: bool = True  # sparse embedding-gradient exchange
     error_compensation: bool = False  # MLP error feedback
     # Ranking-range mixed-bit embedding-gradient policy
     # (grad_precision_and_scale, sgd_…_parallel_comm.py:158-255): per

@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loss-threshold", type=float, default=0.0)
     # embedding compression tricks + weighted pooling
     # (dlrm_s_pytorch.py:922-931 + md_solver :1202)
+    p.add_argument("--table-dtype", type=str, default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="embedding master-table dtype (bfloat16 halves HBM)")
     p.add_argument("--weighted-pooling", type=str, default=None,
                    choices=[None, "fixed", "learned"])
     p.add_argument("--qr-flag", action="store_true")
@@ -110,6 +113,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quantization_flag", action="store_true")
     p.add_argument("--embedding_bit", type=int, default=4)
     p.add_argument("--weight_bit", type=int, default=4)
+    p.add_argument("--bias_bit", type=int, default=32,
+                   help="-1 = follow weight_bit (the reference hardcode)")
+    p.add_argument("--activation_bit", type=int, default=8)
+    p.add_argument("--interaction_bit", type=int, default=16)
+    p.add_argument("--act-range-momentum", type=float, default=0.95,
+                   help="-1 = running extremum (QuantAct act_range_momentum)")
+    p.add_argument("--act-percentile", type=float, default=0.0)
     p.add_argument("--quantize_activation", action="store_true")
     p.add_argument("--quantize_act_and_lin", action="store_true")
     p.add_argument("--linear_channel", action="store_true")
@@ -161,11 +171,18 @@ def make_configs(args) -> tuple:
         enabled=args.quantization_flag,
         embedding_bit=args.embedding_bit,
         weight_bit=args.weight_bit,
+        # reference QAT drivers hardcode bias_bit = weight_bit
+        # (comm_grad.py:316-323); -1 follows that, otherwise explicit
+        bias_bit=args.weight_bit if args.bias_bit < 0 else args.bias_bit,
+        activation_bit=args.activation_bit,
         quantize_activation=args.quantize_activation or args.quantize_act_and_lin,
         quantize_mlp=args.quantize_act_and_lin or args.weight_bit < 32,
         mlp_channelwise=args.linear_channel,
         modify_feature_interaction=args.modify_feature_interaction,
+        interaction_bit=args.interaction_bit,
         scale_update_period=args.scale_update_period,
+        act_range_momentum=args.act_range_momentum,
+        act_percentile=args.act_percentile,
         quant_scheme=args.quant_scheme,
     )
     table_sizes = dash_separated_ints(args.arch_embedding_size)
@@ -190,6 +207,7 @@ def make_configs(args) -> tuple:
         md_threshold=args.md_threshold,
         md_temperature=args.md_temperature,
         md_round_dims=args.md_round_dims,
+        table_dtype=args.table_dtype,
         quant=quant,
     )
     # derive ln_top input like the reference (dlrm_s_pytorch.py:1141-1164)
