@@ -82,6 +82,36 @@ def worker(rank: int) -> None:
     print(f"[rank {pid}/{pcount}] 3 dp-comm-grad steps OK, loss {loss_v:.6f}",
           flush=True)
 
+    # drain in-flight collectives before switching executables (CPU backend
+    # op-id collision gotcha, .claude/skills/verify/SKILL.md)
+    jax.block_until_ready(state)
+
+    # --- hybrid phase: table-sharded mega-table + a2a over BOTH processes ---
+    from deep_quantized_recommendation_model_dqrm_tpu.parallel import hybrid
+
+    plan = hybrid.plan_table_sharding(cfg.table_sizes, 8)
+    hstate = hybrid.init_hybrid_state(cfg, tc, mesh, plan)
+    hstep = hybrid.make_hybrid_train_step(cfg, tc, mesh, plan)
+    # the hybrid step consumes the FULL batch replicated on every device
+    rep_specs = dlrm.Batch(dense=P(), indices=P(), labels=P(), mask=None)
+    hbatch = make_global_batch(
+        dlrm.Batch(
+            dense=np.asarray(full.dense),
+            indices=np.asarray(full.indices),
+            labels=np.asarray(full.labels),
+            mask=None,
+        ),
+        mesh,
+        rep_specs,
+    )
+    for _ in range(3):
+        hstate, hloss = hstep(hstate, hbatch)
+    hloss_v = float(hloss)
+    assert np.isfinite(hloss_v)
+    jax.block_until_ready(hstate)
+    print(f"[rank {pid}/{pcount}] 3 hybrid a2a steps OK, hloss {hloss_v:.6f}",
+          flush=True)
+
 
 def launcher() -> int:
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -119,10 +149,21 @@ def launcher() -> int:
         for line in out.splitlines()
         if "steps OK, loss" in line
     ]
-    if rc == 0 and len(losses) == 2 and losses[0] == losses[1]:
-        print("MULTIHOST SMOKE OK: both ranks agree, loss", losses[0])
+    hlosses = [
+        line.split("hloss ")[-1]
+        for out in outputs
+        for line in out.splitlines()
+        if "steps OK, hloss" in line
+    ]
+    if (
+        rc == 0
+        and len(losses) == 2 and losses[0] == losses[1]
+        and len(hlosses) == 2 and hlosses[0] == hlosses[1]
+    ):
+        print("MULTIHOST SMOKE OK: both ranks agree, dp loss", losses[0],
+              "hybrid loss", hlosses[0])
         return 0
-    print("MULTIHOST SMOKE FAILED", rc, losses)
+    print("MULTIHOST SMOKE FAILED", rc, losses, hlosses)
     return 1
 
 

@@ -138,3 +138,83 @@ def jax_sigmoid(x):
     import jax
 
     return jax.nn.sigmoid(x)
+
+
+class TestMigrationWorkflow:
+    def test_reference_trained_then_continue_training_here(self, tmp_path):
+        """The full migration story: train the reference N steps, torch.save,
+        import, continue training with our engine — the continued trajectory
+        must match what the reference itself would have produced over the
+        same additional batches."""
+        import torch
+
+        import ref_runner
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            init_train_state,
+            make_train_step,
+        )
+        from deep_quantized_recommendation_model_dqrm_tpu.utils.checkpoint import (
+            load_checkpoint,
+        )
+
+        rng = np.random.RandomState(11)
+        B, LR = 16, 0.05
+
+        def mk_batches(n):
+            out = []
+            for _ in range(n):
+                out.append(
+                    {
+                        "dense": rng.uniform(0, 1, size=(B, 4)).astype(np.float32),
+                        "indices": np.stack(
+                            [rng.randint(0, t, size=B) for t in TABLE_SIZES]
+                        ).astype(np.int64),
+                        "labels": (rng.uniform(size=B) < 0.5).astype(np.float32),
+                    }
+                )
+            return out
+
+        pre, post = mk_batches(8), mk_batches(6)
+
+        # phase 1: reference trains `pre`, then keeps going over `post`
+        # (the counterfactual trajectory we must match)
+        params0 = dlrm.init_params(CFG, 3)
+        weights = {
+            "emb": [np.asarray(t) for t in params0["emb"]],
+            "bot": [{"w": np.asarray(l["w"]), "b": np.asarray(l["b"])}
+                    for l in params0["bot"]],
+            "top": [{"w": np.asarray(l["w"]), "b": np.asarray(l["b"])}
+                    for l in params0["top"]],
+        }
+        ref_pre = ref_runner.run_reference(weights, pre, lr=LR, mode="fp32")
+        ref_full = ref_runner.run_reference(weights, pre + post, lr=LR, mode="fp32")
+
+        # phase 2: torch.save the step-8 model, import, continue here
+        model = ref_runner._build_model(
+            ref_runner._import_reference(), ref_pre["params"], "fp32", 4, 4
+        )
+        pt_path = tmp_path / "mid_training.pt"
+        torch.save({"state_dict": model.state_dict()}, pt_path)
+        out_path = tmp_path / "imported.npz"
+        import_torch_checkpoint(str(pt_path), str(out_path))
+
+        tc = TrainConfig(batch_size=B, learning_rate=LR)
+        state, _ = load_checkpoint(str(out_path), init_train_state(CFG, tc))
+        step = make_train_step(CFG, tc, sparse_emb_grad=True)
+        losses = []
+        for b in post:
+            batch = dlrm.Batch(
+                dense=b["dense"],
+                indices=b["indices"][:, :, None].astype(np.int32),
+                labels=b["labels"],
+            )
+            state, loss = step(state, batch)
+            losses.append(float(loss))
+
+        np.testing.assert_allclose(
+            np.asarray(losses),
+            np.asarray(ref_full["losses"][len(pre):]),
+            rtol=5e-4,
+            err_msg="continued-training trajectory diverges from the "
+                    "reference counterfactual",
+        )
