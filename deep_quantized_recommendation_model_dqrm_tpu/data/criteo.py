@@ -332,9 +332,10 @@ def _worker_day_pass1(args) -> Tuple[int, List[np.ndarray], int]:
     """
     day, rp, tmp_path, use_native = args
     native = _native_parser() if use_native else None
-    uniq_sets: List[np.ndarray] = [
-        np.zeros(0, np.int64) for _ in range(NUM_SPARSE)
-    ]
+    # per-chunk uniques are appended and merged lazily: union1d against the
+    # full accumulated set every chunk would re-sort the whole set per
+    # chunk (quadratic-ish in chunk count at Terabyte scale)
+    uniq_lists: List[List[np.ndarray]] = [[] for _ in range(NUM_SPARSE)]
     n_rows = 0
     with open(tmp_path, "wb") as out:
         for chunk in _iter_text_chunks(rp):
@@ -350,15 +351,42 @@ def _worker_day_pass1(args) -> Tuple[int, List[np.ndarray], int]:
             )
             out.write(rec.astype(np.int64).tobytes())
             for j in range(NUM_SPARSE):
-                uniq_sets[j] = np.union1d(uniq_sets[j], np.unique(xc_raw[:, j]))
+                uniq_lists[j].append(np.unique(xc_raw[:, j]))
+                if len(uniq_lists[j]) >= 64:  # bound the pending-list memory
+                    uniq_lists[j] = [np.unique(np.concatenate(uniq_lists[j]))]
+    uniq_sets = [
+        np.unique(np.concatenate(l)) if l else np.zeros(0, np.int64)
+        for l in uniq_lists
+    ]
     return day, uniq_sets, n_rows
 
 
+_MAPPING_CACHE: Dict[str, Tuple[List[np.ndarray], List[np.ndarray]]] = {}
+
+
+def _load_mapping(path: str) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """Load the phase-B global mapping npz once per worker process.
+
+    The mapping is multi-GB at Terabyte scale; shipping it inside every
+    per-day job tuple would re-pickle it over the pipe once per day and
+    hold `workers` private copies — loading from disk with a process-local
+    cache pays one read per worker instead.
+    """
+    if path not in _MAPPING_CACHE:
+        data = np.load(path)
+        _MAPPING_CACHE[path] = (
+            [data[f"raw_{j}"] for j in range(NUM_SPARSE)],
+            [data[f"ids_{j}"] for j in range(NUM_SPARSE)],
+        )
+    return _MAPPING_CACHE[path]
+
+
 def _worker_day_pass2(args) -> str:
-    """Phase C: remap one temp day through the broadcast global mapping
-    (sorted raw values -> ids, np.searchsorted) and write the final npz.
+    """Phase C: remap one temp day through the global mapping (sorted raw
+    values -> ids, np.searchsorted) and write the final npz.
     Streams the temp file in bounded chunks."""
-    day, tmp_path, out_dir, sorted_raw, sorted_ids, sub_sample_rate, seed = args
+    day, tmp_path, out_dir, mapping_path, sub_sample_rate, seed = args
+    sorted_raw, sorted_ids = _load_mapping(mapping_path)
     rng = np.random.RandomState(seed + day)
     rec_ints = 1 + NUM_DENSE + NUM_SPARSE
     day_y, day_xi, day_xc = [], [], []
@@ -441,16 +469,18 @@ def preprocess_criteo_days_parallel(
             for raw in uniq_sets[j].tolist():
                 if raw not in d:
                     d[raw] = len(d)
-    sorted_raw, sorted_ids = [], []
+    mapping_arrays = {}
     for j in range(NUM_SPARSE):
         raws = np.fromiter(dicts[j].keys(), np.int64, len(dicts[j]))
         ids = np.fromiter(dicts[j].values(), np.int32, len(dicts[j]))
         order = np.argsort(raws)
-        sorted_raw.append(raws[order])
-        sorted_ids.append(ids[order])
+        mapping_arrays[f"raw_{j}"] = raws[order]
+        mapping_arrays[f"ids_{j}"] = ids[order]
+    mapping_path = os.path.join(out_dir, "_tmp_mapping.npz")
+    _savez(mapping_path, **mapping_arrays)
 
     jobs2 = [
-        (d, tmp_paths[d], out_dir, sorted_raw, sorted_ids, sub_sample_rate, seed)
+        (d, tmp_paths[d], out_dir, mapping_path, sub_sample_rate, seed)
         for d in range(len(raw_day_paths))
     ]
     if workers > 1:
@@ -458,6 +488,7 @@ def preprocess_criteo_days_parallel(
             paths = pool.map(_worker_day_pass2, jobs2)
     else:
         paths = [_worker_day_pass2(j) for j in jobs2]
+    os.unlink(mapping_path)
     counts = np.array([max(len(d), 1) for d in dicts], np.int64)
     np.savez(os.path.join(out_dir, "counts.npz"), counts=counts)
     return sorted(paths, key=lambda p: int(p.split("day_")[-1].split(".")[0]))

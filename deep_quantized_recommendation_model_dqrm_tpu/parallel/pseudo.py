@@ -88,6 +88,23 @@ def make_pseudo_train_step(
     """
     qc = config.quant
     gb = tc.grad_quant_bits
+    if config.weighted_pooling == "learned":
+        # The buffer algorithm only updates emb/bot/top
+        # (weights_update_added_quantization, sgd_quantized_gradients.py:
+        # 349-421) — learned pooling weights would silently never train,
+        # in the reference too. "fixed" pooling works (no trainable v_W).
+        raise NotImplementedError(
+            "weighted_pooling='learned' is not supported by the pseudo "
+            "step; use weighted_pooling='fixed' or parallelism=none"
+        )
+    if any(config.table_kind(k) != "dense" for k in range(config.num_tables)):
+        # The reference's grad_buffer functions iterate emb_l expecting
+        # .embedding_bag (sgd_quantized_gradients.py:75-95) — QR/MD would
+        # crash there too.
+        raise NotImplementedError(
+            "QR/MD embeddings are not supported by the pseudo step "
+            "(nor by the reference's); use parallelism=none"
+        )
 
     def step_fn(state: PseudoState, batch: dlrm.Batch):
         params, qstate = state.params, state.qstate
@@ -285,8 +302,11 @@ def make_pseudo_train_step(
                 .add(-lr * vals.reshape(-1, vals.shape[-1]), mode="drop")
             )
         new_params["emb"] = new_emb
-        if "lsq_emb" in params:
-            new_params["lsq_emb"] = params["lsq_emb"]
+        # carry every other param key through unchanged (lsq_emb, fixed
+        # v_W, ...) so the returned pytree structure matches the input
+        for key in params:
+            if key not in new_params:
+                new_params[key] = params[key]
 
         new_qs = qstate._replace(step=qstate.step + 1)
         return PseudoState(new_params, new_qs, ec), jnp.mean(losses)

@@ -113,6 +113,7 @@ def import_torch_checkpoint(
     out_path: str,
     quantized: bool = False,
     optimizer: str = "sgd",
+    unsafe_load: bool = False,
 ) -> Dict[str, Any]:
     """Read a reference .pt checkpoint and write our npz checkpoint.
 
@@ -133,14 +134,22 @@ def import_torch_checkpoint(
         save_checkpoint,
     )
 
-    try:
-        blob = torch.load(pt_path, map_location="cpu", weights_only=True)
-    except Exception:
+    if unsafe_load:
         # QAT checkpoints register a sparse-COO grad buffer
         # (quant_modules.py:254) that the weights_only unpickler may
-        # reject; the fallback runs the full unpickler — only do this on
-        # checkpoints you produced yourself.
+        # reject; --unsafe-load runs the full unpickler, which executes
+        # pickled code — only use on checkpoints you produced yourself.
         blob = torch.load(pt_path, map_location="cpu", weights_only=False)
+    else:
+        try:
+            blob = torch.load(pt_path, map_location="cpu", weights_only=True)
+        except Exception as e:
+            raise RuntimeError(
+                f"safe (weights_only) load of {pt_path!r} failed: {e}\n"
+                "If this checkpoint is your own and contains non-tensor "
+                "objects (e.g. the reference QAT sparse grad buffers), "
+                "re-run with --unsafe-load."
+            ) from e
     sd = blob["state_dict"] if isinstance(blob, dict) and "state_dict" in blob else blob
     params, arch = params_from_torch_state_dict(sd)
 
@@ -176,10 +185,15 @@ def main(argv=None):
                    help="build the state for a QAT config (quant enabled)")
     p.add_argument("--optimizer", default="sgd",
                    choices=("sgd", "adagrad", "rwsadagrad"))
+    p.add_argument("--unsafe-load", action="store_true",
+                   help="allow the full (code-executing) torch unpickler; "
+                        "needed for QAT checkpoints with sparse buffers — "
+                        "only for checkpoints you produced yourself")
     args = p.parse_args(argv)
     arch = import_torch_checkpoint(
         args.pt_path, args.out_path,
         quantized=args.quantized, optimizer=args.optimizer,
+        unsafe_load=args.unsafe_load,
     )
     print(f"imported {args.pt_path} -> {args.out_path}")
     print(f"arch: {arch}")

@@ -28,6 +28,7 @@ multi-host); the pseudo-multigpu validation trick is
 from __future__ import annotations
 
 import argparse
+import os
 import time
 from typing import Optional
 
@@ -166,6 +167,17 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _day_sort_key(path: str):
+    """Numeric-aware raw-day ordering: lexicographic sorting would put
+    day_10 before day_2, misassigning raw days to npz day indices
+    (Terabyte day_0..day_23 — the same ordering bug fixed in
+    CriteoDataset's file listing)."""
+    import re as _re
+
+    nums = _re.findall(r"\d+", os.path.basename(path))
+    return (int(nums[-1]) if nums else -1, path)
+
+
 def make_configs(args) -> tuple:
     quant = QuantConfig(
         enabled=args.quantization_flag,
@@ -279,7 +291,7 @@ def make_loaders(args, cfg, tc):
             if "," in args.raw_data_files:
                 day_files = args.raw_data_files.split(",")
             else:
-                day_files = sorted(_glob.glob(args.raw_data_files))
+                day_files = sorted(_glob.glob(args.raw_data_files), key=_day_sort_key)
             if not day_files:
                 raise FileNotFoundError(
                     f"no raw day files match {args.raw_data_files!r}"
@@ -576,6 +588,21 @@ def run(argv=None) -> dict:
         if step_mode in ("none", "dp", "hybrid")
         else 1
     )
+    if step_mode == "dp" and args.weight_sync_period > 0 and multi_k > 1:
+        # align dispatches with weight_syncc boundaries: a megastep cannot
+        # sync mid-dispatch, so clamp k to the largest divisor of the sync
+        # period — otherwise syncs fire up to k-1 steps late (or skip a
+        # boundary entirely when k > period)
+        k = min(multi_k, args.weight_sync_period)
+        while args.weight_sync_period % k:
+            k -= 1
+        if k != multi_k:
+            rank0_print(
+                rank,
+                f"steps-per-dispatch {multi_k} -> {k} (aligning with "
+                f"--weight-sync-period {args.weight_sync_period})",
+            )
+            multi_k = k
 
     # QAT epoch schedule: the jitted step is rebuilt (and cached) whenever
     # the effective config changes at an epoch boundary (comm_grad.py:

@@ -263,6 +263,18 @@ class TestRawDayFiles:
         assert os.path.exists(out + "/day_2.npz")
         assert np.isfinite(m["roc_auc"])
 
+    def test_day_glob_sorts_numerically(self):
+        """Regression: day_10 must sort after day_9, not after day_1 —
+        lexicographic glob order misassigns raw days to npz indices."""
+        from deep_quantized_recommendation_model_dqrm_tpu.train import (
+            _day_sort_key,
+        )
+
+        files = [f"/data/day_{d}.txt" for d in range(12)]
+        shuffled = sorted(files)  # lexicographic: day_0, day_1, day_10, ...
+        assert shuffled != files
+        assert sorted(shuffled, key=_day_sort_key) == files
+
 
 class TestAdagradSparsePath:
     def test_adagrad_cli_runs(self, tmp_path):

@@ -98,6 +98,32 @@ class TestPseudoMultiWorker:
         assert np.isfinite(float(loss))
         assert int(ps.qstate.step) == 1
 
+    def test_weighted_pooling_fixed_carries_v_w(self):
+        """Regression: the apply must carry non-emb/bot/top param keys
+        (v_W) through, or step 2 crashes with KeyError in lookup_all."""
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, weighted_pooling="fixed")
+        ps = pseudo.init_pseudo_state(cfg, TC)
+        pstep = pseudo.make_pseudo_train_step(cfg, TC, 4)
+        rng = np.random.RandomState(5)
+        for _ in range(2):
+            ps, loss = pstep(ps, random_batch(cfg, 64, rng))
+        assert "v_W" in ps.params
+        assert np.isfinite(float(loss))
+
+    def test_learned_pooling_and_qr_rejected(self):
+        import dataclasses
+
+        import pytest
+
+        cfg = dataclasses.replace(CFG, weighted_pooling="learned")
+        with pytest.raises(NotImplementedError, match="weighted_pooling"):
+            pseudo.make_pseudo_train_step(cfg, TC, 4)
+        cfg = dataclasses.replace(CFG, qr_flag=True, qr_threshold=8)
+        with pytest.raises(NotImplementedError, match="QR/MD"):
+            pseudo.make_pseudo_train_step(cfg, TC, 4)
+
 
 class TestRankingRange:
     def test_assignment_fractions(self):

@@ -83,12 +83,24 @@ def run_mode(mode: str, steps: int, batch: int, lr: float, seed: int) -> dict:
     t0 = time.perf_counter()
     buf = []
     it = 0
+    loss = float("nan")
     for b in train:
         buf.append(b)
         if len(buf) == K:
             state, loss = multi(state, stack_batches(buf))
             buf = []
             it += K
+    # trailing steps % K batches: run them through the single step so the
+    # reported step count is exact
+    if buf:
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            make_train_step,
+        )
+
+        single = make_train_step(cfg, tc, sparse_emb_grad=True)
+        for b in buf:
+            state, loss = single(state, b)
+            it += 1
     ev = make_eval_step(cfg)
     scores, ys = [], []
     for b in LearnableSyntheticLoader(cfg, 16384, 8, seed=seed + 99_999):
