@@ -122,6 +122,11 @@ class DLRMConfig:
     # predict/loss for numerical stability; `loss_threshold` clamps
     # probabilities like dlrm_s_pytorch.py:607-614.
     loss_threshold: float = 0.0
+    # `--loss-function` {mse,bce,wbce} + `--loss-weights` (wbce per-class
+    # weights, dlrm_s_pytorch.py:934-937, :376-388). The DQRM drivers train
+    # with bce; mse/wbce are the upstream options.
+    loss_function: str = "bce"
+    loss_weights: Tuple[float, float] = (1.0, 1.0)
     # Max pooling size per lookup (Criteo = 1 index per feature). P>1
     # batches use a mask for variable-length bags.
     pooling_size: int = 1
@@ -160,6 +165,11 @@ class DLRMConfig:
     def __post_init__(self):
         if self.table_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported table_dtype {self.table_dtype!r}")
+        if self.loss_function not in ("mse", "bce", "wbce"):
+            raise ValueError(
+                f"loss_function must be mse|bce|wbce, got "
+                f"{self.loss_function!r}"
+            )
         if self.weighted_pooling not in (None, "fixed", "learned"):
             raise ValueError(
                 f"weighted_pooling must be None|fixed|learned, got "

@@ -135,7 +135,7 @@ def make_fused_train_step(
                 if qc.enabled and qc.quantize_mlp
                 else dlrm._apply_mlp_fp(mlp_p["top"], z, True)
             )
-            return dlrm.bce_loss(logits.reshape(-1), batch.labels)
+            return dlrm.training_loss(config, logits.reshape(-1), batch.labels)
 
         loss, (mlp_grads, g_pooled) = jax.value_and_grad(
             loss_fn, argnums=(0, 1)

@@ -618,3 +618,27 @@ def bce_loss(
     if weights is not None:
         return jnp.sum(per * weights) / jnp.maximum(jnp.sum(weights), 1e-12)
     return jnp.mean(per)
+
+
+def training_loss(
+    config: DLRMConfig,
+    logits: jax.Array,
+    labels: jax.Array,
+) -> jax.Array:
+    """Loss dispatch on config.loss_function (dlrm_s_pytorch.py:140-152 +
+    ctor :376-388): "bce" = stable BCE-with-logits; "mse" = MSELoss on the
+    sigmoid probabilities; "wbce" = per-class weighted BCE — weight
+    loss_weights[y] per sample, plain mean of the weighted terms (the
+    reference's `(loss_ws_ * loss_fn_).mean()`, NOT a normalized weighted
+    mean)."""
+    lf = config.loss_function
+    if lf == "mse":
+        return jnp.mean((jax.nn.sigmoid(logits) - labels) ** 2)
+    per = (
+        jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+    if lf == "wbce":
+        w0, w1 = config.loss_weights
+        w = jnp.where(labels > 0.5, w1, w0)
+        return jnp.mean(w * per)
+    return jnp.mean(per)

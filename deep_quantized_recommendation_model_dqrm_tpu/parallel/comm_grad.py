@@ -216,7 +216,7 @@ def make_dp_train_step(
                 train=True,
                 raw_pooled=pooled,
             )
-            return dlrm.bce_loss(logits, batch.labels), new_qs
+            return dlrm.training_loss(config, logits, batch.labels), new_qs
 
         (loss, new_qs), (mlp_grads, g_pooled) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
@@ -407,7 +407,7 @@ def make_dp_nosync_train_step(
 
         def loss_fn(p):
             logits, new_qs = dlrm.forward(config, p, batch, qstate, train=True)
-            return dlrm.bce_loss(logits, batch.labels), new_qs
+            return dlrm.training_loss(config, logits, batch.labels), new_qs
 
         (loss, new_qs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         lr = lr_policy(

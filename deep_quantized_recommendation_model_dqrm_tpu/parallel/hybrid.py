@@ -345,7 +345,7 @@ def make_hybrid_train_step(
                 train=True,
                 raw_pooled=raw_pooled,
             )
-            return dlrm.bce_loss(logits, batch.labels), new_qs
+            return dlrm.training_loss(config, logits, batch.labels), new_qs
 
         (loss, new_qs), (mlp_grads, g_pooled_local) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True

@@ -149,7 +149,7 @@ def make_pseudo_train_step(
                     train=True,
                     raw_pooled=pooled,
                 )
-                return dlrm.bce_loss(logits, mb_batch.labels)
+                return dlrm.training_loss(config, logits, mb_batch.labels)
 
             loss, (mlp_g, g_pooled) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
                 mlp_params, raw_pooled

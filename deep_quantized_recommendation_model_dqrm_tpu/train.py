@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--arch-interaction-op", type=str, default="dot")
     p.add_argument("--arch-interaction-itself", action="store_true")
     p.add_argument("--loss-threshold", type=float, default=0.0)
+    p.add_argument("--loss-function", type=str, default="bce",
+                   choices=("mse", "bce", "wbce"))
+    p.add_argument("--loss-weights", type=str, default="1.0-1.0",
+                   help="wbce per-class weights w_neg-w_pos")
     # embedding compression tricks + weighted pooling
     # (dlrm_s_pytorch.py:922-931 + md_solver :1202)
     p.add_argument("--table-dtype", type=str, default="float32",
@@ -208,6 +212,8 @@ def make_configs(args) -> tuple:
         interaction=args.arch_interaction_op,
         interact_itself=args.arch_interaction_itself,
         loss_threshold=args.loss_threshold,
+        loss_function=args.loss_function,
+        loss_weights=tuple(float(x) for x in args.loss_weights.split("-")),
         pooling_size=args.num_indices_per_lookup,
         max_ind_range=args.max_ind_range,
         weighted_pooling=args.weighted_pooling,

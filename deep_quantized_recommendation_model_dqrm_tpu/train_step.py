@@ -87,7 +87,7 @@ def _build_step_fn(
 
         def loss_fn(params):
             logits, new_qs = dlrm.forward(config, params, batch, qstate, train=True)
-            return dlrm.bce_loss(logits, batch.labels), new_qs
+            return dlrm.training_loss(config, logits, batch.labels), new_qs
 
         (loss, new_qs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
 
@@ -167,7 +167,7 @@ def _build_sparse_step_fn(
                 train=True,
                 raw_pooled=pooled,
             )
-            return dlrm.bce_loss(logits, batch.labels), new_qs
+            return dlrm.training_loss(config, logits, batch.labels), new_qs
 
         (loss, new_qs), (mlp_grads, g_pooled) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True

@@ -59,7 +59,14 @@ def _import_reference():
     return ref
 
 
-def _build_model(ref, weights: Dict, mode: str, embedding_bit: int, weight_bit: int):
+def _build_model(
+    ref,
+    weights: Dict,
+    mode: str,
+    embedding_bit: int,
+    weight_bit: int,
+    loss_function: str = "bce",
+):
     import torch
 
     table_sizes = [w.shape[0] for w in weights["emb"]]
@@ -87,6 +94,7 @@ def _build_model(ref, weights: Dict, mode: str, embedding_bit: int, weight_bit: 
             weight_bit=weight_bit,
             quantize_act_and_lin=(mode in ("full4", "act4", "commgrad")),
             quantize_activation=(mode == "act4"),
+            loss_function=loss_function,
         )
     # epoch-schedule globals of the driver (train() sets these from args;
     # we pin them to the steady quantized phase)
@@ -138,6 +146,8 @@ def run_reference(
     grad_bits: int = 8,
     optimizer: str = "sgd",
     lr_schedule=None,
+    loss_function: str = "bce",
+    loss_weights=(1.0, 1.0),
 ) -> Dict:
     """Train the reference model and return its trajectory.
 
@@ -158,7 +168,17 @@ def run_reference(
 
     torch.manual_seed(0)
     quantized = mode != "fp32"
-    model = _build_model(ref, weights, mode, embedding_bit, weight_bit)
+    if loss_function == "wbce":
+        # the ctor's wbce branch reads the module-global `args.loss_weights`
+        # (comm_grad.py:539-543)
+        import types
+
+        ref.args = types.SimpleNamespace(
+            loss_weights="-".join(str(w) for w in loss_weights)
+        )
+    model = _build_model(
+        ref, weights, mode, embedding_bit, weight_bit, loss_function
+    )
 
     use_commgrad = mode == "commgrad"
     if use_commgrad:
@@ -210,7 +230,12 @@ def run_reference(
         labels = torch.tensor(b["labels"]).view(-1, 1)
         with contextlib.redirect_stdout(io.StringIO()):
             Z = model(dense, lS_o, lS_i)
-        E = model.loss_fn(Z, labels)
+        if loss_function == "wbce":
+            # loss_fn_wrap semantics (dlrm_s_pytorch.py:144-152)
+            w = model.loss_ws[labels.view(-1).long()].view_as(labels).float()
+            E = (w * model.loss_fn(Z, labels)).mean()
+        else:
+            E = model.loss_fn(Z, labels)
         losses.append(float(E.detach()))
         probs = Z.detach().numpy().reshape(-1).copy()
         if use_commgrad:

@@ -201,6 +201,38 @@ class TestReferenceParity:
         )
         _assert_params_close(state.params, ref["params"], atol=param_atol)
 
+    def test_mse_loss_trajectory_matches(self):
+        """--loss-function=mse (the upstream default, dlrm_s_pytorch.py:934):
+        MSELoss on the sigmoid probabilities."""
+        cfg = dataclasses.replace(CFG_BASE, loss_function="mse")
+        batches = _make_batches(N_STEPS)
+        params0 = dlrm.init_params(cfg, TC.seed)
+        ref = run_reference(
+            _weights_numpy(params0), batches, lr=LR, mode="fp32",
+            loss_function="mse",
+        )
+        state, losses = _run_ours_single(cfg, batches)
+        np.testing.assert_allclose(
+            np.asarray(losses), np.asarray(ref["losses"]), rtol=2e-4)
+        _assert_params_close(state.params, ref["params"], atol=1e-4)
+
+    def test_wbce_loss_trajectory_matches(self):
+        """--loss-function=wbce with per-class weights 1-3
+        (loss_fn_wrap, dlrm_s_pytorch.py:144-152)."""
+        cfg = dataclasses.replace(
+            CFG_BASE, loss_function="wbce", loss_weights=(1.0, 3.0)
+        )
+        batches = _make_batches(N_STEPS)
+        params0 = dlrm.init_params(cfg, TC.seed)
+        ref = run_reference(
+            _weights_numpy(params0), batches, lr=LR, mode="fp32",
+            loss_function="wbce", loss_weights=(1.0, 3.0),
+        )
+        state, losses = _run_ours_single(cfg, batches)
+        np.testing.assert_allclose(
+            np.asarray(losses), np.asarray(ref["losses"]), rtol=2e-4)
+        _assert_params_close(state.params, ref["params"], atol=1e-4)
+
     def test_adagrad_trajectory_matches(self):
         """torch.optim.Adagrad (dlrm_s_pytorch.py:1332) vs optim/sgd.py
         adagrad_update, incl. the sparse-embedding accumulator path."""
