@@ -39,6 +39,7 @@ from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.packed_embedding im
 from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.quant_matmul import (
     QuantLinearWeights,
     int8_linear,
+    int8_linear_dynamic,
     int8_linear_xla,
     quantize_linear_weights,
 )
@@ -97,11 +98,18 @@ def serving_model_bytes(sm: ServingModel) -> int:
     return n
 
 
-def _apply_mlp_serving(layers, x, mlp_bits: int, last_linear: bool, use_pallas: bool):
+def _apply_mlp_serving(layers, x, mlp_bits: int, last_linear: bool, mlp_impl: str):
     nl = len(layers)
     for i, l in enumerate(layers):
         if mlp_bits == 8:
-            x = int8_linear(x, l) if use_pallas else int8_linear_xla(x, l)
+            if mlp_impl == "pallas":
+                x = int8_linear(x, l)
+            elif mlp_impl == "int8":
+                # true INT8 MXU GEMM with dynamic activation quant (the
+                # torch quantize_dynamic execution model)
+                x = int8_linear_dynamic(x, l)
+            else:
+                x = int8_linear_xla(x, l)
         else:
             x = x @ l["w"].T + l["b"]
         if not (last_linear and i == nl - 1):
@@ -160,10 +168,17 @@ def _rebuild_serving_model(arrays, meta) -> ServingModel:
 
 
 def make_serving_fn(sm: ServingModel, use_pallas_lookup: bool = False,
-                    use_pallas_mlp: bool = False):
+                    use_pallas_mlp: bool = False, mlp_impl: str = None):
     """Jitted inference: Batch -> click probabilities [B]. Weights are jit
-    ARGUMENTS (device-resident), not inlined constants."""
+    ARGUMENTS (device-resident), not inlined constants.
+
+    mlp_impl: "xla" (dequant fused by XLA, default) | "pallas" (VMEM fused
+    dequant kernel) | "int8" (dynamic activation quant + INT8 MXU GEMM,
+    torch quantize_dynamic semantics — fastest on v5e, small extra
+    activation-quant error)."""
     cfg = sm.config
+    if mlp_impl is None:
+        mlp_impl = "pallas" if use_pallas_mlp else "xla"
     arrays, meta = _serving_arrays(sm)
 
     def fn(arrs, batch: dlrm.Batch) -> jax.Array:
@@ -176,13 +191,13 @@ def make_serving_fn(sm: ServingModel, use_pallas_lookup: bool = False,
             else:
                 ly.append(packed_pooled_lookup(pt, batch.indices[k], msk))
         ly = jnp.stack(ly)
-        x = _apply_mlp_serving(m_.bot, batch.dense, m_.mlp_bits, False, use_pallas_mlp)
+        x = _apply_mlp_serving(m_.bot, batch.dense, m_.mlp_bits, False, mlp_impl)
         z = (
             dot_interaction(x, ly, cfg.interact_itself)
             if cfg.interaction == "dot"
             else cat_interaction(x, ly)
         )
-        logits = _apply_mlp_serving(m_.top, z, m_.mlp_bits, True, use_pallas_mlp)
+        logits = _apply_mlp_serving(m_.top, z, m_.mlp_bits, True, mlp_impl)
         p = jax.nn.sigmoid(logits.reshape(-1))
         if 0.0 < cfg.loss_threshold < 1.0:
             p = jnp.clip(p, cfg.loss_threshold, 1.0 - cfg.loss_threshold)

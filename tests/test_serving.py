@@ -57,6 +57,33 @@ class TestPTQExport:
         )
         assert np.corrcoef(s_sym, s_row)[0, 1] > 0.9
 
+    def test_int8_mxu_mlp_close_to_xla_path(self, trained):
+        """mlp_impl='int8' (dynamic activation quant + INT8 integer GEMM,
+        torch quantize_dynamic execution model) must track the
+        dequant-to-fp32 path closely."""
+        b = random_batch(CFG, 64, np.random.RandomState(3))
+        sm = ptq_export(CFG, trained, emb_bits=8, mlp_bits=8)
+        p_xla = np.asarray(make_serving_fn(sm, mlp_impl="xla")(b))
+        p_int8 = np.asarray(make_serving_fn(sm, mlp_impl="int8")(b))
+        assert np.max(np.abs(p_int8 - p_xla)) < 0.05
+        assert np.corrcoef(p_int8, p_xla)[0, 1] > 0.99
+
+    def test_int8_linear_dynamic_matches_fp32(self):
+        from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.quant_matmul import (
+            int8_linear_dynamic,
+            quantize_linear_weights,
+        )
+
+        rng = np.random.RandomState(0)
+        w = rng.randn(32, 48).astype(np.float32) * 0.1
+        bias = rng.randn(32).astype(np.float32) * 0.01
+        x = rng.randn(16, 48).astype(np.float32)
+        qw = quantize_linear_weights(w, bias, 8)
+        y = np.asarray(int8_linear_dynamic(x, qw))
+        y_ref = x @ w.T + bias
+        # INT8 weights + INT8 activations: ~1% relative error budget
+        assert np.max(np.abs(y - y_ref)) < 0.05 * np.max(np.abs(y_ref))
+
     def test_fp32_mlp_option(self, trained):
         sm = ptq_export(CFG, trained, emb_bits=8, mlp_bits=32)
         b = random_batch(CFG, 16, np.random.RandomState(2))

@@ -59,7 +59,9 @@ def main() -> None:
     )
     del params
 
-    fn = make_serving_fn(sm)
+    fns = {impl: make_serving_fn(sm, mlp_impl=impl)
+           for impl in ("xla", "int8")}
+    fn = fns["xla"]
     rng = np.random.RandomState(0)
     B = args.batch
     import jax.numpy as jnp
@@ -94,6 +96,24 @@ def main() -> None:
         ),
         flush=True,
     )
+
+
+    for impl, f in fns.items():
+        f(batch).block_until_ready()
+        t0 = time.perf_counter()
+        ys = [f(batch) for _ in range(args.iters)]
+        jax.block_until_ready(ys)
+        dt = (time.perf_counter() - t0) / args.iters
+        print(
+            json.dumps(
+                {
+                    "metric": f"serving_qps_per_chip_{impl}",
+                    "value": round(args.batch / dt),
+                    "unit": f"predictions/s (batch {args.batch}, mlp_impl={impl})",
+                }
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
