@@ -48,12 +48,21 @@ def config_for_epoch(config: DLRMConfig, tc: TrainConfig, epoch: int) -> DLRMCon
         tc.quantize_mlp_from_epoch < 0 or epoch >= tc.quantize_mlp_from_epoch
     )
     wb = qc.weight_bit
+    bb = qc.bias_bit
     if 0 <= tc.shift_bit_width_at_epoch <= epoch:
         wb = tc.shift_bit_width_to
-    if quantize_mlp == qc.quantize_mlp and wb == qc.weight_bit:
+        if bb == qc.weight_bit:
+            # the reference's change_bitw shifts weight AND bias width
+            # together (comm_grad.py:576-581); keep an explicit bias_bit
+            # override (e.g. 32) pinned
+            bb = wb
+    if quantize_mlp == qc.quantize_mlp and wb == qc.weight_bit and bb == qc.bias_bit:
         return config
     return dataclasses.replace(
-        config, quant=dataclasses.replace(qc, quantize_mlp=quantize_mlp, weight_bit=wb)
+        config,
+        quant=dataclasses.replace(
+            qc, quantize_mlp=quantize_mlp, weight_bit=wb, bias_bit=bb
+        ),
     )
 
 

@@ -269,6 +269,63 @@ def run_reference(
     }
 
 
+def run_reference_epochs(
+    weights: Dict,
+    epochs: Sequence[Sequence[Dict]],
+    lr: float,
+    embedding_bit: int = 4,
+    weight_bit: int = 4,
+) -> Dict:
+    """Drive the reference QAT EPOCH SCHEDULE end-to-end
+    (dlrm_s_pytorch_comm_grad.py:1849-1872):
+
+      epoch 0: full_precision_flag=True  (FP pretrain — emb unquantized,
+               QuantLinear constructed full-precision)
+      epoch 1: full_precision_flag=False (emb pooled-output INT4 on)
+      epoch 2: change_lin_full_quantize  (QuantLinear flips to quantized
+               mid-training, :811-815 + :583)
+      epoch 3: change_bitw -> change_bitw2 bits (weight/bias bit shift,
+               :576-581), change_bitw2 = 8 here
+
+    plain SGD stepping. epochs: list of per-epoch batch lists.
+    """
+    ref = _import_reference()
+    import torch
+
+    torch.manual_seed(0)
+    # quantize_act_and_lin=False: QuantLinear starts full-precision (the
+    # delayed-MLP flow), flipped later by change_lin_full_quantize
+    model = _build_model(ref, weights, "emb4", embedding_bit, weight_bit)
+    opt = torch.optim.SGD(model.parameters(), lr=lr)
+
+    losses: List[float] = []
+    for k, ep_batches in enumerate(epochs):
+        ref.full_precision_flag = k < 1
+        if k == 2:
+            ref.change_lin_full_quantize = True
+        if k == 3:
+            ref.change_bitw = True
+            ref.change_bitw2 = 8
+        for b in ep_batches:
+            dense = torch.tensor(b["dense"])
+            lS_i = [torch.tensor(b["indices"][j]) for j in range(len(b["indices"]))]
+            lS_o = [torch.arange(dense.shape[0]) for _ in lS_i]
+            labels = torch.tensor(b["labels"]).view(-1, 1)
+            with contextlib.redirect_stdout(io.StringIO()):
+                Z = model(dense, lS_o, lS_i)
+            E = model.loss_fn(Z, labels)
+            losses.append(float(E.detach()))
+            opt.zero_grad()
+            E.backward()
+            opt.step()
+    ref.change_bitw = False
+    ref.change_lin_full_quantize = False
+    return {
+        "losses": losses,
+        "params": _extract_params(model, quantized=True),
+    }
+
+
 _ref_pseudo_mod = None
 
 

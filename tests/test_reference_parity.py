@@ -27,7 +27,12 @@ from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
     make_train_step,
 )
 
-from ref_runner import have_reference, run_reference, run_reference_pseudo
+from ref_runner import (
+    have_reference,
+    run_reference,
+    run_reference_epochs,
+    run_reference_pseudo,
+)
 
 pytestmark = pytest.mark.skipif(
     not have_reference(), reason="reference checkout not available"
@@ -300,6 +305,52 @@ class TestReferenceParity:
         np.testing.assert_allclose(
             np.asarray(losses), ref_round_losses, rtol=5e-4,
             err_msg="per-round loss mismatch [pseudo]",
+        )
+        _assert_params_close(state.params, ref["params"], atol=2e-4)
+
+    def test_qat_epoch_schedule_matches(self):
+        """The full QAT epoch schedule A/B (comm_grad.py:1849-1872):
+        FP pretrain -> emb INT4 on -> MLP flips to quantized mid-training
+        (change_lin_full_quantize) -> weight/bias bit shift to 8
+        (change_bitw). Ours: config_for_epoch with pretrain_epochs=1,
+        quantize_mlp_from_epoch=2, shift at epoch 3."""
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            config_for_epoch,
+        )
+
+        steps_per_epoch = 5
+        n_epochs = 4
+        cfg = dataclasses.replace(
+            CFG_BASE,
+            quant=QuantConfig(
+                enabled=True, embedding_bit=4, weight_bit=4, bias_bit=4,
+                quantize_mlp=True, scale_update_period=1,
+            ),
+        )
+        tc = TC.replace(
+            pretrain_epochs=1, quantize_mlp_from_epoch=2,
+            shift_bit_width_at_epoch=3, shift_bit_width_to=8,
+        )
+        flat = _make_batches(n_epochs * steps_per_epoch)
+        epochs = [
+            flat[e * steps_per_epoch : (e + 1) * steps_per_epoch]
+            for e in range(n_epochs)
+        ]
+        params0 = dlrm.init_params(cfg, TC.seed)
+        ref = run_reference_epochs(_weights_numpy(params0), epochs, lr=LR)
+
+        state = init_train_state(cfg, tc)
+        state = TrainState(params0, state.opt_state, state.qstate)
+        losses = []
+        for e, ep in enumerate(epochs):
+            eff = config_for_epoch(cfg, tc, e)
+            step = make_train_step(eff, tc, sparse_emb_grad=True)
+            for b in ep:
+                state, loss = step(state, _to_batch(b))
+                losses.append(float(loss))
+        np.testing.assert_allclose(
+            np.asarray(losses), np.asarray(ref["losses"]), rtol=5e-4,
+            err_msg="per-step loss mismatch [epoch schedule]",
         )
         _assert_params_close(state.params, ref["params"], atol=2e-4)
 
