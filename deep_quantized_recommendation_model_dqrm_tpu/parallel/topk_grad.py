@@ -215,3 +215,77 @@ def init_topk_state(params: Any, world: int) -> TopKState:
         scores=jnp.zeros((world, total_rows(params)), jnp.float32),
         step=jnp.zeros((), jnp.int32),
     )
+
+
+def estimate_row_trace(
+    loss_fn: Callable[[Any, Any], jax.Array],
+    params: Any,
+    batch: Any,
+    n_samples: int = 8,
+    key: Optional[jax.Array] = None,
+    normalize: bool = True,
+) -> List[jax.Array]:
+    """Per-row Hutchinson Hessian-trace estimates for the `--metric hessian`
+    scoring path (training_imagenet_speedup.py:474-500).
+
+    The reference calls a pyhessian fork whose `trace()` yields one
+    per-parameter block `vhv_i` per >=2-D param, reduced to a per-row
+    vector; here the same estimate is computed natively: draw Rademacher
+    `v`, form the Hessian-vector product via double reverse-mode
+    `Hv = grad(p -> <grad(loss)(p), v>)` — the same double-backward
+    pyhessian uses (torch `autograd.grad(create_graph=True)`), and the only
+    formulation compatible with the STE `custom_vjp` ops (forward-mode jvp
+    cannot cross them) — then accumulate `sum_over_row(v * Hv)`, an
+    unbiased estimate of the per-row Hessian diagonal mass. With
+    `normalize=True` the reference's weighting is applied:
+    `t = t / (2 * numel / rows) + 1` (:496-500), making the weights
+    ~1-centered multipliers for `_row_scores`.
+
+    Returns one [rows] array per >=2-D leaf in tree order — pass directly
+    as `trace=` to `make_topk_dp_train_step`.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    grad_fn = jax.grad(lambda p: loss_fn(p, batch))
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+
+    def _tree_vdot(a, b):
+        return sum(
+            jnp.vdot(x, y)
+            for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+        )
+
+    @jax.jit
+    def one_sample(k):
+        vks = jax.random.split(k, len(leaves))
+        v_leaves = [
+            jnp.where(jax.random.bernoulli(vk, 0.5, l.shape), 1.0, -1.0)
+            for vk, l in zip(vks, leaves)
+        ]
+        v = jax.tree_util.tree_unflatten(treedef, v_leaves)
+        hv = jax.grad(lambda p: _tree_vdot(grad_fn(p), v))(params)
+        out = []
+        for vl, hl in zip(
+            jax.tree_util.tree_leaves(v), jax.tree_util.tree_leaves(hv)
+        ):
+            if vl.ndim >= 2:
+                out.append(jnp.sum((vl * hl).reshape(vl.shape[0], -1), axis=1))
+        return out
+
+    keys = jax.random.split(key, n_samples)
+    acc = None
+    for k in keys:
+        s = one_sample(k)
+        acc = s if acc is None else [a + b for a, b in zip(acc, s)]
+    traces = [a / n_samples for a in acc]
+    if normalize:
+        out = []
+        i = 0
+        for l in leaves:
+            if l.ndim >= 2:
+                out.append(traces[i] / (2.0 * l.size / l.shape[0]) + 1.0)
+                i += 1
+        traces = out
+    return traces

@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     # top-k sync (reference --top_k / --metric / get_k_value schedule)
     p.add_argument("--top-k", type=int, default=32)
     p.add_argument("--mode", choices=["mask", "gather"], default="mask")
+    p.add_argument("--metric", choices=["norm", "hessian"], default="norm",
+                   help="row scoring: grad-norm or Hutchinson-trace-weighted "
+                        "(training_imagenet_speedup.py --metric)")
+    p.add_argument("--hessian-samples", type=int, default=8)
     p.add_argument("--k-schedule", choices=["none", "cifar10", "imagenet"],
                    default="none")
     p.add_argument("--num-devices", type=int, default=0,
@@ -84,29 +88,41 @@ def main(argv=None) -> int:
         imgs, labels = batch
         return cnn.cross_entropy_loss(cnn.cnn_forward(cfg, p, imgs, train=True), labels)
 
-    # The k schedule rebuilds the jitted step when k changes (epoch
-    # boundaries only; compile cache keyed by k).
+    # The k schedule / per-epoch Hessian trace rebuild the jitted step at
+    # epoch boundaries only (the reference recomputes the trace each epoch,
+    # training_imagenet_speedup.py:474-500; compile cache keyed by k when
+    # the trace is static).
     steps = {}
 
-    def step_for(k):
-        if k not in steps:
-            steps[k] = topk_grad.make_topk_dp_train_step(
+    def step_for(k, trace=None):
+        ck = (k, id(trace) if trace is not None else None)
+        if ck not in steps:
+            steps[ck] = topk_grad.make_topk_dp_train_step(
                 loss_fn, mesh, k, args.lr, args.wd, axis="dp", mode=args.mode,
+                trace=trace,
                 batch_spec=(jax.sharding.PartitionSpec("dp"),
                             jax.sharding.PartitionSpec("dp")),
             )
-        return steps[k]
+        return steps[ck]
 
     total_epochs = max(1, args.steps // args.steps_per_epoch)
     t0 = time.perf_counter()
     loss = mb = None
+    trace = None
     for i in range(args.steps):
         epoch = i // args.steps_per_epoch
         k = args.top_k
         if args.k_schedule != "none":
             k = topk_grad.get_k_value(args.top_k, epoch, total_epochs, args.k_schedule)
+        if args.metric == "hessian" and i % args.steps_per_epoch == 0:
+            timgs, tlabels = cnn.synthetic_image_batch(cfg, args.batch_size, rs)
+            trace = topk_grad.estimate_row_trace(
+                loss_fn, state.params, (timgs, tlabels),
+                n_samples=args.hessian_samples,
+                key=jax.random.PRNGKey(args.seed + epoch),
+            )
         imgs, labels = cnn.synthetic_image_batch(cfg, args.batch_size, rs)
-        state, (loss, mb) = step_for(k)(state, (imgs, labels))
+        state, (loss, mb) = step_for(k, trace)(state, (imgs, labels))
         if (i + 1) % args.print_freq == 0:
             print(f"step {i+1}: loss {float(loss):.4f}, synced {float(mb):.3f} Melem/it, "
                   f"k={k}, {(time.perf_counter()-t0)/(i+1)*1e3:.2f} ms/it")

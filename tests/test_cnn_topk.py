@@ -210,6 +210,43 @@ class TestTopKStep:
         assert outs["mask"][0] == pytest.approx(outs["gather"][0], rel=1e-5)
         assert outs["gather"][1] <= outs["mask"][1] * 2.0
 
+    def test_estimate_row_trace_exact_on_diagonal_hessian(self):
+        """For a quadratic loss 0.5*sum(a_ij p_ij^2) the Hessian is diagonal
+        and Rademacher Hutchinson is EXACT (v*Hv = v^2*a = a): per-row trace
+        must equal sum_j a_ij regardless of sample count."""
+        a = jnp.arange(12.0).reshape(3, 4) + 1.0
+        params = {"w": jnp.ones((3, 4)), "b": jnp.ones((3,))}
+
+        def loss_fn(p, batch):
+            return 0.5 * jnp.sum(a * p["w"] ** 2) + jnp.sum(p["b"] ** 2)
+
+        tr = topk_grad.estimate_row_trace(loss_fn, params, None, n_samples=2,
+                                          normalize=False)
+        assert len(tr) == 1  # only the 2-D leaf
+        np.testing.assert_allclose(np.asarray(tr[0]), np.asarray(jnp.sum(a, axis=1)),
+                                   rtol=1e-6)
+        # normalized form: t / (2*numel/rows) + 1 (:496-500)
+        trn = topk_grad.estimate_row_trace(loss_fn, params, None, n_samples=2)
+        np.testing.assert_allclose(
+            np.asarray(trn[0]),
+            np.asarray(jnp.sum(a, axis=1)) / (2.0 * 12 / 3) + 1.0, rtol=1e-6)
+
+    def test_trace_weighted_step_runs(self, rng):
+        cfg = CFG
+        mesh = self._mesh(4)
+        params = cnn.init_cnn_params(cfg, 0)
+        imgs, labels = _batch(rng, 32)
+        trace = topk_grad.estimate_row_trace(
+            _loss_fn(cfg), params, (imgs, labels), n_samples=2)
+        step = topk_grad.make_topk_dp_train_step(
+            _loss_fn(cfg), mesh, 8, 0.05, trace=trace,
+            batch_spec=(jax.sharding.PartitionSpec("dp"),
+                        jax.sharding.PartitionSpec("dp")),
+        )
+        state = topk_grad.init_topk_state(params, 4)
+        state, (loss, mb) = step(state, _batch(rng, 32))
+        assert np.isfinite(float(loss))
+
     def test_get_k_value_schedule(self):
         assert topk_grad.get_k_value(8, 0, 200, "cifar10") == 8
         assert topk_grad.get_k_value(8, 61, 200, "cifar10") == 16
