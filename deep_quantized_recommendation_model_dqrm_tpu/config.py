@@ -139,6 +139,15 @@ class DLRMConfig:
     # either way, and under INT4 QAT the bf16 master loses nothing the
     # 4-bit grid would keep.
     table_dtype: str = "float32"
+    # MLP/interaction matmul compute dtype: "float32" (reference parity) or
+    # "bfloat16" — operands are cast to bf16 at each matmul (fp32 master
+    # weights, fp32 accumulation via preferred_element_type) so the MXU runs
+    # at its native 2x bf16 rate. Affects the FP32 and weight-QAT MLP paths
+    # and the dot interaction's bmm; the integer-activation chain keeps fp32
+    # (its ste_round semantics are exact-integer). The reference has no
+    # analogue (CUDA fp32 throughout); this is the TPU-first option for
+    # large-batch Terabyte training.
+    compute_dtype: str = "float32"
     # Per-row pooling weights v_W_l (`--weighted-pooling`,
     # dlrm_s_pytorch.py:276-281, :360-366): None | "fixed" (ones, frozen) |
     # "learned" (trainable parameter).
@@ -165,6 +174,10 @@ class DLRMConfig:
     def __post_init__(self):
         if self.table_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported table_dtype {self.table_dtype!r}")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"unsupported compute_dtype {self.compute_dtype!r}"
+            )
         if self.loss_function not in ("mse", "bce", "wbce"):
             raise ValueError(
                 f"loss_function must be mse|bce|wbce, got "

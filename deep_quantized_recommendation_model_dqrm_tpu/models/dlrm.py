@@ -274,12 +274,30 @@ def _quant_act(
 # ---------------------------------------------------------------------------
 
 
-def _apply_mlp_fp(layers, x: jax.Array, last_linear: bool) -> jax.Array:
+def _mm(x: jax.Array, w: jax.Array, cdtype) -> jax.Array:
+    """x @ w.T in the configured compute dtype.
+
+    cdtype == bfloat16 casts both operands to bf16 and accumulates in fp32
+    (`preferred_element_type`), mapping the matmul onto the MXU's native
+    bf16 path (2x fp32 rate). The casts are linear, so autodiff produces
+    bf16 backward matmuls too; master weights stay fp32."""
+    if cdtype == jnp.bfloat16:
+        return jnp.matmul(
+            x.astype(jnp.bfloat16),
+            w.T.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    return x @ w.T
+
+
+def _apply_mlp_fp(
+    layers, x: jax.Array, last_linear: bool, cdtype=jnp.float32
+) -> jax.Array:
     """FP32 MLP: Linear+ReLU stacks; the final top layer emits raw logits
     (the reference's Sigmoid there moves into predict/loss)."""
     n = len(layers)
     for i, layer in enumerate(layers):
-        x = x @ layer["w"].T + layer["b"]
+        x = _mm(x, layer["w"], cdtype) + layer["b"]
         if not (last_linear and i == n - 1):
             x = jax.nn.relu(x)
     return x
@@ -304,6 +322,7 @@ def _apply_mlp_quant(
     x: jax.Array,
     qc,
     last_linear: bool,
+    cdtype=jnp.float32,
 ) -> jax.Array:
     """Weight-only QAT MLP (quantize_activation=False branch,
     quant_modules.py:138-186: out = linear(x, w_int, b_int) * s_w, which is
@@ -320,7 +339,7 @@ def _apply_mlp_quant(
         s_w, w_fq, b_fq = _quant_linear_weights(
             layer, qc.weight_bit, qc.bias_bit, qc.mlp_channelwise
         )
-        x = x @ w_fq.T + b_fq
+        x = _mm(x, w_fq, cdtype) + b_fq
         if not (last_linear and i == n - 1):
             x = jax.nn.relu(x)
     return x
@@ -491,6 +510,10 @@ def forward(
     if qstate is None:
         qstate = init_quant_state(config)
     quantizing = qc.enabled and not full_precision
+    # bf16 matmuls apply to the FP and weight-QAT MLP paths and the dot
+    # interaction; the integer-activation chain stays fp32 (exact-integer
+    # ste_round semantics).
+    cdtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
 
     def get_ly(full_precision_emb: bool) -> jax.Array:
         pooled = raw_pooled
@@ -504,14 +527,14 @@ def forward(
     new_act_max = qstate.act_max
 
     if not quantizing:
-        x = _apply_mlp_fp(params["bot"], batch.dense, last_linear=False)
+        x = _apply_mlp_fp(params["bot"], batch.dense, last_linear=False, cdtype=cdtype)
         ly = get_ly(True)
         z = (
-            dot_interaction(x, ly, config.interact_itself)
+            dot_interaction(x, ly, config.interact_itself, compute_dtype=cdtype)
             if config.interaction == "dot"
             else cat_interaction(x, ly)
         )
-        logits = _apply_mlp_fp(params["top"], z, last_linear=True)
+        logits = _apply_mlp_fp(params["top"], z, last_linear=True, cdtype=cdtype)
     elif qc.quantize_activation and qc.quantize_mlp:
         # quant_input QuantAct -> integer MLP chains (comm_grad.py:863-879).
         x_fq, s_act, new_min0, new_max0 = _quant_act(
@@ -547,8 +570,14 @@ def forward(
     else:
         # Weight-only MLP quant (or emb-only when quantize_mlp=False):
         # comm_grad.py:852-859.
-        mlp_fn = _apply_mlp_fp if not qc.quantize_mlp else (
-            lambda layers, x, last_linear: _apply_mlp_quant(layers, x, qc, last_linear)
+        mlp_fn = (
+            lambda layers, x, last_linear: _apply_mlp_fp(
+                layers, x, last_linear, cdtype=cdtype
+            )
+        ) if not qc.quantize_mlp else (
+            lambda layers, x, last_linear: _apply_mlp_quant(
+                layers, x, qc, last_linear, cdtype=cdtype
+            )
         )
         dense_in = batch.dense
         if qc.quantize_activation and not qc.quantize_mlp:
@@ -573,7 +602,7 @@ def forward(
             quantized_dot_interaction(x, ly, qc.interaction_bit, config.interact_itself)
             if qc.modify_feature_interaction
             else (
-                dot_interaction(x, ly, config.interact_itself)
+                dot_interaction(x, ly, config.interact_itself, compute_dtype=cdtype)
                 if config.interaction == "dot"
                 else cat_interaction(x, ly)
             )

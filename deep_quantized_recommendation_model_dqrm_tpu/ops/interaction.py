@@ -32,10 +32,15 @@ def dot_interaction(
     x: jax.Array,  # [B, D] bottom MLP output
     ly: jax.Array,  # [T, B, D] pooled embeddings
     interact_itself: bool = False,
+    compute_dtype=jnp.float32,
 ) -> jax.Array:  # [B, D + npairs]
-    """Dot-product interaction: Gram matrix lower-triangle + dense passthrough."""
+    """Dot-product interaction: Gram matrix lower-triangle + dense passthrough.
+
+    compute_dtype=bfloat16 runs the bmm on bf16 operands with fp32
+    accumulation (MXU-native); the dense passthrough stays fp32.
+    """
     T_all = jnp.concatenate([x[None], ly], axis=0)  # [F, B, D]
-    Tb = jnp.transpose(T_all, (1, 0, 2))  # [B, F, D]
+    Tb = jnp.transpose(T_all, (1, 0, 2)).astype(compute_dtype)  # [B, F, D]
     Z = jnp.einsum(
         "bfd,bgd->bfg", Tb, Tb, preferred_element_type=jnp.float32
     )  # [B, F, F] — one bmm on the MXU

@@ -297,3 +297,97 @@ class ServingEngine:
             out[pos : pos + chunk] = np.asarray(self.fn(batch))[:chunk]
             pos += chunk
         return out
+
+
+class MicroBatcher:
+    """Continuous-batching front end over a ServingEngine.
+
+    Concurrent `predict` calls (individual requests or small batches from
+    many client threads) are aggregated by a background worker into one
+    device batch per dispatch — up to `max_batch` rows or `max_wait_ms`
+    after the first queued request, whichever comes first — then split back
+    to the callers. This is the production serving shape the reference's
+    fixed test-batch inference loop (dlrm_s_pytorch.py:762-902) never had:
+    device utilization stays high under many small concurrent requests
+    because every dispatch is a large, bucket-padded, compile-cached batch.
+    """
+
+    def __init__(self, engine: ServingEngine, max_batch: int = 16384,
+                 max_wait_ms: float = 1.0):
+        import queue
+        import threading
+
+        self.engine = engine
+        self.max_batch = min(max_batch, engine.buckets[-1])
+        self.max_wait_s = max_wait_ms / 1e3
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def predict(self, dense: np.ndarray, indices: np.ndarray) -> np.ndarray:
+        """Thread-safe; blocks until this request's slice is ready.
+
+        dense [B,13] f32 (already log1p), indices [T,B,P] int32.
+        """
+        import threading
+
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        done = threading.Event()
+        item = {"dense": dense, "indices": indices, "done": done}
+        self._q.put(item)
+        done.wait()
+        if "error" in item:
+            raise item["error"]
+        return item["result"]
+
+    def close(self) -> None:
+        self._closed = True
+        self._q.put(None)
+        self._worker.join()
+
+    # -- worker ------------------------------------------------------------
+
+    def _run(self) -> None:
+        import queue
+        import time as _time
+
+        while True:
+            first = self._q.get()
+            if first is None:
+                return
+            group = [first]
+            rows = first["dense"].shape[0]
+            deadline = _time.monotonic() + self.max_wait_s
+            while rows < self.max_batch:
+                timeout = deadline - _time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._flush(group)
+                    return
+                group.append(nxt)
+                rows += nxt["dense"].shape[0]
+            self._flush(group)
+
+    def _flush(self, group) -> None:
+        try:
+            dense = np.concatenate([g["dense"] for g in group], axis=0)
+            indices = np.concatenate([g["indices"] for g in group], axis=1)
+            probs = self.engine.predict(dense, indices)
+            pos = 0
+            for g in group:
+                n = g["dense"].shape[0]
+                g["result"] = probs[pos : pos + n]
+                pos += n
+        except Exception as e:  # surface errors to every blocked caller
+            for g in group:
+                g["error"] = e
+        finally:
+            for g in group:
+                g["done"].set()

@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--table-dtype", type=str, default="float32",
                    choices=("float32", "bfloat16"),
                    help="embedding master-table dtype (bfloat16 halves HBM)")
+    p.add_argument("--compute-dtype", type=str, default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="MLP/interaction matmul dtype (bfloat16 = MXU-native "
+                        "2x rate, fp32 master weights + accumulation)")
     p.add_argument("--weighted-pooling", type=str, default=None,
                    choices=[None, "fixed", "learned"])
     p.add_argument("--qr-flag", action="store_true")
@@ -226,6 +230,7 @@ def make_configs(args) -> tuple:
         md_temperature=args.md_temperature,
         md_round_dims=args.md_round_dims,
         table_dtype=args.table_dtype,
+        compute_dtype=args.compute_dtype,
         quant=quant,
     )
     # derive ln_top input like the reference (dlrm_s_pytorch.py:1141-1164)

@@ -128,6 +128,50 @@ class TestServingEngine:
         assert out.shape == (B,) and np.all(np.isfinite(out))
 
 
+class TestMicroBatcher:
+    def test_concurrent_requests_match_direct(self, trained):
+        import threading
+
+        from deep_quantized_recommendation_model_dqrm_tpu.serving import MicroBatcher
+
+        sm = ptq_export(CFG, trained, emb_bits=4, mlp_bits=8)
+        eng = ServingEngine(sm, buckets=(16, 64))
+        mb = MicroBatcher(eng, max_batch=64, max_wait_ms=5.0)
+        rng = np.random.RandomState(5)
+        reqs = []
+        for _ in range(12):
+            n = int(rng.randint(1, 7))
+            dense = rng.rand(n, 4).astype(np.float32)
+            idx = np.stack(
+                [rng.randint(0, t, size=(n, 1)).astype(np.int32)
+                 for t in CFG.table_sizes]
+            )
+            reqs.append((dense, idx))
+        results = [None] * len(reqs)
+
+        def client(i):
+            results[i] = mb.predict(*reqs[i])
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        mb.close()
+        for (dense, idx), got in zip(reqs, results):
+            direct = eng.predict(dense, idx)
+            np.testing.assert_allclose(got, direct, rtol=1e-5, atol=1e-6)
+
+    def test_close_rejects_new_requests(self, trained):
+        from deep_quantized_recommendation_model_dqrm_tpu.serving import MicroBatcher
+
+        sm = ptq_export(CFG, trained, emb_bits=4, mlp_bits=8)
+        mb = MicroBatcher(ServingEngine(sm, buckets=(16,)), max_batch=16)
+        mb.close()
+        with pytest.raises(RuntimeError):
+            mb.predict(np.zeros((1, 4), np.float32), np.zeros((3, 1, 1), np.int32))
+
+
 class TestExport:
     def test_stablehlo_roundtrip_exact(self, trained, tmp_path):
         import jax
