@@ -17,6 +17,9 @@ Parallelism (`--parallelism`):
                 (dlrm_s_pytorch_dp_only.py)
   hybrid        table-sharded embeddings + all-to-all + DP MLPs
                 (the hybrid_multi_gpu / quantization_tr_two drivers)
+  rowshard      ROW-sharded mega-table + psum_scatter + DP MLPs — the
+                TPU-native scaling extension (parallel/rowshard.py): a
+                single giant table spans devices; any device count works
   pseudo        N simulated workers on one chip (pseudo_multigpu drivers)
 `--steps-per-dispatch=K` unrolls K train steps into one jitted dispatch
 (none/dp/hybrid) — numerically identical, amortizes host dispatch overhead.
@@ -142,7 +145,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shift-bit-width-to", type=int, default=4)
     # gradient communication (the DQRM contribution)
     p.add_argument("--parallelism", type=str, default="none",
-                   choices=["none", "dp", "dp-nosync", "hybrid", "pseudo"])
+                   choices=["none", "dp", "dp-nosync", "hybrid", "rowshard",
+                            "pseudo"])
     p.add_argument("--grad-quant-bits", type=int, default=8,
                    help="gradient exchange bits (reference "
                         "--embedding_bag_gradient_bit_num); 32 = uncompressed")
@@ -487,7 +491,7 @@ def run(argv=None) -> dict:
     # hybrid state checkpoints sharded via Orbax (the mega-table never
     # gathers to one device — Terabyte tables may not fit); other modes use
     # the npz two-slot manager
-    if args.parallelism == "hybrid":
+    if args.parallelism in ("hybrid", "rowshard"):
         from deep_quantized_recommendation_model_dqrm_tpu.utils.checkpoint_orbax import (
             ShardedCheckpointManager,
         )
@@ -497,7 +501,7 @@ def run(argv=None) -> dict:
         ckpt = CheckpointManager(args.save_model) if args.save_model else None
     start_epoch = start_batch = 0
     best_acc = best_auc = 0.0
-    if args.load_model and args.parallelism != "hybrid":
+    if args.load_model and args.parallelism not in ("hybrid", "rowshard"):
         loaded = CheckpointManager(args.load_model)
         state, meta = loaded.restore(state)
         start_epoch = int(meta.get("epoch", 0))
@@ -568,13 +572,20 @@ def run(argv=None) -> dict:
         from deep_quantized_recommendation_model_dqrm_tpu.parallel import pseudo
 
         pstate = pseudo.init_pseudo_state(cfg, tc)
-    elif step_mode == "hybrid":
-        from deep_quantized_recommendation_model_dqrm_tpu.parallel import hybrid
+    elif step_mode in ("hybrid", "rowshard"):
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel import (
+            hybrid,
+            rowshard,
+        )
         from deep_quantized_recommendation_model_dqrm_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
-        plan = hybrid.plan_table_sharding(cfg.table_sizes, len(mesh.devices))
-        hstate = hybrid.init_hybrid_state(cfg, tc, mesh, plan)
+        if step_mode == "rowshard":
+            plan = rowshard.plan_row_sharding(cfg.table_sizes, len(mesh.devices))
+            hstate = rowshard.init_rowshard_state(cfg, tc, mesh, plan)
+        else:
+            plan = hybrid.plan_table_sharding(cfg.table_sizes, len(mesh.devices))
+            hstate = hybrid.init_hybrid_state(cfg, tc, mesh, plan)
         if args.load_model:
             from deep_quantized_recommendation_model_dqrm_tpu.utils.checkpoint_orbax import (
                 ShardedCheckpointManager,
@@ -596,7 +607,7 @@ def run(argv=None) -> dict:
     # single-chip, dp and hybrid modes.
     multi_k = (
         max(1, args.steps_per_dispatch)
-        if step_mode in ("none", "dp", "hybrid")
+        if step_mode in ("none", "dp", "hybrid", "rowshard")
         else 1
     )
     if step_mode == "dp" and args.weight_sync_period > 0 and multi_k > 1:
@@ -649,6 +660,10 @@ def run(argv=None) -> dict:
                 _step_cache[key] = hybrid.make_hybrid_train_step(
                     eff, tc, mesh, plan, steps_per_dispatch=k
                 )
+            elif step_mode == "rowshard":
+                _step_cache[key] = rowshard.make_rowshard_train_step(
+                    eff, tc, mesh, plan, steps_per_dispatch=k
+                )
             elif step_mode == "pseudo":
                 _step_cache[key] = pseudo.make_pseudo_train_step(
                     eff, tc, args.num_pseudo_workers
@@ -699,6 +714,11 @@ def run(argv=None) -> dict:
         hybrid_eval_fn = pad_eval(
             make_hybrid_eval_step(cfg, mesh, plan), len(mesh.devices.reshape(-1))
         )
+    elif step_mode == "rowshard":
+        hybrid_eval_fn = pad_eval(
+            rowshard.make_rowshard_eval_step(cfg, mesh, plan),
+            len(mesh.devices.reshape(-1)),
+        )
     elif step_mode in ("dp", "dp-nosync"):
         dp_eval_fn = pad_eval(
             comm_grad.make_dp_eval_step(cfg, mesh), len(mesh.devices.reshape(-1))
@@ -712,7 +732,7 @@ def run(argv=None) -> dict:
         for bi, batch in enumerate(prefetch(train_loader, depth=3)):
             if epoch == start_epoch and bi < start_batch:
                 continue  # fast-forward resume (dlrm_s_pytorch.py:1523-1534)
-            if step_mode in ("dp", "dp-nosync", "hybrid"):
+            if step_mode in ("dp", "dp-nosync", "hybrid", "rowshard"):
                 ndev = len(mesh.devices.reshape(-1))
                 if batch.labels.shape[0] % ndev != 0:
                     # mirror the reference's skip-with-warning for batches
@@ -732,7 +752,7 @@ def run(argv=None) -> dict:
                 pack, _buf = _buf, []
                 if step_mode == "dp":
                     dstate, loss = step_fn(dstate, pack)
-                elif step_mode == "hybrid":
+                elif step_mode in ("hybrid", "rowshard"):
                     hstate, loss = step_fn(hstate, pack)
                 else:
                     # stacked upload: one device transfer per field instead
@@ -746,7 +766,7 @@ def run(argv=None) -> dict:
             elif step_mode in ("dp", "dp-nosync"):
                 dstate, loss = step_fn(dstate, batch)
                 it += 1
-            elif step_mode == "hybrid":
+            elif step_mode in ("hybrid", "rowshard"):
                 hstate, loss = step_fn(hstate, batch)
                 it += 1
             elif step_mode == "pseudo":
@@ -786,7 +806,7 @@ def run(argv=None) -> dict:
             if tc.test_freq > 0 and it >= next_test:
                 while next_test <= it:
                     next_test += tc.test_freq
-                if step_mode == "hybrid":
+                if step_mode in ("hybrid", "rowshard"):
                     # sharded eval: tables stay distributed (no single-chip
                     # unpack; Terabyte tables may not fit one device), eval
                     # step compiled exactly once (hoisted above the loop)
@@ -813,7 +833,9 @@ def run(argv=None) -> dict:
                     # writes its mega-table shard; no single-device unpack).
                     # dp modes save the replicated TrainState (npz), which
                     # the standard --load-model path restores.
-                    save_state = hstate if step_mode == "hybrid" else state
+                    save_state = (
+                        hstate if step_mode in ("hybrid", "rowshard") else state
+                    )
                     ckpt.save(
                         save_state,
                         {"epoch": epoch, "batch": bi + 1, "iter": it,
@@ -840,7 +862,7 @@ def run(argv=None) -> dict:
                 if step_mode == "dp":
                     dstate, loss = single(dstate, b)
                     state = state._replace(params=dstate.params, qstate=dstate.qstate)
-                elif step_mode == "hybrid":
+                elif step_mode in ("hybrid", "rowshard"):
                     hstate, loss = single(hstate, b)
                 else:
                     state, loss = single(state, b)
@@ -855,7 +877,7 @@ def run(argv=None) -> dict:
             dstate = sync_fn(dstate)
         state = state._replace(params=dstate.params, qstate=dstate.qstate)
     if not result:
-        if step_mode == "hybrid":
+        if step_mode in ("hybrid", "rowshard"):
             # sharded final eval — the mega-table stays distributed
             result = evaluate(
                 cfg, hstate, test_loader, hybrid_eval_fn, max_batches=8
@@ -865,7 +887,7 @@ def run(argv=None) -> dict:
         rank0_print(rank, f"final eval: {result}")
         if ckpt:
             ckpt.save(
-                hstate if step_mode == "hybrid" else state,
+                hstate if step_mode in ("hybrid", "rowshard") else state,
                 {"epoch": tc.nepochs, "batch": 0, "iter": it,
                  "test_acc": result.get("accuracy", 0.0)},
             )

@@ -54,8 +54,35 @@ def main():
         )
         return dense, idx
 
-    # 1) steady-state bucket throughput
+    # 0) device-resident compute capability (no host<->device transfer):
+    # on the tunneled axon setup the e2e numbers below are transport-bound
+    # (~15 MB/s upload, ~34 ms readback — measured 2026-08-18); this is the
+    # number a production host (local PCIe) would approach.
+    import jax
+
+    from deep_quantized_recommendation_model_dqrm_tpu.models.dlrm import Batch
+
     dense, idx = make_req(args.bucket)
+    dev_batch = jax.device_put(
+        Batch(dense=dense, indices=idx,
+              labels=np.zeros((args.bucket,), np.float32), mask=None)
+    )
+    out = eng.fn(dev_batch)
+    jax.block_until_ready(out)
+    n_iter = 50
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = eng.fn(dev_batch)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / n_iter)
+    print(
+        f"device-resident bucket={args.bucket}: {best * 1e3:.3f} ms/batch "
+        f"=> {args.bucket / best:,.0f} predictions/s/chip"
+    )
+
+    # 1) steady-state bucket throughput, end to end (host arrays in/out)
     eng.predict(dense, idx)  # warmup/compile
     n_iter = 20
     t0 = time.perf_counter()
@@ -64,7 +91,7 @@ def main():
     dt = time.perf_counter() - t0
     qps_bulk = n_iter * args.bucket / dt
     print(
-        f"bulk bucket={args.bucket}: {dt / n_iter * 1e3:.3f} ms/batch "
+        f"bulk e2e bucket={args.bucket}: {dt / n_iter * 1e3:.3f} ms/batch "
         f"=> {qps_bulk:,.0f} predictions/s/chip"
     )
 

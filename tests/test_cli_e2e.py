@@ -132,6 +132,11 @@ class TestNewFlagWiring:
         m = run(argv)
         assert np.isfinite(m["roc_auc"])
 
+    def test_rowshard_parallelism(self, tmp_path):
+        argv, _ = _common(tmp_path, ["--parallelism=rowshard"])
+        m = run(argv)
+        assert np.isfinite(m["roc_auc"])
+
     def test_binary_train_test_split_disjoint(self, tmp_path):
         """Single bin file: train gets the first 7/8, eval the last 1/8."""
         from deep_quantized_recommendation_model_dqrm_tpu.data.binary import (
