@@ -379,6 +379,26 @@ def _apply_mlp_quant_act(
 # ---------------------------------------------------------------------------
 
 
+def trick_pooled_lookup(
+    config: DLRMConfig,
+    table: dict,
+    indices: jax.Array,  # [B, P]
+    mask: Optional[jax.Array],
+) -> jax.Array:  # [B, D]
+    """Pooled lookup for one QR/MD compositional table entry (the dict
+    dispatch of the reference's create_emb, dlrm_s_pytorch.py:239-286).
+    Shared by lookup_all and the distributed steps, which carry trick
+    tables replicated (they are small by construction) and differentiate
+    through this lookup directly."""
+    if "q" in table:
+        return tricks.qr_pooled_lookup(
+            table, indices, mask,
+            collisions=config.qr_collisions,
+            operation=config.qr_operation,
+        )
+    return tricks.md_pooled_lookup(table, indices, mask)
+
+
 def lookup_all(
     config: DLRMConfig,
     params: Params,
@@ -413,14 +433,7 @@ def lookup_all(
         if isinstance(table, dict):
             # QR / MD compositional tables (full-precision even under QAT —
             # reference create_emb dispatch, comm_grad.py:360-383)
-            if "q" in table:
-                pooled = tricks.qr_pooled_lookup(
-                    table, indices[k], m,
-                    collisions=config.qr_collisions,
-                    operation=config.qr_operation,
-                )
-            else:
-                pooled = tricks.md_pooled_lookup(table, indices[k], m)
+            pooled = trick_pooled_lookup(config, table, indices[k], m)
         else:
             if pact:
                 table = q.fake_quant_pact(table, qc.embedding_bit)

@@ -179,15 +179,21 @@ def make_dp_train_step(
             "gradient DP step; use weighted_pooling='fixed' or parallelism="
             "dp-nosync"
         )
-    if any(config.table_kind(k) != "dense" for k in range(config.num_tables)):
-        # The reference's comm path iterates emb_l expecting .embedding_bag
-        # (sgd_…_parallel_comm.py:850-890) — QR/MD would crash there too.
-        raise NotImplementedError(
-            "QR/MD embeddings are not supported by the compressed-gradient "
-            "DP step (nor by the reference's); use parallelism=none/dp-nosync"
-        )
     qc = config.quant
     grad_bits = tc.grad_quant_bits
+    # QR/MD compositional tables are small by construction, so their
+    # gradients are DENSE and tiny: they ride the same compressed psum as
+    # the MLP weights (the reference's comm path has no QR/MD — its sparse
+    # loop expects .embedding_bag, sgd_…_parallel_comm.py:850-890 — so this
+    # is a strict capability extension, not a parity deviation).
+    trick_ks = frozenset(
+        k for k in range(config.num_tables) if config.table_kind(k) != "dense"
+    )
+    if trick_ks and tc.ranking_range:
+        raise NotImplementedError(
+            "ranking_range is a policy over sparse embedding-gradient "
+            "exchanges; QR/MD tables have dense gradients — disable one"
+        )
 
     def device_step(state: DPState, batch: dlrm.Batch):
         params, qstate = state.params, state.qstate
@@ -196,21 +202,59 @@ def make_dp_train_step(
             qstate = dlrm.update_emb_scales(config, params, qstate)
 
         mlp_params = {k: v for k, v in params.items() if k != "emb"}
+        if trick_ks:
+            # Differentiate through the trick lookups directly: their params
+            # join the dense-gradient side.
+            mlp_params["emb_trick"] = {
+                str(k): params["emb"][k] for k in sorted(trick_ks)
+            }
 
         # Raw pooled lookups with tables held constant: the autodiff cut
         # point that keeps embedding gradients sparse.
         raw_pooled = dlrm.lookup_all(
             config,
-            {**params, "emb": [jax.lax.stop_gradient(t) for t in params["emb"]]},
+            {
+                **params,
+                "emb": jax.tree_util.tree_map(
+                    jax.lax.stop_gradient, params["emb"]
+                ),
+            },
             batch.indices,
             batch.mask,
             full_precision=not qc.enabled,
         )
 
         def loss_fn(mlp_p, pooled):
+            if trick_ks:
+                # Recompute trick-table pooled outputs from the
+                # differentiable params (the stop-grad copies in `pooled`
+                # are spliced out, so XLA dead-code-eliminates them).
+                parts = []
+                for k in range(config.num_tables):
+                    if k in trick_ks:
+                        m = batch.mask[k] if batch.mask is not None else None
+                        if config.weighted_pooling is not None:
+                            w_rows = jnp.take(
+                                jax.lax.stop_gradient(params["v_W"][k]),
+                                batch.indices[k],
+                                axis=0,
+                            )
+                            m = w_rows if m is None else m * w_rows
+                        parts.append(
+                            dlrm.trick_pooled_lookup(
+                                config,
+                                mlp_p["emb_trick"][str(k)],
+                                batch.indices[k],
+                                m,
+                            ).astype(jnp.float32)
+                        )
+                    else:
+                        parts.append(pooled[k])
+                pooled = jnp.stack(parts)
+            fwd_p = {kk: v for kk, v in mlp_p.items() if kk != "emb_trick"}
             logits, new_qs = dlrm.forward(
                 config,
-                {**mlp_p, "emb": params["emb"]},
+                {**fwd_p, "emb": params["emb"]},
                 batch,
                 qstate,
                 train=True,
@@ -282,6 +326,9 @@ def make_dp_train_step(
         # rows bound shrinks the wire payload to min(B*P, rows) rows.
         sparse_grads = []
         for k in range(len(params["emb"])):
+            if k in trick_ks:
+                sparse_grads.append(None)  # dense grads, handled below
+                continue
             ids, vals = rows_grad_from_pooled(
                 g_pooled[k],
                 batch.indices[k],
@@ -311,6 +358,27 @@ def make_dp_train_step(
 
         new_emb = []
         for k, table in enumerate(params["emb"]):
+            if k in trick_ks:
+                # QR/MD: dense tiny grads -> same compressed psum channel
+                # as the MLP weights, then manual SGD.
+                g_trick = mlp_grads["emb_trick"][str(k)]
+                if grad_bits >= 32:
+                    g_mean_t = jax.tree_util.tree_map(
+                        lambda g: jax.lax.pmean(g, axis), g_trick
+                    )
+                else:
+                    g_mean_t = jax.tree_util.tree_map(
+                        lambda g: compressed_psum_dense(
+                            g, grad_bits, axis, per_channel=(g.ndim == 2)
+                        ),
+                        g_trick,
+                    )
+                new_emb.append(
+                    jax.tree_util.tree_map(
+                        lambda p, g: p - lr * g, table, g_mean_t
+                    )
+                )
+                continue
             ids, vals = sparse_grads[k]
             if tc.ranking_range:
                 s = ranking_range.grad_scale_int16(ranges[k])

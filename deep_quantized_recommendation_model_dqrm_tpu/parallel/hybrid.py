@@ -59,7 +59,10 @@ class TableShardingPlan(NamedTuple):
 
 
 def plan_table_sharding(
-    table_sizes: Tuple[int, ...], n_dev: int, strategy: str = "greedy"
+    table_sizes: Tuple[int, ...],
+    n_dev: int,
+    strategy: str = "greedy",
+    kinds: Optional[Tuple[str, ...]] = None,
 ) -> TableShardingPlan:
     """Assign tables to devices and lay out per-device row blocks.
 
@@ -68,31 +71,40 @@ def plan_table_sharding(
     (dlrm_s_pytorch.py:243-245) for exact-parity experiments.
     strategy="roundrobin": the reference's single-node placement
     (table k -> device k % n, dlrm_s_pytorch.py:617-733 parallel_forward).
+
+    `kinds` (config.table_kind per table): non-"dense" (QR/MD compositional)
+    tables are excluded from the mega-table — they get table_rank/perm -1 and
+    are carried REPLICATED by the hybrid step (they are small by construction,
+    that being their entire point), trained data-parallel like the MLPs.
     """
     T = len(table_sizes)
+    dense = [k for k in range(T) if kinds is None or kinds[k] == "dense"]
+    dense_set = set(dense)
     if strategy == "contiguous":
         from deep_quantized_recommendation_model_dqrm_tpu.parallel.mesh import (
             table_assignment,
         )
 
-        per_rank: List[List[int]] = table_assignment(T, n_dev)
+        groups: List[List[int]] = table_assignment(len(dense), n_dev)
+        per_rank = [[dense[i] for i in g] for g in groups]
     elif strategy == "roundrobin":
         per_rank = [[] for _ in range(n_dev)]
-        for k in range(T):
-            per_rank[k % n_dev].append(k)
+        for i, k in enumerate(dense):
+            per_rank[i % n_dev].append(k)
     else:
-        order = np.argsort(-np.asarray(table_sizes, np.int64), kind="stable")
+        sizes = np.asarray([table_sizes[k] for k in dense], np.int64)
+        order = np.argsort(-sizes, kind="stable")
         loads = np.zeros(n_dev, np.int64)
         per_rank = [[] for _ in range(n_dev)]
-        for k in order:
+        for i in order:
             r = int(np.argmin(loads))
-            per_rank[r].append(int(k))
-            loads[r] += table_sizes[k]
+            per_rank[r].append(dense[int(i)])
+            loads[r] += sizes[i]
         # keep original table order within a rank for readability
         per_rank = [sorted(g) for g in per_rank]
 
     t_max = max(max((len(g) for g in per_rank), default=1), 1)
-    table_rank = np.zeros(T, np.int32)
+    table_rank = np.full(T, -1, np.int32)
     table_slot = np.zeros(T, np.int32)
     table_base = np.zeros(T, np.int64)
     local_ids = np.full((n_dev, t_max), -1, np.int32)
@@ -108,9 +120,10 @@ def plan_table_sharding(
         rank_rows[r] = off
     block_rows = int(rank_rows.max()) + 1  # +1 zero pad row
     local_base = np.full((n_dev, t_max), block_rows - 1, np.int64)
-    for k in range(T):
+    for k in dense_set:
         local_base[table_rank[k], table_slot[k]] = table_base[k]
     perm = (table_rank.astype(np.int64) * t_max + table_slot).astype(np.int32)
+    perm[table_rank < 0] = -1  # trick tables: not in the all-to-all
     return TableShardingPlan(
         n_dev=n_dev,
         block_rows=block_rows,
@@ -132,10 +145,20 @@ def pack_tables(
 ) -> jax.Array:
     """Pack per-table arrays into the row-sharded mega-table
     [n_dev * block_rows, D]. With a mesh, the result is placed with
-    NamedSharding(P(axis)) so each block lives on its owner device."""
-    D = tables[0].shape[-1]
-    mega = jnp.zeros((plan.n_dev * plan.block_rows, D), tables[0].dtype)
+    NamedSharding(P(axis)) so each block lives on its owner device.
+    QR/MD dict entries (plan.table_rank -1) are skipped — the hybrid step
+    carries them replicated."""
+    arrays = [t for t in tables if not isinstance(t, dict)]
+    if arrays:
+        D, dt = arrays[0].shape[-1], arrays[0].dtype
+    else:
+        # every table is QR/MD: keep a 1-wide placeholder so the step's
+        # shard_map structure (and the all-to-all) stays uniform
+        D, dt = 1, jnp.float32
+    mega = jnp.zeros((plan.n_dev * plan.block_rows, D), dt)
     for k, t in enumerate(tables):
+        if isinstance(t, dict):
+            continue
         start = int(plan.table_rank[k]) * plan.block_rows + int(plan.table_base[k])
         mega = jax.lax.dynamic_update_slice(mega, t, (start, 0))
     if mesh is not None:
@@ -146,12 +169,57 @@ def pack_tables(
 def unpack_tables(
     mega: jax.Array, plan: TableShardingPlan, table_sizes: Tuple[int, ...]
 ) -> List[jax.Array]:
-    """Inverse of pack_tables (for checkpointing / eval on one chip)."""
+    """Inverse of pack_tables (for checkpointing / eval on one chip).
+    Trick-table slots (plan.table_rank -1, not in the mega-table) come back
+    as None — callers splice the replicated dict entries in."""
     out = []
     for k, rows in enumerate(table_sizes):
+        if int(plan.table_rank[k]) < 0:
+            out.append(None)
+            continue
         start = int(plan.table_rank[k]) * plan.block_rows + int(plan.table_base[k])
         out.append(jax.lax.dynamic_slice(mega, (start, 0), (rows, mega.shape[1])))
     return out
+
+
+def _assemble_pooled(
+    config: DLRMConfig,
+    plan: TableShardingPlan,
+    perm_j: jax.Array,
+    swapped: jax.Array,  # [n_dev*t_max, B/n, D] post-a2a, batch-major
+    trick_p: Optional[dict],
+    batch: dlrm.Batch,
+    me: jax.Array,
+) -> jax.Array:  # [T, B/n, D]
+    """Batch-major pooled outputs for every table: dense tables from the
+    all-to-all, QR/MD compositional tables computed locally from the
+    REPLICATED params on this device's batch slice (plan gives them rank -1
+    — they are small by construction, so replicating them and training them
+    data-parallel like the MLPs is the TPU-native placement; autodiff
+    through this lookup routes their gradients onto the DDP channel)."""
+    trick_ks = [
+        k for k in range(config.num_tables) if int(plan.table_rank[k]) < 0
+    ]
+    if not trick_ks:
+        return jnp.take(swapped, perm_j, axis=0)
+    trick_set = set(trick_ks)
+    b_local = swapped.shape[1]
+    start = me * b_local
+    parts = []
+    for k in range(config.num_tables):
+        if k in trick_set:
+            idx_k = jax.lax.dynamic_slice_in_dim(batch.indices[k], start, b_local, 0)
+            m_k = None
+            if batch.mask is not None:
+                m_k = jax.lax.dynamic_slice_in_dim(batch.mask[k], start, b_local, 0)
+            parts.append(
+                dlrm.trick_pooled_lookup(config, trick_p[str(k)], idx_k, m_k).astype(
+                    jnp.float32
+                )
+            )
+        else:
+            parts.append(swapped[int(plan.perm[k])])
+    return jnp.stack(parts)
 
 
 class HybridState(NamedTuple):
@@ -168,10 +236,6 @@ def init_hybrid_state(
     axis: str = "mp",
     seed: Optional[int] = None,
 ) -> HybridState:
-    if any(config.table_kind(k) != "dense" for k in range(config.num_tables)):
-        raise NotImplementedError(
-            "QR/MD embeddings cannot be packed into the row-sharded mega-table"
-        )
     params = dlrm.init_params(config, seed if seed is not None else tc.seed)
     mega = pack_tables(params["emb"], plan, mesh, axis)
     # MLPs + quant state are explicitly replicated over the mesh so their
@@ -179,10 +243,16 @@ def init_hybrid_state(
     # `like` arrays' shardings; an uncommitted array would come back pinned
     # to device 0 and clash with the sharded mega-table).
     rep = NamedSharding(mesh, P())
-    mlp = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, rep),
-        {k: v for k, v in params.items() if k != "emb"},
-    )
+    non_emb = {k: v for k, v in params.items() if k != "emb"}
+    # QR/MD compositional tables are small by construction: carry them
+    # REPLICATED alongside the MLPs and train them data-parallel (their
+    # gradients ride the DDP-style pmean, hybrid_multi_gpu.py:1840-1845).
+    trick = {
+        str(k): t for k, t in enumerate(params["emb"]) if isinstance(t, dict)
+    }
+    if trick:
+        non_emb["emb_trick"] = trick
+    mlp = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), non_emb)
     qstate = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, rep), dlrm.init_quant_state(config)
     )
@@ -236,16 +306,13 @@ def make_hybrid_train_step(
         raise NotImplementedError(
             "weighted_pooling='learned' is not supported by the hybrid step"
         )
-    if any(config.table_kind(k) != "dense" for k in range(config.num_tables)):
-        raise NotImplementedError(
-            "QR/MD embeddings cannot be packed into the row-sharded "
-            "mega-table; use parallelism=none/dp-nosync"
-        )
     qc = config.quant
     n_dev = plan.n_dev
     local_ids_np = jnp.asarray(plan.local_ids)
     local_base_np = jnp.asarray(plan.local_base)
     perm = jnp.asarray(plan.perm)
+    def assemble_pooled(swapped, trick_p, batch, me):
+        return _assemble_pooled(config, plan, perm, swapped, trick_p, batch, me)
 
     def device_step(state: HybridState, batch: dlrm.Batch):
         me = jax.lax.axis_index(axis)
@@ -330,7 +397,9 @@ def make_hybrid_train_step(
                 swapped = jax.lax.all_to_all(
                     p_local, axis, split_axis=1, concat_axis=0, tiled=True
                 )
-            raw_pooled = jnp.take(swapped, perm, axis=0)  # [T, B/n, D]
+            raw_pooled = assemble_pooled(
+                swapped, mlp_p.get("emb_trick"), batch, me
+            )  # [T, B/n, D]
             local_batch = dlrm.Batch(
                 dense=batch.dense,
                 indices=batch.indices[:, :1, :],  # unused (raw_pooled given)
@@ -469,7 +538,9 @@ def make_hybrid_eval_step(
         swapped = jax.lax.all_to_all(
             pooled_local, axis, split_axis=1, concat_axis=0, tiled=True
         )
-        raw_pooled = jnp.take(swapped, perm, axis=0)
+        raw_pooled = _assemble_pooled(
+            config, plan, perm, swapped, state.mlp.get("emb_trick"), batch, me
+        )
         local_batch = dlrm.Batch(
             dense=batch.dense,
             indices=batch.indices[:, :1, :],

@@ -108,7 +108,9 @@ def init_rowshard_state(
 ) -> RowShardState:
     if any(config.table_kind(k) != "dense" for k in range(config.num_tables)):
         raise NotImplementedError(
-            "QR/MD embeddings cannot be packed into the row-sharded mega-table"
+            "QR/MD embeddings cannot be row-sharded (their whole point is "
+            "being small); use parallelism=hybrid or dp, which carry them "
+            "replicated"
         )
     params = dlrm.init_params(config, seed if seed is not None else tc.seed)
     mega = pack_rows(params["emb"], plan, mesh, axis)
@@ -181,7 +183,9 @@ def make_rowshard_train_step(
         )
     if any(config.table_kind(k) != "dense" for k in range(config.num_tables)):
         raise NotImplementedError(
-            "QR/MD embeddings cannot be packed into the row-sharded mega-table"
+            "QR/MD embeddings cannot be row-sharded (their whole point is "
+            "being small); use parallelism=hybrid or dp, which carry them "
+            "replicated"
         )
     from deep_quantized_recommendation_model_dqrm_tpu.ops import quant as q
 

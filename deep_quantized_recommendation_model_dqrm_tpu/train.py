@@ -584,7 +584,11 @@ def run(argv=None) -> dict:
             plan = rowshard.plan_row_sharding(cfg.table_sizes, len(mesh.devices))
             hstate = rowshard.init_rowshard_state(cfg, tc, mesh, plan)
         else:
-            plan = hybrid.plan_table_sharding(cfg.table_sizes, len(mesh.devices))
+            plan = hybrid.plan_table_sharding(
+                cfg.table_sizes,
+                len(mesh.devices),
+                kinds=tuple(cfg.table_kind(k) for k in range(cfg.num_tables)),
+            )
             hstate = hybrid.init_hybrid_state(cfg, tc, mesh, plan)
         if args.load_model:
             from deep_quantized_recommendation_model_dqrm_tpu.utils.checkpoint_orbax import (

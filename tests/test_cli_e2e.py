@@ -125,6 +125,31 @@ class TestNewFlagWiring:
         m = run(argv)
         assert np.isfinite(m["roc_auc"])
 
+    def test_hybrid_with_qr_tables(self, tmp_path):
+        """QR tables in the hybrid engine: dense tables sharded into the
+        mega-table, QR tables replicated + trained data-parallel; the
+        sharded Orbax checkpoint carries the trick tables and resumes."""
+        ck = str(tmp_path / "ck_qr")
+        qr = ["--parallelism=hybrid", "--qr-flag", "--qr-threshold=50",
+              "--qr-collisions=4", "--test-freq=4"]
+        argv, _ = _common(tmp_path, qr + [f"--save-model={ck}"])
+        m = run(argv)
+        assert np.isfinite(m["roc_auc"])
+        argv2, _ = _common(tmp_path, qr + [f"--load-model={ck}"])
+        m2 = run(argv2)
+        assert np.isfinite(m2["roc_auc"])
+
+    def test_dp_with_md_tables(self, tmp_path):
+        """MD tables in the compressed-grad DP engine (dense tiny grads
+        ride the INT8 psum channel)."""
+        argv, _ = _common(
+            tmp_path,
+            ["--parallelism=dp", "--md-flag", "--md-threshold=50",
+             "--md-temperature=0.4", "--test-freq=4"],
+        )
+        m = run(argv)
+        assert np.isfinite(m["roc_auc"])
+
     def test_hybrid_a2a_quant_bits(self, tmp_path):
         argv, _ = _common(
             tmp_path, ["--parallelism=hybrid", "--a2a-quant-bits=8"]

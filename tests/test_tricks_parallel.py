@@ -1,0 +1,211 @@
+"""QR/MD compositional embeddings in the distributed engines.
+
+The reference supports QR/MD tables in every forward mode of the upstream
+driver (create_emb dispatch dlrm_s_pytorch.py:239-286 feeds sequential_,
+parallel_ AND distributed_forward). Here: the hybrid step carries trick
+tables REPLICATED next to the MLPs (plan ranks them -1; gradients ride the
+DDP pmean channel), and the compressed-grad DP step routes their dense tiny
+gradients through the same INT psum as the MLP weights. Both must reproduce
+the single-chip dense-autodiff trajectory exactly when uncompressed.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from deep_quantized_recommendation_model_dqrm_tpu.config import (
+    DLRMConfig,
+    QuantConfig,
+    TrainConfig,
+)
+from deep_quantized_recommendation_model_dqrm_tpu.data.synthetic import random_batch
+from deep_quantized_recommendation_model_dqrm_tpu.parallel import (
+    comm_grad,
+    hybrid,
+    make_mesh,
+)
+from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+    init_train_state,
+    make_train_step,
+)
+
+# Tables 500 and 700 exceed the threshold -> become QR/MD; the rest stay
+# dense, so the mega-table packing and the trick handling coexist.
+QR_CFG = DLRMConfig(
+    table_sizes=(64, 500, 30, 700, 7),
+    embedding_dim=8,
+    mlp_bot=(4, 16, 8),
+    mlp_top=(23, 8, 1),
+    qr_flag=True,
+    qr_threshold=200,
+    qr_collisions=4,
+)
+MD_CFG = dataclasses.replace(
+    QR_CFG, qr_flag=False, md_flag=True, md_threshold=200, md_temperature=0.3
+)
+TC = TrainConfig(batch_size=32, learning_rate=0.05, weight_sync_period=0)
+
+
+def _kinds(cfg):
+    return tuple(cfg.table_kind(k) for k in range(cfg.num_tables))
+
+
+class TestPlanWithTricks:
+    def test_trick_tables_excluded_from_mega(self):
+        plan = hybrid.plan_table_sharding(QR_CFG.table_sizes, 4, kinds=_kinds(QR_CFG))
+        assert plan.table_rank[1] == -1 and plan.table_rank[3] == -1
+        assert plan.perm[1] == -1 and plan.perm[3] == -1
+        placed = set(plan.local_ids.ravel().tolist()) - {-1}
+        assert placed == {0, 2, 4}
+        # dense rows only: 64+30+7 split over 4 devices + pad
+        assert plan.block_rows <= 64 + 1
+
+    def test_pack_unpack_skip_tricks(self):
+        from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm
+
+        params = dlrm.init_params(QR_CFG, seed=3)
+        plan = hybrid.plan_table_sharding(QR_CFG.table_sizes, 4, kinds=_kinds(QR_CFG))
+        mega = hybrid.pack_tables(params["emb"], plan)
+        back = hybrid.unpack_tables(mega, plan, QR_CFG.table_sizes)
+        assert back[1] is None and back[3] is None
+        for k in (0, 2, 4):
+            np.testing.assert_array_equal(np.asarray(params["emb"][k]), np.asarray(back[k]))
+
+
+class TestHybridTricks:
+    @pytest.mark.parametrize("cfg", [QR_CFG, MD_CFG], ids=["qr", "md"])
+    def test_hybrid_matches_single_chip_fp32(self, cfg):
+        """Uncompressed hybrid step with QR/MD tables == single-chip
+        dense-autodiff SGD (losses + final params)."""
+        tc = TC.replace(grad_quant_bits=32)
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(cfg.table_sizes, 8, kinds=_kinds(cfg))
+        hstate = hybrid.init_hybrid_state(cfg, tc, mesh, plan)
+        hstep = hybrid.make_hybrid_train_step(cfg, tc, mesh, plan)
+
+        sstate = init_train_state(cfg, tc)
+        sstep = make_train_step(cfg, tc, sparse_emb_grad=False)
+
+        rng = np.random.RandomState(17)
+        for _ in range(3):
+            b = random_batch(cfg, 64, rng)
+            hstate, hloss = hstep(hstate, b)
+            jax.block_until_ready(hstate)
+            sstate, sloss = sstep(sstate, b)
+            assert np.isclose(float(hloss), float(sloss), rtol=1e-4)
+
+        # dense tables from the mega-table
+        back = hybrid.unpack_tables(hstate.mega, plan, cfg.table_sizes)
+        for k in range(cfg.num_tables):
+            if cfg.table_kind(k) == "dense":
+                np.testing.assert_allclose(
+                    np.asarray(back[k]),
+                    np.asarray(sstate.params["emb"][k]),
+                    atol=1e-5,
+                )
+            else:
+                for leaf, ref in zip(
+                    jax.tree_util.tree_leaves(hstate.mlp["emb_trick"][str(k)]),
+                    jax.tree_util.tree_leaves(sstate.params["emb"][k]),
+                ):
+                    np.testing.assert_allclose(
+                        np.asarray(leaf), np.asarray(ref), atol=1e-5
+                    )
+
+    def test_hybrid_eval_matches_single_chip(self):
+        from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm
+
+        tc = TC.replace(grad_quant_bits=32)
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(QR_CFG.table_sizes, 8, kinds=_kinds(QR_CFG))
+        hstate = hybrid.init_hybrid_state(QR_CFG, tc, mesh, plan)
+        ev = hybrid.make_hybrid_eval_step(QR_CFG, mesh, plan)
+        sstate = init_train_state(QR_CFG, tc)
+
+        b = random_batch(QR_CFG, 64, np.random.RandomState(5))
+        probs = np.asarray(ev(hstate, b))
+        ref = np.asarray(
+            jax.nn.sigmoid(
+                dlrm.forward(
+                    QR_CFG, sstate.params, b, sstate.qstate, train=False
+                )[0]
+            )
+        )
+        np.testing.assert_allclose(probs, ref, atol=1e-5)
+
+    def test_hybrid_qat_with_qr_runs(self):
+        """Dense tables fake-quantized, QR tables stay full-precision —
+        the step compiles and the loss stays finite."""
+        cfg = dataclasses.replace(
+            QR_CFG, quant=QuantConfig(enabled=True, embedding_bit=4,
+                                      scale_update_period=2)
+        )
+        tc = TC.replace(grad_quant_bits=32)
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(cfg.table_sizes, 8, kinds=_kinds(cfg))
+        hstate = hybrid.init_hybrid_state(cfg, tc, mesh, plan)
+        hstep = hybrid.make_hybrid_train_step(cfg, tc, mesh, plan)
+        rng = np.random.RandomState(1)
+        for _ in range(3):
+            hstate, loss = hstep(hstate, random_batch(cfg, 64, rng))
+        assert np.isfinite(float(loss))
+
+
+class TestDPTricks:
+    @pytest.mark.parametrize("cfg", [QR_CFG, MD_CFG], ids=["qr", "md"])
+    def test_dp_uncompressed_matches_single_chip(self, cfg):
+        tc = TC.replace(grad_quant_bits=32)
+        mesh = make_mesh(8)
+        dstate = comm_grad.init_dp_state(cfg, tc)
+        dstep = comm_grad.make_dp_train_step(cfg, tc, mesh)
+
+        sstate = init_train_state(cfg, tc)
+        sstep = make_train_step(cfg, tc, sparse_emb_grad=False)
+
+        rng = np.random.RandomState(23)
+        for _ in range(3):
+            b = random_batch(cfg, 64, rng)
+            dstate, dloss = dstep(dstate, b)
+            jax.block_until_ready(dstate)
+            sstate, sloss = sstep(sstate, b)
+            assert np.isclose(float(dloss), float(sloss), rtol=1e-4)
+
+        for k in range(cfg.num_tables):
+            for leaf, ref in zip(
+                jax.tree_util.tree_leaves(dstate.params["emb"][k]),
+                jax.tree_util.tree_leaves(sstate.params["emb"][k]),
+            ):
+                np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref), atol=1e-5)
+
+    def test_dp_int8_tracks_uncompressed(self):
+        """INT8-compressed trick-table grads stay close to the fp32 path."""
+        mesh = make_mesh(8)
+        rng = np.random.RandomState(31)
+        batches = [random_batch(QR_CFG, 64, rng) for _ in range(4)]
+
+        def run(bits):
+            tc = TC.replace(grad_quant_bits=bits)
+            st = comm_grad.init_dp_state(QR_CFG, tc)
+            step = comm_grad.make_dp_train_step(QR_CFG, tc, mesh)
+            losses = []
+            for b in batches:
+                st, l = step(st, b)
+                losses.append(float(l))
+            return losses, st
+
+        l8, st8 = run(8)
+        l32, st32 = run(32)
+        np.testing.assert_allclose(l8, l32, atol=2e-2)
+        q8 = np.asarray(st8.params["emb"][1]["q"])
+        q32 = np.asarray(st32.params["emb"][1]["q"])
+        np.testing.assert_allclose(q8, q32, atol=2e-2)
+        # compression actually changed something (grads were quantized)
+        assert not np.array_equal(q8, q32)
+
+    def test_dp_ranking_range_with_tricks_rejected(self):
+        tc = TC.replace(ranking_range=True)
+        mesh = make_mesh(8)
+        with pytest.raises(NotImplementedError):
+            comm_grad.make_dp_train_step(QR_CFG, tc, mesh)
