@@ -28,23 +28,56 @@ def random_batch(
     rng: np.random.RandomState,
     num_indices_per_lookup: Optional[int] = None,
     variable_pooling: bool = False,
+    rand_data_dist: str = "uniform",
+    rand_data_min: float = 0.0,
+    rand_data_max: float = 1.0,
+    rand_data_mu: float = -1.0,
+    rand_data_sigma: float = 1.0,
+    round_targets: bool = True,
 ) -> Batch:
     """One synthetic batch with static [T, B, P] index layout.
 
-    Reference generator (dlrm_data_pytorch.py:1086-1130): dense ~ U(0,1),
-    indices ~ U(0, rows_k) per table; pooling size drawn per lookup when
-    `variable_pooling` (masked here instead of offset-encoded).
+    Reference generator (dlrm_data_pytorch.py:1086-1158): dense ~ U(0,1);
+    indices ~ U(0, rows_k) per table, or — `rand_data_dist="gaussian"` —
+    N(mu, sigma) clipped to [rand_data_min, rand_data_max] (mu=-1 means
+    (min+max)/2), modelling hot-index skew; pooling size drawn per lookup
+    when `variable_pooling` (masked here instead of offset-encoded; the
+    reference also np.unique's each bag — duplicates are kept here, an
+    equivalent multiset under sum pooling). Targets: U(0,1) rounded to
+    {0,1} when `round_targets` (= Bernoulli(0.5)), else left continuous
+    (generate_random_output_batch, dlrm_data_pytorch.py:1036-1045 — the
+    reference's default, only meaningful with the mse loss).
     """
     T = config.num_tables
     P = num_indices_per_lookup or config.pooling_size
     dense = rng.uniform(0.0, 1.0, size=(batch_size, config.num_dense)).astype(np.float32)
-    indices = np.stack(
-        [
-            rng.randint(0, rows, size=(batch_size, P)).astype(np.int32)
-            for rows in config.table_sizes
-        ]
-    )
-    labels = rng.randint(0, 2, size=(batch_size,)).astype(np.float32)
+    if rand_data_dist == "gaussian":
+        mu = (rand_data_max + rand_data_min) / 2.0 if rand_data_mu == -1 else rand_data_mu
+        indices = np.stack(
+            [
+                np.clip(
+                    np.clip(
+                        rng.normal(mu, rand_data_sigma, size=(batch_size, P)),
+                        rand_data_min,
+                        rand_data_max,
+                    ),
+                    0,
+                    rows - 1,
+                ).astype(np.int32)
+                for rows in config.table_sizes
+            ]
+        )
+    else:
+        indices = np.stack(
+            [
+                rng.randint(0, rows, size=(batch_size, P)).astype(np.int32)
+                for rows in config.table_sizes
+            ]
+        )
+    if round_targets:
+        labels = rng.randint(0, 2, size=(batch_size,)).astype(np.float32)
+    else:
+        labels = rng.rand(batch_size).astype(np.float32)
     mask = None
     if variable_pooling and P > 1:
         lengths = rng.randint(1, P + 1, size=(T, batch_size))
@@ -68,12 +101,16 @@ class RandomBatchLoader:
         num_batches: int,
         seed: int = 123,
         variable_pooling: bool = False,
+        **gen_kwargs,
     ):
+        """`gen_kwargs` forward to `random_batch` (rand_data_dist /
+        rand_data_min/max/mu/sigma / round_targets)."""
         self.config = config
         self.batch_size = batch_size
         self.num_batches = num_batches
         self.seed = seed
         self.variable_pooling = variable_pooling
+        self.gen_kwargs = gen_kwargs
 
     def __len__(self) -> int:
         return self.num_batches
@@ -86,6 +123,7 @@ class RandomBatchLoader:
                 self.batch_size,
                 rng,
                 variable_pooling=self.variable_pooling,
+                **self.gen_kwargs,
             )
 
 

@@ -511,6 +511,7 @@ def make_dp_eval_step(
     config: DLRMConfig,
     mesh: Mesh,
     axis: str = "mp",
+    has_mask: bool = False,
 ):
     """Rank-sharded evaluation: each device scores its batch shard and the
     probabilities are all-gathered so every host sees the full result
@@ -527,7 +528,8 @@ def make_dp_eval_step(
         return jax.lax.all_gather(p, axis, tiled=True)
 
     batch_specs = dlrm.Batch(
-        dense=P(axis), indices=P(None, axis), labels=P(axis), mask=None
+        dense=P(axis), indices=P(None, axis), labels=P(axis),
+        mask=P(None, axis) if has_mask else None,
     )
     fn = shard_map(
         device_eval,

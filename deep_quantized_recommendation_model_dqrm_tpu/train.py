@@ -99,6 +99,42 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-sub-sample-rate", type=float, default=0.0)
     p.add_argument("--num-batches", type=int, default=0)
     p.add_argument("--num-indices-per-lookup", type=int, default=1)
+    # synthetic-data generation knobs (dlrm_s_pytorch.py:942-960 +
+    # generate_dist_input_batch, dlrm_data_pytorch.py:1098-1158)
+    p.add_argument("--num-indices-per-lookup-fixed",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="--no-…-fixed draws a per-lookup bag size in "
+                        "[1, num-indices-per-lookup] (masked static-P "
+                        "layout; the reference's offset encoding)")
+    p.add_argument("--rand-data-dist", type=str, default="uniform",
+                   choices=["uniform", "gaussian"],
+                   help="gaussian draws INDICES from N(mu, sigma) clipped "
+                        "to [rand-data-min, rand-data-max] (hot-index skew)")
+    p.add_argument("--rand-data-min", type=float, default=0.0)
+    p.add_argument("--rand-data-max", type=float, default=1.0)
+    p.add_argument("--rand-data-mu", type=float, default=-1.0)
+    p.add_argument("--rand-data-sigma", type=float, default=1.0)
+    p.add_argument("--round-targets", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="--no-round-targets keeps targets continuous U(0,1) "
+                        "(the reference default — only meaningful with "
+                        "--loss-function=mse)")
+    p.add_argument("--data-trace-file", type=str, default="",
+                   help="non-empty: draw sparse indices from the LRU stack-"
+                        "distance locality model (trace_generate_lru, "
+                        "dlrm_data_pytorch.py:1235-1320; generated, not "
+                        "replayed from a file — no trace files exist here)")
+    p.add_argument("--mlperf-bin-shuffle", action="store_true",
+                   help="batch-level shuffle of the mlperf binary train "
+                        "split (RandomSampler, dlrm_data_pytorch.py:452)")
+    p.add_argument("--mlperf-grad-accum-iter", type=int, default=1,
+                   help="accumulate N batches into one optimizer step "
+                        "(dlrm_s_pytorch.py:1595-1601; implemented as a "
+                        "batch concat — mean-gradient semantics)")
+    p.add_argument("--documenting-table-weight", action="store_true",
+                   help="dump embedding tables to <log-dir>/table_weights_"
+                        "{0,1}.npz before/after training "
+                        "(documenting_weights_tables, comm_grad.py:1699)")
     # training (dlrm_s_pytorch.py:976-1003)
     p.add_argument("--mini-batch-size", type=int, default=128)
     p.add_argument("--test-mini-batch-size", type=int, default=16384)
@@ -280,8 +316,29 @@ def make_loaders(args, cfg, tc):
 
     if args.data_generation == "random":
         nb = args.num_batches or 128
-        train = RandomBatchLoader(cfg, tc.batch_size, nb, seed=tc.seed)
-        test = RandomBatchLoader(cfg, tc.test_batch_size, max(1, nb // 8), seed=tc.seed + 1)
+        if args.data_trace_file:
+            from deep_quantized_recommendation_model_dqrm_tpu.data.synthetic import (
+                TraceSyntheticLoader,
+            )
+
+            train = TraceSyntheticLoader(cfg, tc.batch_size, nb, seed=tc.seed)
+            test = TraceSyntheticLoader(
+                cfg, tc.test_batch_size, max(1, nb // 8), seed=tc.seed + 1
+            )
+            return cfg, train, test
+        gen = dict(
+            variable_pooling=not args.num_indices_per_lookup_fixed,
+            rand_data_dist=args.rand_data_dist,
+            rand_data_min=args.rand_data_min,
+            rand_data_max=args.rand_data_max,
+            rand_data_mu=args.rand_data_mu,
+            rand_data_sigma=args.rand_data_sigma,
+            round_targets=args.round_targets,
+        )
+        train = RandomBatchLoader(cfg, tc.batch_size, nb, seed=tc.seed, **gen)
+        test = RandomBatchLoader(
+            cfg, tc.test_batch_size, max(1, nb // 8), seed=tc.seed + 1, **gen
+        )
         return cfg, train, test
     if args.data_generation == "dataset":
         import os
@@ -361,7 +418,8 @@ def make_loaders(args, cfg, tc):
 
     if args.binary_test_data_file:
         train = CriteoBinDataset(
-            args.binary_data_file, tc.batch_size, args.max_ind_range
+            args.binary_data_file, tc.batch_size, args.max_ind_range,
+            shuffle=args.mlperf_bin_shuffle,
         )
         test = CriteoBinDataset(
             args.binary_test_data_file, tc.test_batch_size, args.max_ind_range
@@ -371,7 +429,7 @@ def make_loaders(args, cfg, tc):
         n_train = (probe.num_samples * 7) // 8
         train = CriteoBinDataset(
             args.binary_data_file, tc.batch_size, args.max_ind_range,
-            num_records=n_train,
+            num_records=n_train, shuffle=args.mlperf_bin_shuffle,
         )
         test = CriteoBinDataset(
             args.binary_data_file, tc.test_batch_size, args.max_ind_range,
@@ -614,6 +672,14 @@ def run(argv=None) -> dict:
         if step_mode in ("none", "dp", "hybrid", "rowshard")
         else 1
     )
+    accum_n = max(1, args.mlperf_grad_accum_iter)
+    if accum_n > 1:
+        if step_mode != "none":
+            raise SystemExit(
+                "--mlperf-grad-accum-iter requires --parallelism=none "
+                "(the reference accumulates only in its single-process loop)"
+            )
+        multi_k = 1  # accumulation concatenates batches; megastep disabled
     if step_mode == "dp" and args.weight_sync_period > 0 and multi_k > 1:
         # align dispatches with weight_syncc boundaries: a megastep cannot
         # sync mid-dispatch, so clamp k to the largest divisor of the sync
@@ -648,6 +714,16 @@ def run(argv=None) -> dict:
             and not (eff.qr_flag or eff.md_flag)
         )
 
+    # variable pooling (--no-num-indices-per-lookup-fixed) ships a [T, B, P]
+    # mask with every synthetic batch; the sharded steps need it in their
+    # shard_map specs
+    has_mask = (
+        args.data_generation == "random"
+        and not args.num_indices_per_lookup_fixed
+        and args.num_indices_per_lookup > 1
+        and not args.data_trace_file
+    )
+
     def get_step(epoch: int, k: Optional[int] = None):
         """Jitted step for `epoch`; k>1 gives the k-batch megastep."""
         k = multi_k if k is None else k
@@ -656,17 +732,19 @@ def run(argv=None) -> dict:
         if key not in _step_cache:
             if step_mode == "dp":
                 _step_cache[key] = comm_grad.make_dp_train_step(
-                    eff, tc, mesh, steps_per_dispatch=k
+                    eff, tc, mesh, has_mask=has_mask, steps_per_dispatch=k
                 )
             elif step_mode == "dp-nosync":
-                _step_cache[key] = comm_grad.make_dp_nosync_train_step(eff, tc, mesh)
+                _step_cache[key] = comm_grad.make_dp_nosync_train_step(
+                    eff, tc, mesh, has_mask=has_mask
+                )
             elif step_mode == "hybrid":
                 _step_cache[key] = hybrid.make_hybrid_train_step(
-                    eff, tc, mesh, plan, steps_per_dispatch=k
+                    eff, tc, mesh, plan, has_mask=has_mask, steps_per_dispatch=k
                 )
             elif step_mode == "rowshard":
                 _step_cache[key] = rowshard.make_rowshard_train_step(
-                    eff, tc, mesh, plan, steps_per_dispatch=k
+                    eff, tc, mesh, plan, has_mask=has_mask, steps_per_dispatch=k
                 )
             elif step_mode == "pseudo":
                 _step_cache[key] = pseudo.make_pseudo_train_step(
@@ -716,19 +794,55 @@ def run(argv=None) -> dict:
         )
 
         hybrid_eval_fn = pad_eval(
-            make_hybrid_eval_step(cfg, mesh, plan), len(mesh.devices.reshape(-1))
+            make_hybrid_eval_step(cfg, mesh, plan, has_mask=has_mask),
+            len(mesh.devices.reshape(-1)),
         )
     elif step_mode == "rowshard":
         hybrid_eval_fn = pad_eval(
-            rowshard.make_rowshard_eval_step(cfg, mesh, plan),
+            rowshard.make_rowshard_eval_step(cfg, mesh, plan, has_mask=has_mask),
             len(mesh.devices.reshape(-1)),
         )
     elif step_mode in ("dp", "dp-nosync"):
         dp_eval_fn = pad_eval(
-            comm_grad.make_dp_eval_step(cfg, mesh), len(mesh.devices.reshape(-1))
+            comm_grad.make_dp_eval_step(cfg, mesh, has_mask=has_mask),
+            len(mesh.devices.reshape(-1)),
         )
     from deep_quantized_recommendation_model_dqrm_tpu.data.prefetch import prefetch
 
+    def document_tables(tag: str) -> None:
+        """Dump every embedding table to <log-dir>/table_weights_<tag>.npz
+        (the reference's documenting_weights_tables before/after training,
+        dlrm_s_pytorch_comm_grad.py:1699, 2112 — txt dumps there; npz here)."""
+        if not args.documenting_table_weight:
+            return
+        import os as _os
+
+        import numpy as _np
+
+        if step_mode in ("hybrid", "rowshard"):
+            emb = (
+                hybrid.unpack_tables(hstate.mega, plan, cfg.table_sizes)
+                if step_mode == "hybrid"
+                else rowshard.unpack_rows(hstate.mega, plan, cfg.table_sizes)
+            )
+            trick = hstate.mlp.get("emb_trick", {})
+        else:
+            emb = state.params["emb"]
+            trick = {}
+        arrs = {}
+        for k, t in enumerate(emb):
+            entry = trick[str(k)] if t is None else t
+            if isinstance(entry, dict):
+                for name, leaf in entry.items():
+                    arrs[f"table_{k}_{name}"] = _np.asarray(leaf)
+            else:
+                arrs[f"table_{k}"] = _np.asarray(entry)
+        out = _os.path.join(args.log_dir or ".", f"table_weights_{tag}.npz")
+        _np.savez(out, **arrs)
+        rank0_print(rank, f"documented table weights -> {out}")
+
+    document_tables("0")
+    _abuf = []  # pending batches for --mlperf-grad-accum-iter
     for epoch in range(start_epoch, tc.nepochs):
         mll.start("epoch", {"num": epoch})
         step_fn = get_step(epoch)
@@ -747,6 +861,17 @@ def run(argv=None) -> dict:
                         f"{batch.labels.shape[0]} % {ndev} != 0)",
                     )
                     continue
+            if accum_n > 1:
+                # gradient accumulation: one optimizer step per accum_n
+                # batches via concatenation (mean-gradient semantics)
+                _abuf.append(batch)
+                if len(_abuf) < accum_n:
+                    continue
+                from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+                    concat_batches,
+                )
+
+                batch, _abuf = concat_batches(_abuf), []
             it_prev = it
             if multi_k > 1:
                 # K-batch megastep: buffer then dispatch once
@@ -895,6 +1020,7 @@ def run(argv=None) -> dict:
                 {"epoch": tc.nepochs, "batch": 0, "iter": it,
                  "test_acc": result.get("accuracy", 0.0)},
             )
+    document_tables("1")
     logger.close()
     return result
 

@@ -340,6 +340,26 @@ def stack_batches(batches) -> dlrm.Batch:
     )
 
 
+def concat_batches(batches) -> dlrm.Batch:
+    """Concatenate k host Batches along the batch axis into one [k*B] batch.
+
+    Gradient accumulation (`--mlperf-grad-accum-iter`,
+    dlrm_s_pytorch.py:1595-1601): the gradient of the mean loss over the
+    concatenation equals the mean of the per-batch gradients, so one step
+    over the concat IS the accumulated step (mean semantics; the reference
+    sums the per-batch mean losses instead, an effective lr scale of k)."""
+    import numpy as np
+
+    return dlrm.Batch(
+        dense=np.concatenate([np.asarray(b.dense) for b in batches], axis=0),
+        indices=np.concatenate([np.asarray(b.indices) for b in batches], axis=1),
+        labels=np.concatenate([np.asarray(b.labels) for b in batches], axis=0),
+        mask=None
+        if batches[0].mask is None
+        else np.concatenate([np.asarray(b.mask) for b in batches], axis=1),
+    )
+
+
 def make_eval_step(
     config: DLRMConfig,
 ) -> Callable[[TrainState, dlrm.Batch], jax.Array]:

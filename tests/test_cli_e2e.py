@@ -311,3 +311,96 @@ class TestAdagradSparsePath:
         argv, _ = _common(tmp_path, ["--optimizer=adagrad", "--test-freq=4"])
         m = run(argv)
         assert np.isfinite(m["roc_auc"])
+
+
+def _rand_argv(extra):
+    """Random-data CLI argv (the reference's --data-generation=random path)."""
+    return [
+        "--data-generation=random",
+        "--arch-embedding-size=120-60-30",
+        "--arch-sparse-feature-size=8",
+        "--arch-mlp-bot=13-32-8",
+        "--arch-mlp-top=16-1",
+        "--mini-batch-size=32",
+        "--test-mini-batch-size=32",
+        "--num-batches=16",
+        "--print-freq=4",
+    ] + extra
+
+
+class TestSyntheticDataKnobs:
+    """Reference synthetic-data generation flags (dlrm_s_pytorch.py:942-960
+    + generate_dist_input_batch / generate_random_output_batch)."""
+
+    def test_gaussian_index_distribution(self):
+        m = run(_rand_argv([
+            "--rand-data-dist=gaussian", "--rand-data-min=0",
+            "--rand-data-max=100", "--rand-data-mu=-1",
+            "--rand-data-sigma=20",
+        ]))
+        assert np.isfinite(m["roc_auc"])
+
+    def test_variable_pooling_with_dp(self):
+        """--no-num-indices-per-lookup-fixed ships a mask; the sharded dp
+        step and eval must accept it."""
+        m = run(_rand_argv([
+            "--num-indices-per-lookup=4",
+            "--no-num-indices-per-lookup-fixed",
+            "--parallelism=dp", "--test-freq=8",
+        ]))
+        assert np.isfinite(m["roc_auc"])
+
+    def test_continuous_targets_mse(self):
+        """--no-round-targets (the reference default) keeps targets in
+        U(0,1); meaningful with the mse loss."""
+        m = run(_rand_argv([
+            "--no-round-targets", "--loss-function=mse",
+        ]))
+        assert "accuracy" in m
+
+    def test_trace_driven_indices(self):
+        m = run(_rand_argv(["--data-trace-file=lru"]))
+        assert np.isfinite(m["roc_auc"])
+
+    def test_grad_accumulation(self):
+        m = run(_rand_argv(["--mlperf-grad-accum-iter=4"]))
+        assert np.isfinite(m["roc_auc"])
+
+    def test_documenting_table_weight(self, tmp_path):
+        import glob
+        import numpy as _np
+
+        m = run(_rand_argv([
+            "--documenting-table-weight", f"--log-dir={tmp_path}",
+        ]))
+        assert np.isfinite(m["roc_auc"])
+        before = _np.load(str(tmp_path / "table_weights_0.npz"))
+        after = _np.load(str(tmp_path / "table_weights_1.npz"))
+        assert set(before.files) == set(after.files)
+        assert any(
+            not _np.array_equal(before[k], after[k]) for k in before.files
+        ), "training must have changed at least one table"
+
+    def test_mlperf_bin_shuffle(self, tmp_path):
+        raw = write_raw(str(tmp_path / "raw.txt"), 400, seed=2)
+        out = str(tmp_path / "proc")
+        paths = preprocess_criteo(raw, out, num_days=2, use_native=False)
+        bin_path = str(tmp_path / "train.bin")
+        numpy_to_binary(paths, bin_path)
+        import numpy as _np
+
+        counts = _np.load(out + "/counts.npz")["counts"]
+        sizes = "-".join(str(int(c)) for c in counts)
+        m = run([
+            "--data-generation=binary",
+            f"--binary-data-file={bin_path}",
+            f"--arch-embedding-size={sizes}",
+            "--arch-sparse-feature-size=8",
+            "--arch-mlp-bot=13-32-8",
+            "--arch-mlp-top=16-1",
+            "--mini-batch-size=40",
+            "--test-mini-batch-size=40",
+            "--print-freq=4",
+            "--mlperf-bin-shuffle",
+        ])
+        assert np.isfinite(m["roc_auc"])
