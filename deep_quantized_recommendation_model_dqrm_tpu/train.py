@@ -207,6 +207,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="unroll N train steps into one jitted dispatch "
                         "(single-chip mode): amortizes host dispatch "
                         "overhead ~N-fold; numerically identical")
+    # multi-process launch (the reference's -n/-g/-nr + MASTER_ADDR/PORT env,
+    # dlrm_s_pytorch_comm_grad.py:1159-1167; rank discovery
+    # extend_distributed.py:74-132). All three also read from env
+    # (COORDINATOR_ADDRESS, WORLD_SIZE/NUM_PROCESSES, RANK/PROCESS_ID).
+    p.add_argument("--coordinator-address", type=str, default="",
+                   help="host:port of process 0 (multi-host jax.distributed)")
+    p.add_argument("--num-processes", type=int, default=0)
+    p.add_argument("--process-id", type=int, default=-1)
     p.add_argument("--investigating-inputs", action="store_true")
     p.add_argument("--debug-mode", action="store_true")
     p.add_argument("--enable-profiling", action="store_true")
@@ -506,6 +514,18 @@ def run(argv=None) -> dict:
         jax.config.update("jax_platforms", args.platform)
     import jax
 
+    # Multi-process init BEFORE any backend touch (jax.distributed must run
+    # first); no-op on a single host unless flags/env say otherwise.
+    from deep_quantized_recommendation_model_dqrm_tpu.parallel.multihost import (
+        init_distributed,
+    )
+
+    init_distributed(
+        args.coordinator_address or None,
+        args.num_processes or None,
+        args.process_id if args.process_id >= 0 else None,
+    )
+
     from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
         init_train_state,
         make_eval_step,
@@ -544,8 +564,13 @@ def run(argv=None) -> dict:
                     f"{part}[{li}] w{w.shape} mean {w.mean():+.5f} std {w.std():.5f}",
                 )
         for k, t in enumerate(state.params["emb"]):
-            t = np.asarray(t[: min(4, t.shape[0])])
-            rank0_print(rank, f"emb[{k}] first rows:\n{t}")
+            if isinstance(t, dict):  # QR/MD compositional entry
+                for name, leaf in t.items():
+                    leaf = np.asarray(leaf[: min(4, leaf.shape[0])])
+                    rank0_print(rank, f"emb[{k}].{name} first rows:\n{leaf}")
+            else:
+                t = np.asarray(t[: min(4, t.shape[0])])
+                rank0_print(rank, f"emb[{k}] first rows:\n{t}")
     # hybrid state checkpoints sharded via Orbax (the mega-table never
     # gathers to one device — Terabyte tables may not fit); other modes use
     # the npz two-slot manager
@@ -556,7 +581,13 @@ def run(argv=None) -> dict:
 
         ckpt = ShardedCheckpointManager(args.save_model) if args.save_model else None
     else:
-        ckpt = CheckpointManager(args.save_model) if args.save_model else None
+        # npz saves only on process 0 under multi-process launches (Orbax
+        # above is collective — every process writes its own shards)
+        ckpt = (
+            CheckpointManager(args.save_model)
+            if args.save_model and rank == 0
+            else None
+        )
     start_epoch = start_batch = 0
     best_acc = best_auc = 0.0
     if args.load_model and args.parallelism not in ("hybrid", "rowshard"):
@@ -784,6 +815,51 @@ def run(argv=None) -> dict:
     _buf = []  # pending batches for the K-step megastep
     t_print = time.perf_counter()
     result = {}
+    def globalize_batch(batch):
+        """Multi-process launches: every process builds identical loaders
+        (like the reference, dlrm_s_pytorch_comm_grad.py:1457), takes its
+        host slice of the batch-sharded fields, and the slices are sewn
+        into globally-sharded arrays (make_array_from_process_local_data).
+        Single-process: identity."""
+        if jax.process_count() == 1 or step_mode not in (
+            "dp", "dp-nosync", "hybrid", "rowshard"
+        ):
+            return batch
+        from jax.sharding import PartitionSpec as P
+
+        from deep_quantized_recommendation_model_dqrm_tpu.models.dlrm import (
+            Batch as _B,
+        )
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel.multihost import (
+            local_batch_slice,
+            make_global_batch,
+        )
+
+        B = int(np.asarray(batch.labels).shape[0])
+        start, per = local_batch_slice(B)
+        # dp shards indices on batch; hybrid/rowshard replicate them (each
+        # device looks up its local tables over the FULL batch)
+        shard_idx = step_mode in ("dp", "dp-nosync")
+
+        def _idx(x):
+            x = np.asarray(x)
+            return x[:, start : start + per] if shard_idx else x
+
+        local = _B(
+            dense=np.asarray(batch.dense)[start : start + per],
+            indices=_idx(batch.indices),
+            labels=np.asarray(batch.labels)[start : start + per],
+            mask=None if batch.mask is None else _idx(batch.mask),
+        )
+        idx_spec = P(None, "mp") if shard_idx else P()
+        specs = _B(
+            dense=P("mp"),
+            indices=idx_spec,
+            labels=P("mp"),
+            mask=None if batch.mask is None else idx_spec,
+        )
+        return make_global_batch(local, mesh, specs)
+
     # eval steps are built ONCE (a fresh jax.jit wrapper per --test-freq
     # interval would pay full compile every eval)
     hybrid_eval_fn = None
@@ -793,18 +869,21 @@ def run(argv=None) -> dict:
             make_hybrid_eval_step,
         )
 
+        _ev = make_hybrid_eval_step(cfg, mesh, plan, has_mask=has_mask)
         hybrid_eval_fn = pad_eval(
-            make_hybrid_eval_step(cfg, mesh, plan, has_mask=has_mask),
+            lambda s, b, _f=_ev: _f(s, globalize_batch(b)),
             len(mesh.devices.reshape(-1)),
         )
     elif step_mode == "rowshard":
+        _ev = rowshard.make_rowshard_eval_step(cfg, mesh, plan, has_mask=has_mask)
         hybrid_eval_fn = pad_eval(
-            rowshard.make_rowshard_eval_step(cfg, mesh, plan, has_mask=has_mask),
+            lambda s, b, _f=_ev: _f(s, globalize_batch(b)),
             len(mesh.devices.reshape(-1)),
         )
     elif step_mode in ("dp", "dp-nosync"):
+        _ev = comm_grad.make_dp_eval_step(cfg, mesh, has_mask=has_mask)
         dp_eval_fn = pad_eval(
-            comm_grad.make_dp_eval_step(cfg, mesh, has_mask=has_mask),
+            lambda s, b, _f=_ev: _f(s, globalize_batch(b)),
             len(mesh.devices.reshape(-1)),
         )
     from deep_quantized_recommendation_model_dqrm_tpu.data.prefetch import prefetch
@@ -861,6 +940,7 @@ def run(argv=None) -> dict:
                         f"{batch.labels.shape[0]} % {ndev} != 0)",
                     )
                     continue
+            batch = globalize_batch(batch)
             if accum_n > 1:
                 # gradient accumulation: one optimizer step per accum_n
                 # batches via concatenation (mean-gradient semantics)

@@ -544,6 +544,32 @@ class TestMultihostTwoProcess:
         assert "MULTIHOST SMOKE OK" in out, out
 
 
+class TestMultihostCLI:
+    @pytest.mark.slow
+    def test_two_process_cli_run(self):
+        """The FULL train.py driver as a real 2-process jax.distributed
+        launch (scripts/multihost_cli_smoke.py): init_distributed env
+        discovery, per-host batch slices sewn into global arrays
+        (train.globalize_batch), dp compressed-grad training + sharded
+        eval — the reference's mp.spawn driver launch
+        (dlrm_s_pytorch_comm_grad.py:1159-1168)."""
+        import subprocess
+        import sys
+
+        import os as _os
+        repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        r = subprocess.run(
+            [sys.executable,
+             _os.path.join(repo, "scripts", "multihost_cli_smoke.py")],
+            capture_output=True,
+            timeout=400,
+            env={**_os.environ, "SMOKE_PORT": "12561"},
+        )
+        out = r.stdout.decode()
+        assert r.returncode == 0, out + r.stderr.decode()
+        assert "MULTIHOST CLI SMOKE OK" in out, out
+
+
 class TestInt4A2A:
     def test_int4_packed_a2a_close_to_exact(self):
         from jax import shard_map
