@@ -76,15 +76,21 @@ def qr_pooled_lookup(
     ir = indices % c
     eq = jnp.take(qr["q"], iq, axis=0)  # [B, P, dq]
     er = jnp.take(qr["r"], ir, axis=0)  # [B, P, dr]
-    if op == "mult":
-        rows = eq * er
-    elif op == "add":
-        rows = eq + er
-    else:  # concat
-        rows = jnp.concatenate([eq, er], axis=-1)
+    # The reference POOLS EACH TABLE FIRST, then composes
+    # (qr_embedding_bag.py:160-176: two F.embedding_bag calls feed the op).
+    # Pool-then-multiply != multiply-then-pool for bags with P > 1, so the
+    # order matters; per_sample_weights/mask apply inside each bag.
     if mask is not None:
-        rows = rows * mask[..., None].astype(rows.dtype)
-    return jnp.sum(rows, axis=1)
+        m = mask[..., None].astype(eq.dtype)
+        eq = eq * m
+        er = er * m
+    pq = jnp.sum(eq, axis=1)  # [B, dq]
+    pr = jnp.sum(er, axis=1)  # [B, dr]
+    if op == "mult":
+        return pq * pr
+    if op == "add":
+        return pq + pr
+    return jnp.concatenate([pq, pr], axis=-1)  # concat
 
 
 # ---------------------------------------------------------------------------
@@ -95,17 +101,21 @@ def qr_pooled_lookup(
 def md_solver(
     n: np.ndarray, alpha: float, d0: Optional[int] = None, round_dim: bool = True
 ) -> np.ndarray:
-    """Per-table dims by the alpha-power popularity rule
-    (md_embedding_bag.py:63-81): d_i = d0 * (n_i / n_min)^(-alpha),
-    optionally rounded to powers of 2."""
+    """Per-table dims by the alpha-power popularity rule, matching the
+    reference exactly (md_embedding_bag.py:20-60): d_i = round(d0 *
+    (n_i / n_min)^(-alpha)) as integers, clamped to >=1, the SMALLEST table
+    pinned to exactly d0 (alpha_power_rule's `d[0] = d0` after the
+    ascending sort), THEN optionally pow-2 rounded (pow_2_round operates on
+    the already-integer dims — round-then-pow2 differs from pow2-of-raw)."""
     n = np.asarray(n, np.float64)
     if d0 is None:
         raise ValueError("d0 required")
     lam = d0 * np.min(n) ** alpha
-    d = lam * n ** (-alpha)
+    d = np.maximum(np.round(lam * n ** (-alpha)), 1.0)
+    d[np.argmin(n)] = d0
     if round_dim:
-        d = 2 ** np.round(np.log2(np.maximum(d, 1.0)))
-    return np.maximum(d, 1).astype(np.int64)
+        d = 2 ** np.round(np.log2(d))
+    return d.astype(np.int64)
 
 
 def init_md_table(
