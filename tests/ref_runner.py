@@ -450,3 +450,137 @@ def run_reference_pseudo(
         "losses": losses,
         "params": _extract_params(model, quantized=True),
     }
+
+
+_ref_up_mod = None
+
+
+def _import_reference_upstream():
+    """Import the UPSTREAM baseline driver (dlrm_s_pytorch.py) — the only
+    reference module with QR/MD embedding support (create_emb dispatch,
+    dlrm_s_pytorch.py:239-286)."""
+    global _ref_up_mod
+    if _ref_up_mod is not None:
+        return _ref_up_mod
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    import torch
+
+    if not torch.cuda.is_available():
+        torch.Tensor.cuda = lambda self, *a, **k: self
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        import dlrm_s_pytorch as up  # noqa: F401
+    _ref_up_mod = up
+    return up
+
+
+def run_reference_tricks(
+    weights: Dict,
+    table_sizes: Sequence[int],
+    batches: Sequence[Dict],
+    lr: float,
+    kind: str = "qr",
+    qr_collisions: int = 4,
+    qr_operation: str = "mult",
+    threshold: int = 200,
+    md_dims: Sequence[int] = None,
+) -> Dict:
+    """FP32 QR/MD full-model trajectory via the upstream DLRM_Net.
+
+    weights["emb"][k] is a dict ({"q","r"} or {"table"[,"proj"]}) for
+    tables above `threshold`, else a dense [n, D] array — our init_params
+    layout. batches carry "indices" [T, B, P] (P>=1; flattened to the
+    reference's offsets form with uniform bag size P).
+    """
+    up = _import_reference_upstream()
+    import torch
+
+    torch.manual_seed(0)
+    D = weights["bot"][-1]["w"].shape[0]
+    ln_bot = np.array(
+        [weights["bot"][0]["w"].shape[1]]
+        + [l["w"].shape[0] for l in weights["bot"]]
+    )
+    ln_top = np.array(
+        [weights["top"][0]["w"].shape[1]]
+        + [l["w"].shape[0] for l in weights["top"]]
+    )
+    m_spa = np.array(md_dims) if kind == "md" else D
+    with contextlib.redirect_stdout(io.StringIO()):
+        model = up.DLRM_Net(
+            m_spa,
+            np.array(list(table_sizes)),
+            ln_bot,
+            ln_top,
+            arch_interaction_op="dot",
+            sigmoid_bot=-1,
+            sigmoid_top=ln_top.size - 2,
+            qr_flag=(kind == "qr"),
+            qr_operation=qr_operation,
+            qr_collisions=qr_collisions,
+            qr_threshold=threshold,
+            md_flag=(kind == "md"),
+            md_threshold=threshold,
+            loss_function="bce",
+        )
+    with torch.no_grad():
+        for k, w in enumerate(weights["emb"]):
+            e = model.emb_l[k]
+            if isinstance(w, dict) and "q" in w:
+                e.weight_q.data = torch.tensor(np.asarray(w["q"]))
+                e.weight_r.data = torch.tensor(np.asarray(w["r"]))
+            elif isinstance(w, dict):
+                e.embs.weight.data = torch.tensor(np.asarray(w["table"]))
+                if "proj" in w:
+                    e.proj.weight.data = torch.tensor(np.asarray(w["proj"]))
+            else:
+                e.weight.data = torch.tensor(np.asarray(w))
+        for part, layers in (("bot", model.bot_l), ("top", model.top_l)):
+            li = 0
+            for layer in layers:
+                if hasattr(layer, "weight"):
+                    layer.weight.data = torch.tensor(weights[part][li]["w"])
+                    layer.bias.data = torch.tensor(weights[part][li]["b"])
+                    li += 1
+
+    opt = torch.optim.SGD(model.parameters(), lr=lr)
+    losses: List[float] = []
+    probs = None
+    for b in batches:
+        dense = torch.tensor(b["dense"])
+        idx = np.asarray(b["indices"])  # [T, B, P]
+        T_, B_, P_ = idx.shape
+        lS_i = [torch.tensor(idx[t].reshape(-1).astype(np.int64)) for t in range(T_)]
+        lS_o = [torch.tensor(np.arange(B_, dtype=np.int64) * P_) for _ in range(T_)]
+        labels = torch.tensor(b["labels"]).reshape(-1, 1)
+        Z = model(dense, lS_o, lS_i)
+        E = model.loss_fn(Z, labels)
+        losses.append(float(E.detach()))
+        opt.zero_grad()
+        E.backward()
+        opt.step()
+        probs = Z.detach().numpy().reshape(-1).copy()
+
+    out = {"emb": [], "bot": [], "top": []}
+    for e in model.emb_l:
+        if hasattr(e, "weight_q"):
+            out["emb"].append({
+                "q": e.weight_q.detach().numpy().copy(),
+                "r": e.weight_r.detach().numpy().copy(),
+            })
+        elif hasattr(e, "embs"):
+            entry = {"table": e.embs.weight.detach().numpy().copy()}
+            if hasattr(e.proj, "weight"):
+                entry["proj"] = e.proj.weight.detach().numpy().copy()
+            out["emb"].append(entry)
+        else:
+            out["emb"].append(e.weight.detach().numpy().copy())
+    for part, layers in (("bot", model.bot_l), ("top", model.top_l)):
+        for layer in layers:
+            if hasattr(layer, "weight"):
+                out[part].append({
+                    "w": layer.weight.detach().numpy().copy(),
+                    "b": layer.bias.detach().numpy().copy(),
+                })
+    return {"losses": losses, "probs_last": probs, "params": out}

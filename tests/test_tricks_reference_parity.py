@@ -147,3 +147,122 @@ class TestMDParity:
         ).numpy()
         ours = md_solver(np.asarray(sizes), alpha, d0=16, round_dim=round_dim)
         np.testing.assert_array_equal(np.asarray(ours, np.int64), ref_d)
+
+
+def _weights_numpy(params):
+    def conv(t):
+        if isinstance(t, dict):
+            return {k: np.asarray(v) for k, v in t.items()}
+        return np.asarray(t)
+
+    return {
+        "emb": [conv(t) for t in params["emb"]],
+        "bot": [{"w": np.asarray(l["w"]), "b": np.asarray(l["b"])} for l in params["bot"]],
+        "top": [{"w": np.asarray(l["w"]), "b": np.asarray(l["b"])} for l in params["top"]],
+    }
+
+
+class TestTricksFullModelTrajectory:
+    """Full-model FP32 QR/MD trajectory A/B vs the UPSTREAM reference driver
+    (dlrm_s_pytorch.py DLRM_Net with qr_flag/md_flag): identical init and
+    batches (pooling size 3, so the pool-then-compose order is exercised),
+    per-step losses and final params must agree."""
+
+    B, P, N_STEPS, LR = 16, 3, 12, 0.05
+
+    def _batches(self, table_sizes, seed=0):
+        rng = np.random.RandomState(seed)
+        out = []
+        for _ in range(self.N_STEPS):
+            out.append({
+                "dense": rng.uniform(0, 1, size=(self.B, 4)).astype(np.float32),
+                "indices": np.stack([
+                    rng.randint(0, n, size=(self.B, self.P))
+                    for n in table_sizes
+                ]).astype(np.int64),
+                "labels": (rng.uniform(size=self.B) < 0.5).astype(np.float32),
+            })
+        return out
+
+    def _run_ab(self, cfg, kind, md_dims=None, qr_operation="mult"):
+        import jax
+
+        from deep_quantized_recommendation_model_dqrm_tpu.config import TrainConfig
+        from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            init_train_state,
+            make_train_step,
+        )
+        from tests.ref_runner import run_reference_tricks
+
+        tc = TrainConfig(batch_size=self.B, learning_rate=self.LR, seed=5)
+        batches = self._batches(cfg.table_sizes)
+        params0 = dlrm.init_params(cfg, tc.seed)
+        ref = run_reference_tricks(
+            _weights_numpy(params0),
+            cfg.table_sizes,
+            batches,
+            self.LR,
+            kind=kind,
+            qr_collisions=cfg.qr_collisions,
+            qr_operation=qr_operation,
+            threshold=cfg.qr_threshold if kind == "qr" else cfg.md_threshold,
+            md_dims=md_dims,
+        )
+
+        state = init_train_state(cfg, tc)
+        step = make_train_step(cfg, tc, sparse_emb_grad=False)
+        losses = []
+        for b in batches:
+            batch = dlrm.Batch(
+                dense=b["dense"],
+                indices=b["indices"].astype(np.int32),
+                labels=b["labels"],
+            )
+            state, loss = step(state, batch)
+            losses.append(float(loss))
+
+        dev = np.max(np.abs(np.array(losses) - np.array(ref["losses"]))
+                     / (np.abs(np.array(ref["losses"])) + 1e-9))
+        assert dev < 5e-4, (losses, ref["losses"])
+        for ours, theirs in zip(state.params["emb"], ref["params"]["emb"]):
+            # dicts flatten key-sorted on both sides; arrays are single leaves
+            for leaf_o, leaf_r in zip(
+                jax.tree_util.tree_leaves(ours),
+                jax.tree_util.tree_leaves(theirs),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(leaf_o), np.asarray(leaf_r), atol=2e-4
+                )
+
+    @pytest.mark.parametrize("operation", ["mult", "concat"])
+    def test_qr_full_model(self, operation):
+        from deep_quantized_recommendation_model_dqrm_tpu.config import DLRMConfig
+
+        cfg = DLRMConfig(
+            table_sizes=(60, 30, 11, 5),
+            embedding_dim=8,
+            mlp_bot=(4, 16, 8),
+            mlp_top=(18, 12, 1),
+            qr_flag=True,
+            qr_threshold=20,
+            qr_collisions=4,
+            qr_operation=operation,
+        )
+        self._run_ab(cfg, "qr", qr_operation=operation)
+
+    def test_md_full_model(self):
+        from deep_quantized_recommendation_model_dqrm_tpu.config import DLRMConfig
+
+        cfg = DLRMConfig(
+            table_sizes=(60, 30, 11, 5),
+            embedding_dim=8,
+            mlp_bot=(4, 16, 8),
+            mlp_top=(18, 12, 1),
+            md_flag=True,
+            md_threshold=3,  # ALL tables mixed-dim (the reference's create_emb
+            # else-branch cannot take the per-table dim array anyway)
+            md_temperature=0.3,
+            md_round_dims=True,
+        )
+        self._run_ab(cfg, "md", md_dims=np.asarray(cfg.md_dims()))
