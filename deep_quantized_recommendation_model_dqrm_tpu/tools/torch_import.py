@@ -34,6 +34,11 @@ from typing import Any, Dict, Tuple
 import numpy as np
 
 _EMB_RE = re.compile(r"^emb_l\.(\d+)\.(?:embedding_bag\.)?weight$")
+# QR / MD compositional tables (upstream driver only: QREmbeddingBag owns
+# weight_q/weight_r, PrEmbeddingBag owns embs.weight + optional proj.weight
+# — tricks/qr_embedding_bag.py:140-149, md_embedding_bag.py:63-75)
+_QR_RE = re.compile(r"^emb_l\.(\d+)\.weight_(q|r)$")
+_MD_RE = re.compile(r"^emb_l\.(\d+)\.(embs|proj)\.weight$")
 _MLP_RE = re.compile(r"^(bot|top)_l\.(\d+)\.(weight|bias)$")
 _VW_RE = re.compile(r"^v_W_l\.(\d+)$")
 
@@ -60,6 +65,19 @@ def params_from_torch_state_dict(
         m = _EMB_RE.match(key)
         if m:
             emb[int(m.group(1))] = _to_np(val).astype(np.float32)
+            continue
+        m = _QR_RE.match(key)
+        if m:
+            k = int(m.group(1))
+            entry = emb.setdefault(k, {})
+            entry[m.group(2)] = _to_np(val).astype(np.float32)  # "q"/"r"
+            continue
+        m = _MD_RE.match(key)
+        if m:
+            k = int(m.group(1))
+            entry = emb.setdefault(k, {})
+            name = "table" if m.group(2) == "embs" else "proj"
+            entry[name] = _to_np(val).astype(np.float32)
             continue
         m = _MLP_RE.match(key)
         if m:
@@ -94,9 +112,28 @@ def params_from_torch_state_dict(
         params["v_W"] = [v_w[k] for k in sorted(v_w)]
 
     bot, top = params["bot"], params["top"]
+
+    def _rows(t) -> int:
+        if isinstance(t, dict):
+            if "q" in t:
+                # QREmbeddingBag stores ceil(n/c) x c; n itself is not
+                # recoverable — report the upper bound num_q*c (indices
+                # stay valid; only affects init bounds, which imports
+                # overwrite anyway)
+                return int(t["q"].shape[0]) * int(t["r"].shape[0])
+            return int(t["table"].shape[0])
+        return int(t.shape[0])
+
+    kinds = tuple(
+        ("qr" if "q" in t else "md") if isinstance(t, dict) else "dense"
+        for t in params["emb"]
+    )
+    dense_dims = [
+        int(t.shape[1]) for t in params["emb"] if not isinstance(t, dict)
+    ]
     arch = {
-        "table_sizes": tuple(int(t.shape[0]) for t in params["emb"]),
-        "embedding_dim": int(params["emb"][0].shape[1]),
+        "table_sizes": tuple(_rows(t) for t in params["emb"]),
+        "embedding_dim": dense_dims[0] if dense_dims else int(bot[-1]["w"].shape[0]),
         "mlp_bot": tuple(
             [int(bot[0]["w"].shape[1])] + [int(l["w"].shape[0]) for l in bot]
         ),
@@ -104,7 +141,11 @@ def params_from_torch_state_dict(
             [int(top[0]["w"].shape[1])] + [int(l["w"].shape[0]) for l in top]
         ),
         "weighted_pooling": "learned" if v_w else None,
+        "table_kinds": kinds,
     }
+    if "qr" in kinds:
+        qr0 = next(t for t in params["emb"] if isinstance(t, dict) and "q" in t)
+        arch["qr_collisions"] = int(qr0["r"].shape[0])
     return params, arch
 
 
@@ -153,6 +194,19 @@ def import_torch_checkpoint(
     sd = blob["state_dict"] if isinstance(blob, dict) and "state_dict" in blob else blob
     params, arch = params_from_torch_state_dict(sd)
 
+    kinds = arch["table_kinds"]
+    trick_sizes = [
+        n for n, k in zip(arch["table_sizes"], kinds) if k != "dense"
+    ]
+    cfg_kw = {}
+    if "qr" in kinds:
+        cfg_kw = {
+            "qr_flag": True,
+            "qr_collisions": arch["qr_collisions"],
+            "qr_threshold": min(trick_sizes) - 1,
+        }
+    elif "md" in kinds:
+        cfg_kw = {"md_flag": True, "md_threshold": min(trick_sizes) - 1}
     cfg = DLRMConfig(
         table_sizes=arch["table_sizes"],
         embedding_dim=arch["embedding_dim"],
@@ -160,11 +214,22 @@ def import_torch_checkpoint(
         mlp_top=arch["mlp_top"],
         weighted_pooling=arch["weighted_pooling"],
         quant=QuantConfig(enabled=quantized),
+        **cfg_kw,
     )
     tc = TrainConfig(batch_size=1, optimizer=optimizer)
     state = init_train_state(cfg, tc)
     new_params = dict(state.params)
     new_params.update(params)
+    if state.opt_state is not None:
+        # accumulator shapes must follow the IMPORTED tables (QR/MD entry
+        # shapes are not inferable from the config alone)
+        from deep_quantized_recommendation_model_dqrm_tpu.optim.sgd import (
+            adagrad_init,
+            rwsadagrad_init,
+        )
+
+        init_opt = adagrad_init if optimizer == "adagrad" else rwsadagrad_init
+        state = state._replace(opt_state=init_opt(new_params))
     state = state._replace(params=new_params)
 
     meta = {

@@ -218,3 +218,105 @@ class TestMigrationWorkflow:
             err_msg="continued-training trajectory diverges from the "
                     "reference counterfactual",
         )
+
+
+class TestTorchImportTricks:
+    """Importing a reference checkpoint whose tables are QR/MD compositional
+    (upstream driver, tricks/qr_embedding_bag.py + md_embedding_bag.py):
+    dict entries round-trip and the imported model reproduces the torch
+    forward probabilities."""
+
+    def _upstream_model(self, kind):
+        import ref_runner
+
+        up = ref_runner._import_reference_upstream()
+        qr_cfg = DLRMConfig(
+            table_sizes=(60, 30, 11, 5),
+            embedding_dim=D,
+            mlp_bot=(4, 12, D),
+            mlp_top=(18, 8, 1),
+            qr_flag=(kind == "qr"),
+            qr_threshold=20,
+            qr_collisions=4,
+            md_flag=(kind == "md"),
+            md_threshold=3,
+            md_temperature=0.3,
+            md_round_dims=True,
+        )
+        import contextlib
+        import io
+
+        import numpy as _np
+
+        with contextlib.redirect_stdout(io.StringIO()):
+            model = up.DLRM_Net(
+                _np.asarray(qr_cfg.md_dims()) if kind == "md" else D,
+                _np.array([60, 30, 11, 5]),
+                _np.array([4, 12, D]),
+                _np.array([18, 8, 1]),
+                arch_interaction_op="dot",
+                sigmoid_bot=-1,
+                sigmoid_top=1,
+                qr_flag=(kind == "qr"),
+                qr_operation="mult",
+                qr_collisions=4,
+                qr_threshold=20,
+                md_flag=(kind == "md"),
+                md_threshold=3,
+                loss_function="bce",
+            )
+        return model, qr_cfg
+
+    @pytest.mark.parametrize("kind", ["qr", "md"])
+    def test_trick_checkpoint_roundtrip(self, kind, tmp_path):
+        import torch
+
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            init_train_state,
+            make_eval_step,
+        )
+        from deep_quantized_recommendation_model_dqrm_tpu.utils.checkpoint import (
+            load_checkpoint,
+        )
+
+        model, cfg = self._upstream_model(kind)
+        pt = tmp_path / f"{kind}.pt"
+        torch.save({"state_dict": model.state_dict()}, pt)
+        out = tmp_path / f"{kind}.npz"
+        arch = import_torch_checkpoint(str(pt), str(out))
+        assert arch["table_kinds"][0] == kind
+        # qr: only tables above the threshold are compositional; md uses
+        # threshold 3, so ALL tables are mixed-dim (the reference's
+        # create_emb else-branch cannot take the per-table dim array)
+        assert arch["table_kinds"][2] == ("dense" if kind == "qr" else "md")
+
+        # the importer's inferred QR table size is the ceil(n/c)*c upper
+        # bound; use its own arch to build the loading config
+        import dataclasses
+
+        load_cfg = dataclasses.replace(
+            cfg,
+            table_sizes=arch["table_sizes"],
+            qr_threshold=20 if kind == "qr" else cfg.qr_threshold,
+        )
+        tc = TrainConfig(batch_size=8)
+        state, _ = load_checkpoint(str(out), init_train_state(load_cfg, tc))
+
+        # forward parity on a random batch (indices within the TRUE sizes)
+        rng = np.random.RandomState(7)
+        B, P = 8, 1
+        idx = np.stack(
+            [rng.randint(0, n, size=(B, P)) for n in (60, 30, 11, 5)]
+        ).astype(np.int32)
+        dense = rng.uniform(0, 1, size=(B, 4)).astype(np.float32)
+        batch = dlrm.Batch(
+            dense=dense, indices=idx, labels=np.zeros(B, np.float32)
+        )
+        ours = np.asarray(make_eval_step(load_cfg)(state, batch))
+
+        lS_i = [torch.tensor(idx[t].reshape(-1).astype(np.int64)) for t in range(4)]
+        lS_o = [torch.tensor(np.arange(B, dtype=np.int64) * P)] * 4
+        theirs = (
+            model(torch.tensor(dense), lS_o, lS_i).detach().numpy().reshape(-1)
+        )
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
