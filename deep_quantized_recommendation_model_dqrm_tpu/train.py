@@ -892,7 +892,7 @@ def run(argv=None) -> dict:
         """Dump every embedding table to <log-dir>/table_weights_<tag>.npz
         (the reference's documenting_weights_tables before/after training,
         dlrm_s_pytorch_comm_grad.py:1699, 2112 — txt dumps there; npz here)."""
-        if not args.documenting_table_weight:
+        if not args.documenting_table_weight or rank != 0:
             return
         import os as _os
 
@@ -1077,6 +1077,17 @@ def run(argv=None) -> dict:
                     state, loss = single(state, b)
                 it += 1
             _buf = []
+        if _abuf:
+            # flush a partial accumulation buffer (fewer than accum_n
+            # batches left in the epoch) as one smaller concat step —
+            # dropping it would silently skip training data
+            from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+                concat_batches,
+            )
+
+            state, loss = get_step(epoch, k=1)(state, concat_batches(_abuf))
+            it += 1
+            _abuf = []
         mll.end("epoch", {"num": epoch})
     mll.end("run")
     if prof_ctx is not None:
