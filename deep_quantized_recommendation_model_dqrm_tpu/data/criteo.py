@@ -578,21 +578,32 @@ class CriteoDataset:
         batch_size: int,
         drop_last: bool = True,
         shuffle_days: bool = False,
+        shuffle_rows: bool = False,
         seed: int = 0,
     ) -> Iterator[Batch]:
         """Stream batches day by day (data_loader_terabyte.py:19-172
-        semantics: per-day iteration, cross-day remainder stitching)."""
+        semantics: per-day iteration, cross-day remainder stitching).
+
+        `shuffle_rows` permutes samples WITHIN each day slice (the
+        reference's --data-randomize="day", transformCriteoAdData,
+        data_utils.py:756-840); combined with `shuffle_days` it is the
+        streaming-memory-bound stand-in for "total" (the reference's global
+        reorder happens at preprocessing time and needs the whole dataset
+        resident, data_utils.py:172-300)."""
         import jax.numpy as jnp
 
+        rng = np.random.RandomState(seed)
         ranges = self._split_range()
         if shuffle_days:
-            rng = np.random.RandomState(seed)
             ranges = [ranges[i] for i in rng.permutation(len(ranges))]
         buf_y, buf_xi, buf_xc = [], [], []
         buffered = 0
         for day, start, stop in ranges:
             y, xi, xc = self._day_arrays(day)
             y, xi, xc = y[start:stop], xi[start:stop], xc[start:stop]
+            if shuffle_rows:
+                perm = rng.permutation(len(y))
+                y, xi, xc = y[perm], xi[perm], xc[perm]
             pos = 0
             while pos < len(y):
                 take = min(batch_size - buffered, len(y) - pos)

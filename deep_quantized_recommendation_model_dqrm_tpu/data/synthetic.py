@@ -41,9 +41,11 @@ def random_batch(
     indices ~ U(0, rows_k) per table, or — `rand_data_dist="gaussian"` —
     N(mu, sigma) clipped to [rand_data_min, rand_data_max] (mu=-1 means
     (min+max)/2), modelling hot-index skew; pooling size drawn per lookup
-    when `variable_pooling` (masked here instead of offset-encoded; the
-    reference also np.unique's each bag — duplicates are kept here, an
-    equivalent multiset under sum pooling). Targets: U(0,1) rounded to
+    when `variable_pooling` (masked here instead of offset-encoded). Each
+    bag is DEDUPED like the reference's np.unique
+    (dlrm_data_pytorch.py:1140-1148) — duplicate draws get mask 0, so the
+    effective bag is the unique set of the drawn indices. Targets: U(0,1)
+    rounded to
     {0,1} when `round_targets` (= Bernoulli(0.5)), else left continuous
     (generate_random_output_batch, dlrm_data_pytorch.py:1036-1045 — the
     reference's default, only meaningful with the mse loss).
@@ -79,9 +81,19 @@ def random_batch(
     else:
         labels = rng.rand(batch_size).astype(np.float32)
     mask = None
-    if variable_pooling and P > 1:
-        lengths = rng.randint(1, P + 1, size=(T, batch_size))
-        mask = (np.arange(P)[None, None, :] < lengths[:, :, None]).astype(np.float32)
+    if P > 1:
+        if variable_pooling:
+            lengths = rng.randint(1, P + 1, size=(T, batch_size))
+            kept = np.arange(P)[None, None, :] < lengths[:, :, None]  # [T,B,P]
+        else:
+            kept = np.ones((T, batch_size, P), bool)
+        # dedupe within each bag (the reference np.unique's every bag,
+        # dlrm_data_pytorch.py:1140-1148): zero the mask of any index that
+        # already appeared earlier among the kept positions
+        eq = indices[:, :, :, None] == indices[:, :, None, :]  # [T,B,P,P]
+        lower = np.tril(np.ones((P, P), bool), -1)  # j < i
+        dup = np.any(eq & lower[None, None] & kept[:, :, None, :], axis=-1)
+        mask = (kept & ~dup).astype(np.float32)
     return Batch(
         dense=jnp.asarray(dense),
         indices=jnp.asarray(indices),

@@ -48,13 +48,30 @@ def adagrad_update(
     return new_params, new_state
 
 
+def _rw_table_state(t) -> Any:
+    """Row-wise accumulator(s) for one emb entry. QR/MD dict entries mirror
+    the reference exactly: their bag weights (q/r/table) carry sparse grads
+    so RWSAdagrad gives them one scalar per row (rwsadagrad.py:74-118), while
+    the MD projection is a dense Linear -> classic Adagrad state."""
+    if isinstance(t, dict):
+        return {
+            k: (
+                jnp.zeros((v.shape[0],), jnp.float32)
+                if k in ("q", "r", "table")
+                else jnp.zeros_like(v)
+            )
+            for k, v in t.items()
+        }
+    return jnp.zeros((t.shape[0],), jnp.float32)
+
+
 def rwsadagrad_init(params: Any) -> Any:
     """Row-wise state for 'emb' tables ([rows] per table), full state for
     MLP params."""
     state = {}
     for key, val in params.items():
         if key == "emb":
-            state[key] = [jnp.zeros((t.shape[0],), jnp.float32) for t in val]
+            state[key] = [_rw_table_state(t) for t in val]
         else:
             state[key] = jax.tree_util.tree_map(jnp.zeros_like, val)
     return state
@@ -67,12 +84,29 @@ def rwsadagrad_update(
     acc += mean_d(g^2); w -= lr * g / (sqrt(acc) + eps)."""
     new_params = dict(params)
     new_state = dict(state)
-    new_emb, new_emb_state = [], []
-    for table, g, acc in zip(params["emb"], grads["emb"], state["emb"]):
+    def _rw_one(table, g, acc):
         row_ms = jnp.mean(g * g, axis=1)  # [rows]
         acc2 = acc + row_ms
         std = jnp.sqrt(acc2)[:, None] + eps
-        new_emb.append((table - lr * g / std).astype(table.dtype))
+        return (table - lr * g / std).astype(table.dtype), acc2
+
+    new_emb, new_emb_state = [], []
+    for table, g, acc in zip(params["emb"], grads["emb"], state["emb"]):
+        if isinstance(table, dict):
+            upd, st = {}, {}
+            for k in table:
+                if k in ("q", "r", "table"):
+                    upd[k], st[k] = _rw_one(table[k], g[k], acc[k])
+                else:  # MD projection: dense Linear -> classic Adagrad
+                    st[k] = acc[k] + g[k] * g[k]
+                    upd[k] = (
+                        table[k] - lr * g[k] / (jnp.sqrt(st[k]) + eps)
+                    ).astype(table[k].dtype)
+            new_emb.append(upd)
+            new_emb_state.append(st)
+            continue
+        upd, acc2 = _rw_one(table, g, acc)
+        new_emb.append(upd)
         new_emb_state.append(acc2)
     new_params["emb"] = new_emb
     new_state["emb"] = new_emb_state

@@ -146,6 +146,14 @@ def params_from_torch_state_dict(
     if "qr" in kinds:
         qr0 = next(t for t in params["emb"] if isinstance(t, dict) and "q" in t)
         arch["qr_collisions"] = int(qr0["r"].shape[0])
+        # "concat" is shape-inferable (split dim); "mult" vs "add" is NOT —
+        # both store [.,D]+[.,D]. Callers must pass the trained operation
+        # (import_torch_checkpoint's qr_operation / the CLI --qr-operation);
+        # we record the inference for the arch report.
+        d_q = int(qr0["q"].shape[1])
+        arch["qr_operation"] = (
+            "concat" if d_q != arch["embedding_dim"] else "mult-or-add"
+        )
     return params, arch
 
 
@@ -155,6 +163,7 @@ def import_torch_checkpoint(
     quantized: bool = False,
     optimizer: str = "sgd",
     unsafe_load: bool = False,
+    qr_operation: str = "mult",
 ) -> Dict[str, Any]:
     """Read a reference .pt checkpoint and write our npz checkpoint.
 
@@ -200,10 +209,19 @@ def import_torch_checkpoint(
     ]
     cfg_kw = {}
     if "qr" in kinds:
+        if arch["qr_operation"] == "concat" and qr_operation != "concat":
+            qr_operation = "concat"  # shape-proven
+        elif arch["qr_operation"] == "mult-or-add" and qr_operation == "concat":
+            raise ValueError(
+                "checkpoint's QR tables are not concat-shaped but "
+                "--qr-operation=concat was given"
+            )
+        arch["qr_operation"] = qr_operation
         cfg_kw = {
             "qr_flag": True,
             "qr_collisions": arch["qr_collisions"],
             "qr_threshold": min(trick_sizes) - 1,
+            "qr_operation": qr_operation,
         }
     elif "md" in kinds:
         cfg_kw = {"md_flag": True, "md_threshold": min(trick_sizes) - 1}
@@ -254,11 +272,17 @@ def main(argv=None):
                    help="allow the full (code-executing) torch unpickler; "
                         "needed for QAT checkpoints with sparse buffers — "
                         "only for checkpoints you produced yourself")
+    p.add_argument("--qr-operation", default="mult",
+                   choices=("mult", "add", "concat"),
+                   help="the QR composition the checkpoint was trained "
+                        "with — mult and add are indistinguishable by "
+                        "shape, so pass the one you used (concat is "
+                        "auto-detected)")
     args = p.parse_args(argv)
     arch = import_torch_checkpoint(
         args.pt_path, args.out_path,
         quantized=args.quantized, optimizer=args.optimizer,
-        unsafe_load=args.unsafe_load,
+        unsafe_load=args.unsafe_load, qr_operation=args.qr_operation,
     )
     print(f"imported {args.pt_path} -> {args.out_path}")
     print(f"arch: {arch}")

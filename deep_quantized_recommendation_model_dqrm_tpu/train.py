@@ -97,6 +97,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "test_data.bin); default: split --binary-data-file 7/8-1/8")
     p.add_argument("--max-ind-range", type=int, default=-1)
     p.add_argument("--data-sub-sample-rate", type=float, default=0.0)
+    p.add_argument("--data-randomize", type=str, default="total",
+                   choices=["total", "day", "none"],
+                   help="train-sample shuffling (dlrm_s_pytorch.py:946): "
+                        "day = shuffle within each day; total = also "
+                        "shuffle day order (streaming stand-in for the "
+                        "reference's preprocessing-time global reorder)")
     p.add_argument("--num-batches", type=int, default=0)
     p.add_argument("--num-indices-per-lookup", type=int, default=1)
     # synthetic-data generation knobs (dlrm_s_pytorch.py:942-960 +
@@ -325,6 +331,18 @@ def make_loaders(args, cfg, tc):
     if args.data_generation == "random":
         nb = args.num_batches or 128
         if args.data_trace_file:
+            # the trace generator has its own index model; the random-data
+            # knobs below do not apply to it — reject rather than ignore
+            if (
+                args.rand_data_dist != "uniform"
+                or not args.round_targets
+                or not args.num_indices_per_lookup_fixed
+            ):
+                raise SystemExit(
+                    "--data-trace-file is incompatible with --rand-data-dist/"
+                    "--no-round-targets/--no-num-indices-per-lookup-fixed "
+                    "(the trace generator defines its own index distribution)"
+                )
             from deep_quantized_recommendation_model_dqrm_tpu.data.synthetic import (
                 TraceSyntheticLoader,
             )
@@ -407,16 +425,24 @@ def make_loaders(args, cfg, tc):
             )
 
         class _Iter:
-            def __init__(self, ds, bs):
+            def __init__(self, ds, bs, randomize="none", seed=0):
                 self.ds, self.bs = ds, bs
+                self.randomize, self.seed = randomize, seed
 
             def __len__(self):
                 return len(self.ds) // self.bs
 
             def __iter__(self):
-                return self.ds.iter_batches(self.bs)
+                return self.ds.iter_batches(
+                    self.bs,
+                    shuffle_days=(self.randomize == "total"),
+                    shuffle_rows=(self.randomize in ("total", "day")),
+                    seed=self.seed,
+                )
 
-        return cfg, _Iter(train_ds, tc.batch_size), _Iter(test_ds, tc.test_batch_size)
+        return cfg, _Iter(
+            train_ds, tc.batch_size, args.data_randomize, args.numpy_rand_seed
+        ), _Iter(test_ds, tc.test_batch_size)
     # binary (mlperf format). The reference ships train/test as separate bin
     # files (dlrm_data_pytorch.py:441-461); with a single file we carve a
     # disjoint 7/8-1/8 record split so eval never sees training data.
@@ -745,12 +771,11 @@ def run(argv=None) -> dict:
             and not (eff.qr_flag or eff.md_flag)
         )
 
-    # variable pooling (--no-num-indices-per-lookup-fixed) ships a [T, B, P]
-    # mask with every synthetic batch; the sharded steps need it in their
-    # shard_map specs
+    # any P>1 synthetic batch ships a [T, B, P] mask (variable pooling
+    # lengths and/or in-bag dedupe — random_batch); the sharded steps need
+    # it in their shard_map specs
     has_mask = (
         args.data_generation == "random"
-        and not args.num_indices_per_lookup_fixed
         and args.num_indices_per_lookup > 1
         and not args.data_trace_file
     )
@@ -893,6 +918,16 @@ def run(argv=None) -> dict:
         (the reference's documenting_weights_tables before/after training,
         dlrm_s_pytorch_comm_grad.py:1699, 2112 — txt dumps there; npz here)."""
         if not args.documenting_table_weight or rank != 0:
+            return
+        if jax.process_count() > 1 and step_mode in ("hybrid", "rowshard"):
+            # the mega-table spans devices of OTHER processes — rank 0
+            # cannot address those shards eagerly; dumping would raise on
+            # rank 0 and deadlock the others' collectives
+            rank0_print(
+                rank,
+                "--documenting-table-weight is a single-process tool; "
+                "skipping (mega-table shards are not rank-0-addressable)",
+            )
             return
         import os as _os
 

@@ -363,3 +363,31 @@ class TestParallelPreprocess:
         whole = open(raw, "rb").read()
         stitched = b"".join(_iter_text_chunks(raw, chunk_bytes=1000))
         assert stitched == whole
+
+
+class TestDataRandomize:
+    def test_shuffle_rows_preserves_samples(self, tmp_path):
+        """--data-randomize="day" semantics: within-day permutation, same
+        multiset of samples (transformCriteoAdData, data_utils.py:756-840)."""
+        from deep_quantized_recommendation_model_dqrm_tpu.data.criteo import (
+            CriteoDataset,
+            preprocess_criteo,
+        )
+
+        raw = write_raw(str(tmp_path / "raw.txt"), 300, seed=4)
+        out = str(tmp_path / "proc")
+        preprocess_criteo(raw, out, num_days=2, use_native=False)
+        ds = CriteoDataset(out, "train")
+
+        def labels(shuffle_rows, seed=1):
+            out_l = []
+            for b in ds.iter_batches(25, shuffle_rows=shuffle_rows, seed=seed):
+                out_l.append(np.asarray(b.labels))
+            return np.concatenate(out_l)
+
+        plain = labels(False)
+        shuf = labels(True)
+        assert len(plain) == len(shuf)
+        # deterministic per seed, different order, same multiset
+        np.testing.assert_array_equal(shuf, labels(True))
+        assert sorted(plain.tolist()) == sorted(shuf.tolist())

@@ -209,3 +209,76 @@ class TestDPTricks:
         mesh = make_mesh(8)
         with pytest.raises(NotImplementedError):
             comm_grad.make_dp_train_step(QR_CFG, tc, mesh)
+
+
+class TestReviewFixes:
+    def test_random_batch_dedupes_bags(self):
+        """Duplicate draws inside a bag get mask 0 (the reference's
+        per-bag np.unique, dlrm_data_pytorch.py:1140-1148)."""
+        cfg = dataclasses.replace(QR_CFG, qr_flag=False, table_sizes=(3, 3, 3, 3, 3))
+        b = random_batch(cfg, 32, np.random.RandomState(0), num_indices_per_lookup=4)
+        assert b.mask is not None
+        idx = np.asarray(b.indices)
+        m = np.asarray(b.mask)
+        for t in range(idx.shape[0]):
+            for i in range(idx.shape[1]):
+                kept = idx[t, i][m[t, i] > 0]
+                assert len(np.unique(kept)) == len(kept)
+                # every drawn value is represented among the kept ones
+                assert set(idx[t, i]) == set(kept)
+
+    def test_rwsadagrad_with_qr_tables(self):
+        """Row-wise accumulators on q/r (sparse-grad params in the
+        reference's RWSAdagrad) — the single-chip dense step trains."""
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            init_train_state,
+            make_train_step,
+        )
+
+        tc = TC.replace(optimizer="rwsadagrad")
+        state = init_train_state(QR_CFG, tc)
+        step = make_train_step(QR_CFG, tc, sparse_emb_grad=False)
+        rng = np.random.RandomState(3)
+        for _ in range(3):
+            state, loss = step(state, random_batch(QR_CFG, 32, rng))
+        assert np.isfinite(float(loss))
+        assert state.opt_state["emb"][1]["q"].ndim == 1  # row-wise acc
+
+    def test_md_import_rwsadagrad(self, tmp_path):
+        """QR checkpoint import with --optimizer=rwsadagrad (crashed before:
+        rwsadagrad_init assumed array tables)."""
+        import torch
+
+        from deep_quantized_recommendation_model_dqrm_tpu.models import tricks
+        from deep_quantized_recommendation_model_dqrm_tpu.tools.torch_import import (
+            import_torch_checkpoint,
+            params_from_torch_state_dict,
+        )
+
+        sd = {
+            "emb_l.0.weight_q": torch.tensor(
+                np.random.RandomState(0).rand(15, 8).astype(np.float32)
+            ),
+            "emb_l.0.weight_r": torch.tensor(
+                np.random.RandomState(1).rand(4, 8).astype(np.float32)
+            ),
+            "emb_l.1.weight": torch.tensor(
+                np.random.RandomState(2).rand(10, 8).astype(np.float32)
+            ),
+            "bot_l.0.weight": torch.tensor(np.eye(8, 4, dtype=np.float32)),
+            "bot_l.0.bias": torch.zeros(8),
+            "top_l.0.weight": torch.tensor(
+                np.random.RandomState(3).rand(1, 11).astype(np.float32)
+            ),
+            "top_l.0.bias": torch.zeros(1),
+        }
+        params, arch = params_from_torch_state_dict(sd)
+        assert arch["table_kinds"] == ("qr", "dense")
+        assert arch["qr_operation"] == "mult-or-add"
+        pt = tmp_path / "qr.pt"
+        torch.save({"state_dict": sd}, pt)
+        out = tmp_path / "qr.npz"
+        a = import_torch_checkpoint(
+            str(pt), str(out), optimizer="rwsadagrad", qr_operation="add"
+        )
+        assert a["qr_operation"] == "add"
