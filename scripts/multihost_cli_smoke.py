@@ -19,10 +19,18 @@ import sys
 PORT = int(os.environ.get("SMOKE_PORT", "12515"))
 
 
+_MODES = {
+    "dp": ["--parallelism=dp", "--grad-quant-bits=8", "--weight-sync-period=0"],
+    # table-sharded mega-table spanning BOTH processes + all-to-all over DCN
+    "hybrid": ["--parallelism=hybrid", "--grad-quant-bits=32"],
+}
+
+
 def worker() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from deep_quantized_recommendation_model_dqrm_tpu.train import run
 
+    mode = os.environ["SMOKE_MODE"]
     m = run([
         "--platform=cpu",
         "--data-generation=random",
@@ -33,41 +41,40 @@ def worker() -> None:
         "--mini-batch-size=32",
         "--num-batches=12",
         "--print-freq=4",
-        "--parallelism=dp",
-        "--grad-quant-bits=8",
-        "--weight-sync-period=0",
         "--test-freq=8",
-    ])
+    ] + _MODES[mode])
     assert "roc_auc" in m, m
-    print(f"[rank {os.environ['RANK']}] CLI run done: {m}", flush=True)
+    print(f"[rank {os.environ['RANK']}] CLI {mode} run done: {m}", flush=True)
 
 
 def launcher() -> None:
-    procs = []
-    for rank in range(2):
-        env = {
-            **os.environ,
-            "RANK": str(rank),
-            "WORLD_SIZE": "2",
-            "COORDINATOR_ADDRESS": f"127.0.0.1:{PORT}",
-            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
-            "SMOKE_WORKER": "1",
-        }
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT,
+    for i, mode in enumerate(_MODES):
+        procs = []
+        for rank in range(2):
+            env = {
+                **os.environ,
+                "RANK": str(rank),
+                "WORLD_SIZE": "2",
+                "COORDINATOR_ADDRESS": f"127.0.0.1:{PORT + i}",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+                "SMOKE_WORKER": "1",
+                "SMOKE_MODE": mode,
+            }
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                )
             )
-        )
-    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
-    for r, (p, out) in enumerate(zip(procs, outs)):
-        if p.returncode != 0:
-            print(f"--- rank {r} output ---\n{out}")
-            raise SystemExit(f"rank {r} exited {p.returncode}")
-    assert "CLI run done" in outs[0], outs[0]
-    print(outs[0])
+        outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+        for r, (p, out) in enumerate(zip(procs, outs)):
+            if p.returncode != 0:
+                print(f"--- {mode} rank {r} output ---\n{out}")
+                raise SystemExit(f"{mode} rank {r} exited {p.returncode}")
+        assert f"CLI {mode} run done" in outs[0], outs[0]
+        print(outs[0])
     print("MULTIHOST CLI SMOKE OK")
 
 
