@@ -109,9 +109,16 @@ def audit_batches(
 
 def table_weight_stats(tables: Iterable[np.ndarray]) -> List[Dict[str, float]]:
     """Weight distribution vs the U(-1/sqrt(n), 1/sqrt(n)) init bound
-    (looking_into_tables*.py)."""
-    out = []
+    (looking_into_tables*.py). QR/MD dict entries report one row per
+    component array (q/r/table/proj)."""
+    flat = []
     for t in tables:
+        if isinstance(t, dict):
+            flat.extend(t.values())
+        else:
+            flat.append(t)
+    out = []
+    for t in flat:
         t = np.asarray(t)
         bound = np.sqrt(1.0 / t.shape[0])
         out.append(
