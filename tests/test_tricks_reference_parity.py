@@ -5,7 +5,6 @@ with tests/test_tricks_parallel.py (distributed engines == single chip),
 this grounds the whole QR/MD path in reference numerics.
 """
 
-import os
 import sys
 
 import numpy as np

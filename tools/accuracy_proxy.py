@@ -62,7 +62,64 @@ def mode_config(mode: str):
             QuantConfig(enabled=True, embedding_bit=4, weight_bit=4,
                         scale_update_period=200)
         )
+    if mode == "qr":
+        # quotient-remainder structural compression on every table > 200
+        # rows (collisions=4 -> ~4x row reduction on the big tables)
+        import dataclasses
+
+        return dataclasses.replace(
+            kaggle_config(), qr_flag=True, qr_threshold=200, qr_collisions=4
+        )
     raise ValueError(mode)
+
+
+def _device_init(cfg):
+    """Device-side init for any table kind (same distributions as
+    models.dlrm.init_params; see bench._fast_device_init for why)."""
+    import bench as _bench
+
+    if all(cfg.table_kind(k) == "dense" for k in range(cfg.num_tables)):
+        return _bench._fast_device_init(cfg)
+    import jax.numpy as jnp
+
+    base = _bench._fast_device_init(
+        __import__("dataclasses").replace(cfg, qr_flag=False, md_flag=False)
+    )
+    key = jax.random.PRNGKey(1)
+    ks = iter(jax.random.split(key, 2 * cfg.num_tables))
+    md_dims = cfg.md_dims()
+    emb = []
+    for k, n in enumerate(cfg.table_sizes):
+        kind = cfg.table_kind(k)
+        bound = (1.0 / n) ** 0.5
+        if kind == "qr":
+            c = cfg.qr_collisions
+            num_q = (n + c - 1) // c
+            d_q = d_r = cfg.embedding_dim
+            if cfg.qr_operation == "concat":
+                d_q = cfg.embedding_dim // 2
+                d_r = cfg.embedding_dim - d_q
+            emb.append({
+                "q": jax.random.uniform(next(ks), (num_q, d_q), jnp.float32,
+                                        -bound, bound),
+                "r": jax.random.uniform(next(ks), (c, d_r), jnp.float32,
+                                        -bound, bound),
+            })
+        elif kind == "md":
+            d_k = md_dims[k]
+            entry = {
+                "table": jax.random.uniform(next(ks), (n, d_k), jnp.float32,
+                                            -bound, bound)
+            }
+            if d_k < cfg.embedding_dim:
+                lim = (6.0 / (d_k + cfg.embedding_dim)) ** 0.5
+                entry["proj"] = jax.random.uniform(
+                    next(ks), (cfg.embedding_dim, d_k), jnp.float32, -lim, lim
+                )
+            emb.append(entry)
+        else:
+            emb.append(base["emb"][k])
+    return {**base, "emb": emb}
 
 
 def run_mode(mode: str, steps: int, batch: int, lr: float, seed: int) -> dict:
@@ -71,14 +128,13 @@ def run_mode(mode: str, steps: int, batch: int, lr: float, seed: int) -> dict:
     # device-side init: host-side numpy generation + tunnel transfer of the
     # 2.16 GB Kaggle tables takes minutes; the distributions are identical
     # (see bench._fast_device_init)
-    import bench as _bench
-
     state = TrainState(
-        params=_bench._fast_device_init(cfg),
+        params=_device_init(cfg),
         opt_state=None,
         qstate=dlrm.init_quant_state(cfg),
     )
-    multi = make_multi_train_step(cfg, tc, K, sparse_emb_grad=True)
+    sparse = all(cfg.table_kind(k) == "dense" for k in range(cfg.num_tables))
+    multi = make_multi_train_step(cfg, tc, K, sparse_emb_grad=sparse)
     train = LearnableSyntheticLoader(cfg, batch, steps, seed=seed)
     t0 = time.perf_counter()
     buf = []
@@ -97,7 +153,7 @@ def run_mode(mode: str, steps: int, batch: int, lr: float, seed: int) -> dict:
             make_train_step,
         )
 
-        single = make_train_step(cfg, tc, sparse_emb_grad=True)
+        single = make_train_step(cfg, tc, sparse_emb_grad=sparse)
         for b in buf:
             state, loss = single(state, b)
             it += 1
