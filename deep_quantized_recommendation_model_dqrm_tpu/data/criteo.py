@@ -601,15 +601,21 @@ class CriteoDataset:
         for day, start, stop in ranges:
             y, xi, xc = self._day_arrays(day)
             y, xi, xc = y[start:stop], xi[start:stop], xc[start:stop]
-            if shuffle_rows:
-                perm = rng.permutation(len(y))
-                y, xi, xc = y[perm], xi[perm], xc[perm]
+            # shuffle via a permuted index array gathered PER BATCH: whole-
+            # day fancy indexing would duplicate the (cached) day arrays and
+            # double peak memory at Terabyte scale
+            perm = rng.permutation(len(y)) if shuffle_rows else None
             pos = 0
             while pos < len(y):
                 take = min(batch_size - buffered, len(y) - pos)
-                buf_y.append(y[pos : pos + take])
-                buf_xi.append(xi[pos : pos + take])
-                buf_xc.append(xc[pos : pos + take])
+                sel = (
+                    slice(pos, pos + take)
+                    if perm is None
+                    else perm[pos : pos + take]
+                )
+                buf_y.append(y[sel])
+                buf_xi.append(xi[sel])
+                buf_xc.append(xc[sel])
                 buffered += take
                 pos += take
                 if buffered == batch_size:

@@ -55,20 +55,26 @@ def random_batch(
     dense = rng.uniform(0.0, 1.0, size=(batch_size, config.num_dense)).astype(np.float32)
     if rand_data_dist == "gaussian":
         mu = (rand_data_max + rand_data_min) / 2.0 if rand_data_mu == -1 else rand_data_mu
+        # the reference np.unique's the clipped FLOATS before the int cast
+        # (generate_dist_input_batch, dlrm_data_pytorch.py:1135-1139), so two
+        # distinct floats that truncate to the same integer index legally
+        # survive as a duplicated row in the bag — dedupe_keys keeps the
+        # float identity so our mask-based dedupe matches that exactly
+        raw = [
+            np.clip(
+                rng.normal(mu, rand_data_sigma, size=(batch_size, P)),
+                rand_data_min,
+                rand_data_max,
+            )
+            for _ in config.table_sizes
+        ]
         indices = np.stack(
             [
-                np.clip(
-                    np.clip(
-                        rng.normal(mu, rand_data_sigma, size=(batch_size, P)),
-                        rand_data_min,
-                        rand_data_max,
-                    ),
-                    0,
-                    rows - 1,
-                ).astype(np.int32)
-                for rows in config.table_sizes
+                np.clip(r, 0, rows - 1).astype(np.int32)
+                for r, rows in zip(raw, config.table_sizes)
             ]
         )
+        dedupe_keys = np.stack(raw)
     else:
         indices = np.stack(
             [
@@ -76,6 +82,7 @@ def random_batch(
                 for rows in config.table_sizes
             ]
         )
+        dedupe_keys = indices
     if round_targets:
         labels = rng.randint(0, 2, size=(batch_size,)).astype(np.float32)
     else:
@@ -88,9 +95,10 @@ def random_batch(
         else:
             kept = np.ones((T, batch_size, P), bool)
         # dedupe within each bag (the reference np.unique's every bag,
-        # dlrm_data_pytorch.py:1140-1148): zero the mask of any index that
-        # already appeared earlier among the kept positions
-        eq = indices[:, :, :, None] == indices[:, :, None, :]  # [T,B,P,P]
+        # dlrm_data_pytorch.py:1140-1148): zero the mask of any draw that
+        # already appeared earlier among the kept positions (float identity
+        # for gaussian — see dedupe_keys above)
+        eq = dedupe_keys[:, :, :, None] == dedupe_keys[:, :, None, :]  # [T,B,P,P]
         lower = np.tril(np.ones((P, P), bool), -1)  # j < i
         dup = np.any(eq & lower[None, None] & kept[:, :, None, :], axis=-1)
         mask = (kept & ~dup).astype(np.float32)

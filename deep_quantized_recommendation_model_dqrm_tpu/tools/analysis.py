@@ -110,17 +110,31 @@ def audit_batches(
 def table_weight_stats(tables: Iterable[np.ndarray]) -> List[Dict[str, float]]:
     """Weight distribution vs the U(-1/sqrt(n), 1/sqrt(n)) init bound
     (looking_into_tables*.py). QR/MD dict entries report one row per
-    component array (q/r/table/proj)."""
-    flat = []
+    component array with the bound that component was actually initialized
+    with: q/r use sqrt(1/n) of the ORIGINAL table size (approximated as
+    q_rows*r_rows — exact n is not stored; init_params, models/dlrm.py),
+    the MD projection uses its Xavier limit sqrt(6/(fan_in+fan_out))."""
+    flat = []  # (array, init_bound)
     for t in tables:
         if isinstance(t, dict):
-            flat.extend(t.values())
+            if "q" in t:
+                n_approx = np.asarray(t["q"]).shape[0] * np.asarray(t["r"]).shape[0]
+                b = np.sqrt(1.0 / n_approx)
+                flat.append((t["q"], b))
+                flat.append((t["r"], b))
+            else:
+                tab = np.asarray(t["table"])
+                flat.append((tab, np.sqrt(1.0 / tab.shape[0])))
+                if "proj" in t:
+                    proj = np.asarray(t["proj"])
+                    flat.append(
+                        (proj, np.sqrt(6.0 / (proj.shape[0] + proj.shape[1])))
+                    )
         else:
-            flat.append(t)
+            flat.append((t, np.sqrt(1.0 / np.asarray(t).shape[0])))
     out = []
-    for t in flat:
+    for t, bound in flat:
         t = np.asarray(t)
-        bound = np.sqrt(1.0 / t.shape[0])
         out.append(
             {
                 "rows": t.shape[0],

@@ -245,6 +245,34 @@ class TestReviewFixes:
         assert state.opt_state["emb"][1]["q"].ndim == 1  # row-wise acc
 
     def test_md_import_rwsadagrad(self, tmp_path):
+        """MD checkpoint import with --optimizer=rwsadagrad: row-wise acc on
+        embs.weight, classic Adagrad state on the dense proj."""
+        import torch
+
+        from deep_quantized_recommendation_model_dqrm_tpu.tools.torch_import import (
+            import_torch_checkpoint,
+            params_from_torch_state_dict,
+        )
+
+        rs = np.random.RandomState
+        sd = {
+            "emb_l.0.embs.weight": torch.tensor(rs(0).rand(60, 4).astype(np.float32)),
+            "emb_l.0.proj.weight": torch.tensor(rs(1).rand(8, 4).astype(np.float32)),
+            "emb_l.1.weight": torch.tensor(rs(2).rand(10, 8).astype(np.float32)),
+            "bot_l.0.weight": torch.tensor(np.eye(8, 4, dtype=np.float32)),
+            "bot_l.0.bias": torch.zeros(8),
+            "top_l.0.weight": torch.tensor(rs(3).rand(1, 11).astype(np.float32)),
+            "top_l.0.bias": torch.zeros(1),
+        }
+        params, arch = params_from_torch_state_dict(sd)
+        assert arch["table_kinds"] == ("md", "dense")
+        pt = tmp_path / "md.pt"
+        torch.save({"state_dict": sd}, pt)
+        import_torch_checkpoint(
+            str(pt), str(tmp_path / "md.npz"), optimizer="rwsadagrad"
+        )
+
+    def test_qr_import_rwsadagrad(self, tmp_path):
         """QR checkpoint import with --optimizer=rwsadagrad (crashed before:
         rwsadagrad_init assumed array tables)."""
         import torch

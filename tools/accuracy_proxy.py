@@ -80,10 +80,22 @@ def _device_init(cfg):
 
     if all(cfg.table_kind(k) == "dense" for k in range(cfg.num_tables)):
         return _bench._fast_device_init(cfg)
+    import dataclasses
+
     import jax.numpy as jnp
 
+    # MLPs (and a 1-row emb placeholder per table, so the big dense tables
+    # are NOT transiently materialized — the whole point of device init)
     base = _bench._fast_device_init(
-        __import__("dataclasses").replace(cfg, qr_flag=False, md_flag=False)
+        dataclasses.replace(
+            cfg,
+            qr_flag=False,
+            md_flag=False,
+            table_sizes=tuple(
+                n if cfg.table_kind(k) == "dense" else 1
+                for k, n in enumerate(cfg.table_sizes)
+            ),
+        )
     )
     key = jax.random.PRNGKey(1)
     ks = iter(jax.random.split(key, 2 * cfg.num_tables))
