@@ -189,11 +189,13 @@ def make_dp_train_step(
     trick_ks = frozenset(
         k for k in range(config.num_tables) if config.table_kind(k) != "dense"
     )
-    if trick_ks and tc.ranking_range:
-        raise NotImplementedError(
-            "ranking_range is a policy over sparse embedding-gradient "
-            "exchanges; QR/MD tables have dense gradients — disable one"
-        )
+    # ranking_range is a policy over the SPARSE embedding-gradient
+    # exchanges; QR/MD tables have dense grads and ride the psum channel,
+    # so the policy simply skips them (dense ordinal <-> table id maps).
+    dense_ks = [
+        k for k in range(config.num_tables) if k not in trick_ks
+    ]
+    dense_ord = {k: i for i, k in enumerate(dense_ks)}
 
     def device_step(state: DPState, batch: dlrm.Batch):
         params, qstate = state.params, state.qstate
@@ -342,12 +344,14 @@ def make_dp_train_step(
         if tc.ranking_range:
             # Mixed-bit policy (grad_precision_and_scale): all-reduce per-
             # table ranges, normalize by weight scale, sample assignment.
+            # Indexed by DENSE ordinal (QR/MD tables are not in the sparse
+            # exchange this policy governs).
             ranges_local = jnp.stack(
-                [jnp.max(jnp.abs(v)) for _, v in sparse_grads]
+                [jnp.max(jnp.abs(sparse_grads[k][1])) for k in dense_ks]
             )
             ranges = jax.lax.pmax(ranges_local, axis)
             w_scales = (
-                qstate.emb_scales
+                qstate.emb_scales[jnp.asarray(dense_ks)]
                 if qc.enabled
                 else jnp.ones_like(ranges)
             )
@@ -381,13 +385,14 @@ def make_dp_train_step(
                 continue
             ids, vals = sparse_grads[k]
             if tc.ranking_range:
-                s = ranking_range.grad_scale_int16(ranges[k])
-                enc = ranking_range.encode_two_channel(vals, s, modes[k])
+                d = dense_ord[k]
+                s = ranking_range.grad_scale_int16(ranges[d])
+                enc = ranking_range.encode_two_channel(vals, s, modes[d])
                 all_ids = jax.lax.all_gather(ids, axis, tiled=True)
                 all_enc = jax.lax.all_gather(enc, axis, tiled=True)
-                delta = ranking_range.decode_two_channel(all_enc, s, modes[k])
+                delta = ranking_range.decode_two_channel(all_enc, s, modes[d])
                 # skipped tables: route ids out of range -> dropped scatter
-                all_ids = jnp.where(modes[k] == ranking_range.SKIP,
+                all_ids = jnp.where(modes[d] == ranking_range.SKIP,
                                     table.shape[0], all_ids)
             elif grad_bits >= 32:
                 all_ids = jax.lax.all_gather(ids, axis, tiled=True)

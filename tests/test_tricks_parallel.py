@@ -204,11 +204,24 @@ class TestDPTricks:
         # compression actually changed something (grads were quantized)
         assert not np.array_equal(q8, q32)
 
-    def test_dp_ranking_range_with_tricks_rejected(self):
+    def test_dp_ranking_range_with_tricks(self):
+        """ranking_range governs the sparse exchange of DENSE tables; QR/MD
+        tables stay on the dense psum channel — the combination trains."""
         tc = TC.replace(ranking_range=True)
         mesh = make_mesh(8)
-        with pytest.raises(NotImplementedError):
-            comm_grad.make_dp_train_step(QR_CFG, tc, mesh)
+        dstate = comm_grad.init_dp_state(QR_CFG, tc)
+        dstep = comm_grad.make_dp_train_step(QR_CFG, tc, mesh)
+        rng = np.random.RandomState(7)
+        q0 = np.asarray(dstate.params["emb"][1]["q"]).copy()
+        t0 = np.asarray(dstate.params["emb"][0]).copy()
+        for _ in range(4):
+            dstate, loss = dstep(dstate, random_batch(QR_CFG, 64, rng))
+        assert np.isfinite(float(loss))
+        # trick tables trained via the psum channel; dense tables via the
+        # mixed-bit sparse exchange (over 4 steps every tier fires at least
+        # once for some table)
+        assert not np.array_equal(q0, np.asarray(dstate.params["emb"][1]["q"]))
+        assert not np.array_equal(t0, np.asarray(dstate.params["emb"][0]))
 
 
 class TestReviewFixes:
