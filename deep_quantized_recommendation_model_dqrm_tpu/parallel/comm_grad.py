@@ -169,17 +169,8 @@ def make_dp_train_step(
     to k single dispatches; amortizes host dispatch overhead like
     train_step.make_multi_train_step.
     """
-    if config.weighted_pooling == "learned":
-        # The sparse-gradient autodiff cut (raw_pooled injection) severs
-        # v_W from the graph, so its gradients would silently be zero.
-        # "fixed" pooling weights work (applied inside the raw lookup); the
-        # reference's comm_grad driver has no weighted pooling either.
-        raise NotImplementedError(
-            "weighted_pooling='learned' is not supported by the compressed-"
-            "gradient DP step; use weighted_pooling='fixed' or parallelism="
-            "dp-nosync"
-        )
     qc = config.quant
+    learned_vw = config.weighted_pooling == "learned"
     grad_bits = tc.grad_quant_bits
     # QR/MD compositional tables are small by construction, so their
     # gradients are DENSE and tiny: they ride the same compressed psum as
@@ -236,11 +227,15 @@ def make_dp_train_step(
                     if k in trick_ks:
                         m = batch.mask[k] if batch.mask is not None else None
                         if config.weighted_pooling is not None:
-                            w_rows = jnp.take(
-                                jax.lax.stop_gradient(params["v_W"][k]),
-                                batch.indices[k],
-                                axis=0,
+                            # learned pooling weights differentiate through
+                            # this recompute (their grads ride the dense
+                            # pmean channel); "fixed" ones are buffers.
+                            vw_k = (
+                                mlp_p["v_W"][k]
+                                if learned_vw
+                                else jax.lax.stop_gradient(params["v_W"][k])
                             )
+                            w_rows = jnp.take(vw_k, batch.indices[k], axis=0)
                             m = w_rows if m is None else m * w_rows
                         parts.append(
                             dlrm.trick_pooled_lookup(
@@ -326,20 +321,52 @@ def make_dp_train_step(
         # (sgd_…_parallel_comm.py:850-866): sum-then-quantize is the
         # correct numerics, and for small tables (rows < B*P) the unique-
         # rows bound shrinks the wire payload to min(B*P, rows) rows.
+        pact = qc.enabled and qc.quantize_emb and qc.quant_scheme == "pact"
         sparse_grads = []
+        vw_sparse_grads = []  # learned pooling: (ids, [K,1] scalar grads)
         for k in range(len(params["emb"])):
             if k in trick_ks:
                 sparse_grads.append(None)  # dense grads, handled below
+                vw_sparse_grads.append(None)
                 continue
-            ids, vals = rows_grad_from_pooled(
-                g_pooled[k],
-                batch.indices[k],
-                batch.mask[k] if batch.mask is not None else None,
-            )
+            base_m = batch.mask[k] if batch.mask is not None else None
+            eff_m = base_m
+            if config.weighted_pooling is not None:
+                # d pooled / d row = v_W[row] (per_sample_weights,
+                # dlrm_s_pytorch.py:417-418); compose into the bag mask.
+                w_rows = jnp.take(params["v_W"][k], batch.indices[k], axis=0)
+                eff_m = w_rows if base_m is None else base_m * w_rows
+            ids, vals = rows_grad_from_pooled(g_pooled[k], batch.indices[k], eff_m)
             rows = params["emb"][k].shape[0]
             sparse_grads.append(
                 coalesce_sparse_grad(ids, vals, rows, min(ids.shape[0], rows))
             )
+            if learned_vw:
+                # d pooled[b] / d v_W[idx[b,p]] = mask * E[idx[b,p]], so the
+                # per-occurrence scalar gradient is g_pooled[b] . E[idx] —
+                # the same sparse (ids, values) shape as the row grads, with
+                # D=1. E must be the rows the forward actually used (PACT
+                # fake-quants the table before the gather, lookup_all).
+                tbl = params["emb"][k]
+                if pact:
+                    tbl = q.fake_quant_pact(tbl, qc.embedding_bit)
+                rows_e = jnp.take(tbl, batch.indices[k], axis=0)  # [B,P,D]
+                contrib = jnp.einsum(
+                    "bd,bpd->bp", g_pooled[k].astype(jnp.float32), rows_e
+                )
+                if base_m is not None:
+                    contrib = contrib * base_m
+                B, Pp = batch.indices[k].shape
+                vw_sparse_grads.append(
+                    coalesce_sparse_grad(
+                        batch.indices[k].reshape(-1),
+                        contrib.reshape(-1, 1),
+                        rows,
+                        min(B * Pp, rows),
+                    )
+                )
+            else:
+                vw_sparse_grads.append(None)
 
         if tc.ranking_range:
             # Mixed-bit policy (grad_precision_and_scale): all-reduce per-
@@ -409,18 +436,42 @@ def make_dp_train_step(
                 )
             )
 
-        # Remaining non-MLP dense params (LSQ step sizes, learned pooling
-        # weights v_W) ride the uncompressed pmean path; "fixed" pooling
+        # Remaining non-MLP dense params (LSQ step sizes, fixed pooling
+        # weights) ride the uncompressed pmean path; "fixed" pooling
         # weights have zero grads and pass through unchanged.
         new_params = {**new_mlp, "emb": new_emb}
         for key in params:
             if key in ("bot", "top", "emb"):
                 continue
+            if key == "v_W" and learned_vw:
+                continue  # handled below: sparse exchange, like the tables
             new_params[key] = jax.tree_util.tree_map(
                 lambda p, g: p - lr * jax.lax.pmean(g, axis),
                 params[key],
                 mlp_grads[key],
             )
+
+        if learned_vw:
+            # Learned pooling weights: dense tables' v_W grads are sparse
+            # per-row scalars — exchanged like the embedding rows (fp32:
+            # they are 1/D of the row-grad bytes, compression would cost
+            # more precision than wire time saved); QR/MD tables' v_W grads
+            # came through autodiff (the trick recompute) and ride pmean.
+            new_vw = []
+            for k in range(config.num_tables):
+                if k in trick_ks:
+                    g = jax.lax.pmean(mlp_grads["v_W"][k], axis)
+                    new_vw.append(params["v_W"][k] - lr * g)
+                    continue
+                vw_ids, vw_vals = vw_sparse_grads[k]
+                all_ids = jax.lax.all_gather(vw_ids, axis, tiled=True)
+                all_vals = jax.lax.all_gather(vw_vals, axis, tiled=True)
+                new_vw.append(
+                    params["v_W"][k]
+                    .at[all_ids]
+                    .add(-(lr / n_dev) * all_vals[:, 0], mode="drop")
+                )
+            new_params["v_W"] = new_vw
 
         new_qs = new_qs._replace(step=qstate.step + 1)
         return DPState(new_params, new_qs, new_ec), mean_loss

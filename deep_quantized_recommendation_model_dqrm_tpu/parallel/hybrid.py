@@ -166,6 +166,36 @@ def pack_tables(
     return mega
 
 
+def pack_vw(
+    v_W: List[jax.Array],
+    plan: TableShardingPlan,
+    mesh: Optional[Mesh] = None,
+    axis: str = "mp",
+) -> jax.Array:
+    """Pack per-table pooling-weight vectors [n_k] into the mega-table row
+    layout as one [n_dev*block_rows] vector (pad/dummy rows weight 0). Trick
+    tables (plan rank -1) are skipped — upstream rejects weighted pooling
+    with QR/MD anyway (dlrm_s_pytorch.py:1040-1044)."""
+    packed = pack_tables(
+        [
+            v[:, None] if int(plan.table_rank[k]) >= 0 else {}
+            for k, v in enumerate(v_W)
+        ],
+        plan,
+    )[:, 0]
+    if mesh is not None:
+        packed = jax.device_put(packed, NamedSharding(mesh, P(axis)))
+    return packed
+
+
+def unpack_vw(
+    vw: jax.Array, plan: TableShardingPlan, table_sizes: Tuple[int, ...]
+) -> List[Optional[jax.Array]]:
+    """Inverse of pack_vw (trick-table slots come back as None)."""
+    cols = unpack_tables(vw[:, None], plan, table_sizes)
+    return [c[:, 0] if c is not None else None for c in cols]
+
+
 def unpack_tables(
     mega: jax.Array, plan: TableShardingPlan, table_sizes: Tuple[int, ...]
 ) -> List[jax.Array]:
@@ -226,6 +256,12 @@ class HybridState(NamedTuple):
     mega: jax.Array  # [n_dev*block_rows, D] row-sharded embedding mega-table
     mlp: Any  # replicated MLP params {"bot": [...], "top": [...]}
     qstate: dlrm.QuantState
+    # Pooling weights v_W packed in the mega-table row layout
+    # [n_dev*block_rows], row-sharded like `mega`; None unless
+    # config.weighted_pooling is set. "fixed" weights are applied but never
+    # updated; "learned" ones train via the local sparse scatter-add
+    # (upstream apply_emb per_sample_weights, dlrm_s_pytorch.py:417-448).
+    vw: Any = None
 
 
 def init_hybrid_state(
@@ -252,11 +288,22 @@ def init_hybrid_state(
     }
     if trick:
         non_emb["emb_trick"] = trick
+    vw = None
+    if config.weighted_pooling is not None:
+        if trick and config.weighted_pooling == "learned":
+            # Upstream rejects the combination outright
+            # (dlrm_s_pytorch.py:1040-1044); the DP engines here support it,
+            # the hybrid mega-table layout does not carry trick v_W.
+            raise NotImplementedError(
+                "weighted_pooling='learned' with QR/MD tables is not "
+                "supported by the hybrid step"
+            )
+        vw = pack_vw(non_emb.pop("v_W"), plan, mesh, axis)
     mlp = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), non_emb)
     qstate = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, rep), dlrm.init_quant_state(config)
     )
-    return HybridState(mega=mega, mlp=mlp, qstate=qstate)
+    return HybridState(mega=mega, mlp=mlp, qstate=qstate, vw=vw)
 
 
 def _local_pooled(
@@ -265,16 +312,22 @@ def _local_pooled(
     mask: Optional[jax.Array],
     local_ids: jax.Array,  # [t_max]
     local_base: jax.Array,  # [t_max]
+    vw_block: Optional[jax.Array] = None,  # [block_rows] pooling weights
 ) -> jax.Array:  # [t_max, B, D]
     """Pooled lookups for this device's table slots over the full batch
     (the reference's `apply_emb(local tables, FULL batch)`,
-    hybrid_multi_gpu.py:853)."""
+    hybrid_multi_gpu.py:853). With `vw_block`, rows are scaled by their
+    packed per-row pooling weight (per_sample_weights semantics,
+    dlrm_s_pytorch.py:417-448; the pad row's weight is 0)."""
     safe_ids = jnp.maximum(local_ids, 0)
     idx = jnp.take(indices, safe_ids, axis=0)  # [t_max, B, P]
     valid = (local_ids >= 0)[:, None, None]
     # Dummy slots resolve to the zero pad row at local_base (= block_rows-1).
     rows_idx = jnp.where(valid, idx, 0) + local_base[:, None, None]
     rows = jnp.take(block, rows_idx, axis=0)  # [t_max, B, P, D]
+    if vw_block is not None:
+        w = jnp.take(vw_block, rows_idx)  # [t_max, B, P]
+        rows = rows * w[..., None].astype(rows.dtype)
     if mask is not None:
         m = jnp.take(mask, safe_ids, axis=0)
         rows = rows * m[..., None].astype(rows.dtype)
@@ -299,14 +352,9 @@ def make_hybrid_train_step(
     `axis` and indices/mask are replicated (every device needs the full batch
     for its local tables). Output: (HybridState, mean loss).
     """
-    if config.weighted_pooling == "learned":
-        # _local_pooled does not apply v_W and the raw_pooled injection cuts
-        # it from autodiff — learned pooling weights would silently neither
-        # apply nor train. ("fixed" is a mathematical no-op: v_W stays ones.)
-        raise NotImplementedError(
-            "weighted_pooling='learned' is not supported by the hybrid step"
-        )
     qc = config.quant
+    has_vw = config.weighted_pooling is not None
+    learned_vw = config.weighted_pooling == "learned"
     n_dev = plan.n_dev
     local_ids_np = jnp.asarray(plan.local_ids)
     local_base_np = jnp.asarray(plan.local_base)
@@ -375,12 +423,16 @@ def make_hybrid_train_step(
             qstate = qstate._replace(emb_scales=new_scales)
 
         # ---- forward: local lookups -> all-to-all -> DLRM from pooled ----
+        vw_block = (
+            jax.lax.stop_gradient(state.vw) if state.vw is not None else None
+        )
         pooled_local = _local_pooled(
             jax.lax.stop_gradient(block),
             batch.indices,
             batch.mask,
             my_local_ids,
             my_local_base,
+            vw_block,
         )  # [t_max, B, D]
 
         def loss_fn(mlp_p, p_local):
@@ -467,16 +519,35 @@ def make_hybrid_train_step(
             g_pooled_local[:, :, None, :],
             (plan.t_max, B, Pp, g_pooled_local.shape[-1]),
         )
+        base_m = None
         if batch.mask is not None:
-            m = jnp.take(batch.mask, safe_ids, axis=0)
-            vals = vals * m[..., None].astype(vals.dtype)
+            base_m = jnp.take(batch.mask, safe_ids, axis=0)  # [t_max, B, P]
+        new_vw = state.vw
+        if vw_block is not None:
+            # d pooled / d row = v_W[row] * mask; learned v_W additionally
+            # gets d pooled / d v_W[row] = mask * (g_pooled . E[row]) —
+            # the same local sparse scatter-add as the tables (each row and
+            # its weight live on this device; no reduction needed).
+            safe_rows = jnp.clip(rows_idx, 0, block.shape[0] - 1)
+            w = jnp.take(vw_block, safe_rows)  # [t_max, B, P]
+            if learned_vw:
+                rows_e = jnp.take(block, safe_rows, axis=0)  # [t_max,B,P,D]
+                contrib = jnp.einsum("tbd,tbpd->tbp", g_pooled_local, rows_e)
+                if base_m is not None:
+                    contrib = contrib * base_m
+                new_vw = state.vw.at[rows_idx.reshape(-1)].add(
+                    -(lr / n_dev) * contrib.reshape(-1), mode="drop"
+                )
+            vals = vals * w[..., None].astype(vals.dtype)
+        if base_m is not None:
+            vals = vals * base_m[..., None].astype(vals.dtype)
         new_block = block.at[rows_idx.reshape(-1)].add(
             -(lr / n_dev) * vals.reshape(-1, vals.shape[-1]).astype(block.dtype),
             mode="drop",
         )
 
         new_qs = new_qs._replace(step=qstate.step + 1)
-        return HybridState(new_block, new_mlp, new_qs), mean_loss
+        return HybridState(new_block, new_mlp, new_qs, new_vw), mean_loss
 
     batch_specs = dlrm.Batch(
         dense=P(axis),
@@ -484,7 +555,9 @@ def make_hybrid_train_step(
         labels=P(axis),
         mask=P() if has_mask else None,
     )
-    state_specs = HybridState(mega=P(axis), mlp=P(), qstate=P())
+    state_specs = HybridState(
+        mega=P(axis), mlp=P(), qstate=P(), vw=P(axis) if has_vw else None
+    )
 
     if steps_per_dispatch > 1:
 
@@ -533,7 +606,7 @@ def make_hybrid_eval_step(
         me = jax.lax.axis_index(axis)
         pooled_local = _local_pooled(
             state.mega, batch.indices, batch.mask,
-            local_ids_np[me], local_base_np[me],
+            local_ids_np[me], local_base_np[me], state.vw,
         )
         swapped = jax.lax.all_to_all(
             pooled_local, axis, split_axis=1, concat_axis=0, tiled=True
@@ -562,7 +635,10 @@ def make_hybrid_eval_step(
         labels=P(axis),
         mask=P() if has_mask else None,
     )
-    state_specs = HybridState(mega=P(axis), mlp=P(), qstate=P())
+    state_specs = HybridState(
+        mega=P(axis), mlp=P(), qstate=P(),
+        vw=P(axis) if config.weighted_pooling is not None else None,
+    )
     fn = shard_map(
         device_eval,
         mesh=mesh,

@@ -145,6 +145,11 @@ def _build_sparse_step_fn(
 
     if tc.optimizer not in ("sgd", "adagrad", "rwsadagrad"):
         raise ValueError("sparse step supports sgd / adagrad / rwsadagrad")
+    if config.weighted_pooling == "learned":
+        raise NotImplementedError(
+            "learned pooling weights need the dense-autodiff step "
+            "(sparse_emb_grad=False): the pooled-lookup cut severs v_W"
+        )
     if any(config.table_kind(k) != "dense" for k in range(config.num_tables)):
         raise NotImplementedError(
             "QR/MD embeddings are not pure gathers; use the dense step "
@@ -212,10 +217,15 @@ def _build_sparse_step_fn(
         new_emb = []
         new_emb_acc = [] if tc.optimizer in ("adagrad", "rwsadagrad") else None
         for k, table in enumerate(params["emb"]):
+            eff_m = batch.mask[k] if batch.mask is not None else None
+            if config.weighted_pooling is not None:
+                # d pooled / d row = v_W[row] (per_sample_weights,
+                # dlrm_s_pytorch.py:417-418). "fixed" weights stay ones in
+                # practice, but imported checkpoints may carry other values.
+                w_rows = jnp.take(params["v_W"][k], batch.indices[k], axis=0)
+                eff_m = w_rows if eff_m is None else eff_m * w_rows
             ids, vals = rows_grad_from_pooled(
-                g_pooled[k],
-                batch.indices[k],
-                batch.mask[k] if batch.mask is not None else None,
+                g_pooled[k], batch.indices[k], eff_m
             )
             if tc.optimizer == "sgd":
                 new_emb.append(

@@ -485,8 +485,13 @@ def run_reference_tricks(
     qr_operation: str = "mult",
     threshold: int = 200,
     md_dims: Sequence[int] = None,
+    weighted_pooling: str = None,
+    v_W: Sequence[np.ndarray] = None,
 ) -> Dict:
-    """FP32 QR/MD full-model trajectory via the upstream DLRM_Net.
+    """FP32 QR/MD (or kind="dense" plain) full-model trajectory via the
+    upstream DLRM_Net. `weighted_pooling` ("fixed"/"learned") exercises the
+    per_sample_weights path (dlrm_s_pytorch.py:417-448); `v_W` optionally
+    seeds the pooling weights (upstream inits them to ones).
 
     weights["emb"][k] is a dict ({"q","r"} or {"table"[,"proj"]}) for
     tables above `threshold`, else a dense [n, D] array — our init_params
@@ -522,6 +527,7 @@ def run_reference_tricks(
             qr_threshold=threshold,
             md_flag=(kind == "md"),
             md_threshold=threshold,
+            weighted_pooling=weighted_pooling,
             loss_function="bce",
         )
     with torch.no_grad():
@@ -536,6 +542,12 @@ def run_reference_tricks(
                     e.proj.weight.data = torch.tensor(np.asarray(w["proj"]))
             else:
                 e.weight.data = torch.tensor(np.asarray(w))
+        if v_W is not None:
+            for k, v in enumerate(v_W):
+                if model.weighted_pooling == "learned":
+                    model.v_W_l[k].data = torch.tensor(np.asarray(v))
+                else:
+                    model.v_W_l[k] = torch.tensor(np.asarray(v))
         for part, layers in (("bot", model.bot_l), ("top", model.top_l)):
             li = 0
             for layer in layers:
@@ -563,6 +575,8 @@ def run_reference_tricks(
         probs = Z.detach().numpy().reshape(-1).copy()
 
     out = {"emb": [], "bot": [], "top": []}
+    if weighted_pooling is not None:
+        out["v_W"] = [v.detach().numpy().copy() for v in model.v_W_l]
     for e in model.emb_l:
         if hasattr(e, "weight_q"):
             out["emb"].append({

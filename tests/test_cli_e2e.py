@@ -404,3 +404,31 @@ class TestSyntheticDataKnobs:
             "--mlperf-bin-shuffle",
         ])
         assert np.isfinite(m["roc_auc"])
+
+
+class TestWeightedPoolingParallelCLI:
+    """Learned pooling weights reach the distributed engines from the CLI
+    (previously rejected with NotImplementedError)."""
+
+    def test_learned_dp(self, tmp_path):
+        argv, _ = _common(
+            tmp_path, ["--weighted-pooling=learned", "--parallelism=dp",
+                       "--test-freq=4"]
+        )
+        m = run(argv)
+        assert np.isfinite(m["roc_auc"])
+
+    def test_learned_hybrid(self, tmp_path):
+        ck = str(tmp_path / "ckh")
+        argv, _ = _common(
+            tmp_path, ["--weighted-pooling=learned", "--parallelism=hybrid",
+                       "--test-freq=4", f"--save-model={ck}"]
+        )
+        m = run(argv)
+        assert np.isfinite(m["roc_auc"])
+        argv2, _ = _common(
+            tmp_path, ["--weighted-pooling=learned", "--parallelism=hybrid",
+                       f"--load-model={ck}", "--inference-only"]
+        )
+        m2 = run(argv2)
+        assert np.isfinite(m2["roc_auc"])

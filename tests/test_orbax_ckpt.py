@@ -60,3 +60,32 @@ class TestShardedCheckpoint:
         restored, meta = mgr.restore({"a": jnp.zeros(4)})
         assert meta["v"] == 2
         np.testing.assert_allclose(np.asarray(restored["a"]), 2.0)
+
+
+class TestShardedCheckpointWeightedPooling:
+    def test_hybrid_vw_roundtrip(self, tmp_path):
+        import dataclasses
+
+        import jax
+
+        from deep_quantized_recommendation_model_dqrm_tpu.utils.checkpoint_orbax import (
+            ShardedCheckpointManager,
+        )
+
+        cfg = dataclasses.replace(CFG, weighted_pooling="learned")
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(cfg.table_sizes, 8)
+        state = hybrid.init_hybrid_state(cfg, TC, mesh, plan)
+        step = hybrid.make_hybrid_train_step(cfg, TC, mesh, plan)
+        state, _ = step(state, random_batch(cfg, 64, np.random.RandomState(0)))
+        jax.block_until_ready(state)
+        assert state.vw is not None
+        assert len(state.vw.sharding.device_set) == 8  # sharded like mega
+
+        mgr = ShardedCheckpointManager(str(tmp_path), "hyvw")
+        mgr.save(state, {"step": 1})
+        fresh = hybrid.init_hybrid_state(cfg, TC, mesh, plan)
+        restored, meta = mgr.restore(fresh)
+        assert meta["step"] == 1
+        np.testing.assert_allclose(np.asarray(restored.vw), np.asarray(state.vw))
+        assert restored.vw.sharding == state.vw.sharding

@@ -673,3 +673,179 @@ class TestDistributedMegastep:
 
         assert float(l1) == float(l2)
         np.testing.assert_array_equal(np.asarray(s1.mega), np.asarray(s2.mega))
+
+
+class TestWeightedPooling:
+    """Learned per-row pooling weights (upstream --weighted-pooling=learned,
+    dlrm_s_pytorch.py:417-448) in the distributed engines: the sparse-cut
+    steps carry analytic v_W gradients, so with uncompressed gradients they
+    must reproduce single-chip dense-autodiff SGD exactly."""
+
+    def _states(self, cfg, tc):
+        rng0 = np.random.RandomState(0)
+        vw_np = [
+            rng0.uniform(0.5, 1.5, (n,)).astype(np.float32)
+            for n in cfg.table_sizes
+        ]
+
+        def fresh():
+            # donation invalidates shared buffers — every engine gets copies
+            return [jnp.asarray(v) for v in vw_np]
+
+        return vw_np, fresh
+
+    def test_dp_learned_matches_single_chip(self):
+        cfg = dataclasses.replace(CFG, weighted_pooling="learned")
+        tc = TC.replace(grad_quant_bits=32)
+        vw_np, fresh = self._states(cfg, tc)
+        mesh = make_mesh(8)
+        dstate = comm_grad.init_dp_state(cfg, tc)
+        dstate = dstate._replace(
+            params={**dstate.params, "v_W": fresh()}
+        )
+        dstep = comm_grad.make_dp_train_step(cfg, tc, mesh)
+        sstate = init_train_state(cfg, tc)
+        sstate = sstate._replace(params={**sstate.params, "v_W": fresh()})
+        sstep = make_train_step(cfg, tc)
+        rng = np.random.RandomState(3)
+        for _ in range(3):
+            b = random_batch(cfg, 64, rng)
+            dstate, dl = dstep(dstate, b)
+            jax.block_until_ready(dstate)
+            sstate, sl = sstep(sstate, b)
+            assert np.isclose(float(dl), float(sl), rtol=1e-5)
+        for k in range(cfg.num_tables):
+            np.testing.assert_allclose(
+                np.asarray(dstate.params["v_W"][k]),
+                np.asarray(sstate.params["v_W"][k]),
+                atol=1e-5,
+            )
+            np.testing.assert_allclose(
+                np.asarray(dstate.params["emb"][k]),
+                np.asarray(sstate.params["emb"][k]),
+                atol=1e-5,
+            )
+        # v_W actually trains (non-trivial gradients reached it)
+        moved = max(
+            float(np.max(np.abs(np.asarray(sstate.params["v_W"][k]) - vw_np[k])))
+            for k in range(cfg.num_tables)
+        )
+        assert moved > 1e-6
+
+    def test_dp_learned_qat_matches_single_chip(self):
+        cfg = dataclasses.replace(
+            qcfg(enabled=True, scale_update_period=2), weighted_pooling="learned"
+        )
+        tc = TC.replace(grad_quant_bits=32)
+        _, fresh = self._states(cfg, tc)
+        mesh = make_mesh(8)
+        dstate = comm_grad.init_dp_state(cfg, tc)
+        dstate = dstate._replace(params={**dstate.params, "v_W": fresh()})
+        dstep = comm_grad.make_dp_train_step(cfg, tc, mesh)
+        sstate = init_train_state(cfg, tc)
+        sstate = sstate._replace(params={**sstate.params, "v_W": fresh()})
+        sstep = make_train_step(cfg, tc)
+        rng = np.random.RandomState(5)
+        for _ in range(3):
+            b = random_batch(cfg, 64, rng)
+            dstate, dl = dstep(dstate, b)
+            jax.block_until_ready(dstate)
+            sstate, sl = sstep(sstate, b)
+            assert np.isclose(float(dl), float(sl), rtol=1e-5)
+        for k in range(cfg.num_tables):
+            np.testing.assert_allclose(
+                np.asarray(dstate.params["v_W"][k]),
+                np.asarray(sstate.params["v_W"][k]),
+                atol=1e-5,
+            )
+
+    def test_hybrid_learned_matches_single_chip(self):
+        cfg = dataclasses.replace(CFG, weighted_pooling="learned")
+        tc = TC.replace(grad_quant_bits=32)
+        vw_np, fresh = self._states(cfg, tc)
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(cfg.table_sizes, 8)
+        hstate = hybrid.init_hybrid_state(cfg, tc, mesh, plan)
+        hstate = hstate._replace(vw=hybrid.pack_vw(fresh(), plan, mesh))
+        hstep = hybrid.make_hybrid_train_step(cfg, tc, mesh, plan)
+        sstate = init_train_state(cfg, tc)
+        sstate = sstate._replace(params={**sstate.params, "v_W": fresh()})
+        sstep = make_train_step(cfg, tc)
+        rng = np.random.RandomState(7)
+        for _ in range(3):
+            b = random_batch(cfg, 64, rng)
+            hstate, hl = hstep(hstate, b)
+            jax.block_until_ready(hstate)
+            sstate, sl = sstep(sstate, b)
+            assert np.isclose(float(hl), float(sl), rtol=1e-5)
+        hv = hybrid.unpack_vw(hstate.vw, plan, cfg.table_sizes)
+        back = hybrid.unpack_tables(hstate.mega, plan, cfg.table_sizes)
+        for k in range(cfg.num_tables):
+            np.testing.assert_allclose(
+                np.asarray(hv[k]),
+                np.asarray(sstate.params["v_W"][k]),
+                atol=1e-5,
+            )
+            np.testing.assert_allclose(
+                np.asarray(back[k]),
+                np.asarray(sstate.params["emb"][k]),
+                atol=1e-5,
+            )
+
+    def test_hybrid_eval_applies_vw(self):
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            make_eval_step,
+        )
+
+        cfg = dataclasses.replace(CFG, weighted_pooling="learned")
+        tc = TC.replace(grad_quant_bits=32)
+        _, fresh = self._states(cfg, tc)
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(cfg.table_sizes, 8)
+        hstate = hybrid.init_hybrid_state(cfg, tc, mesh, plan)
+        hstate = hstate._replace(vw=hybrid.pack_vw(fresh(), plan, mesh))
+        heval = hybrid.make_hybrid_eval_step(cfg, mesh, plan)
+        sstate = init_train_state(cfg, tc)
+        sstate = sstate._replace(params={**sstate.params, "v_W": fresh()})
+        seval = make_eval_step(cfg)
+        b = random_batch(cfg, 64, np.random.RandomState(9))
+        hp = np.asarray(heval(hstate, b))
+        sp = np.asarray(seval(sstate, b))
+        np.testing.assert_allclose(hp, sp, atol=1e-5)
+
+    def test_dp_learned_int8_tracks_uncompressed(self):
+        cfg = dataclasses.replace(CFG, weighted_pooling="learned")
+        _, fresh = self._states(cfg, TC)
+
+        def run(bits):
+            tc = TC.replace(grad_quant_bits=bits)
+            mesh = make_mesh(8)
+            st = comm_grad.init_dp_state(cfg, tc)
+            st = st._replace(params={**st.params, "v_W": fresh()})
+            step = comm_grad.make_dp_train_step(cfg, tc, mesh)
+            rng = np.random.RandomState(11)
+            loss = None
+            for _ in range(4):
+                st, loss = step(st, random_batch(cfg, 64, rng))
+                jax.block_until_ready(st)
+            return float(loss)
+
+        assert abs(run(8) - run(32)) < 0.05
+
+    def test_hybrid_learned_with_tricks_rejected(self):
+        cfg = dataclasses.replace(
+            CFG, weighted_pooling="learned", qr_flag=True, qr_threshold=100
+        )
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(
+            cfg.table_sizes,
+            8,
+            kinds=tuple(cfg.table_kind(k) for k in range(cfg.num_tables)),
+        )
+        with pytest.raises(NotImplementedError):
+            hybrid.init_hybrid_state(cfg, TC, mesh, plan)
+
+    def test_sparse_single_chip_step_rejects_learned(self):
+        cfg = dataclasses.replace(CFG, weighted_pooling="learned")
+        with pytest.raises(NotImplementedError):
+            make_train_step(cfg, TC, sparse_emb_grad=True)

@@ -265,3 +265,103 @@ class TestTricksFullModelTrajectory:
             md_round_dims=True,
         )
         self._run_ab(cfg, "md", md_dims=np.asarray(cfg.md_dims()))
+
+
+class TestWeightedPoolingTrajectory:
+    """Full-model FP32 weighted-pooling trajectory A/B vs the UPSTREAM
+    reference driver (dlrm_s_pytorch.py --weighted-pooling, per_sample_weights
+    at :417-448): identical init, non-trivial v_W, pooling size 3. "learned"
+    trains v_W through autograd on the reference side and through our dense /
+    analytic-sparse paths; trajectories and final v_W must agree."""
+
+    B, P, N_STEPS, LR = 16, 3, 12, 0.05
+
+    def _run_ab(self, pooling):
+        import jax
+
+        from deep_quantized_recommendation_model_dqrm_tpu.config import (
+            DLRMConfig,
+            TrainConfig,
+        )
+        from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            init_train_state,
+            make_train_step,
+        )
+        from tests.ref_runner import run_reference_tricks
+
+        cfg = DLRMConfig(
+            table_sizes=(60, 30, 11, 5),
+            embedding_dim=8,
+            mlp_bot=(4, 16, 8),
+            mlp_top=(18, 12, 1),
+            weighted_pooling=pooling,
+        )
+        tc = TrainConfig(batch_size=self.B, learning_rate=self.LR, seed=5)
+        rng = np.random.RandomState(42)
+        vw = [
+            rng.uniform(0.5, 1.5, (n,)).astype(np.float32)
+            for n in cfg.table_sizes
+        ]
+        traj = TestTricksFullModelTrajectory()
+        batches = traj._batches(cfg.table_sizes)
+        params0 = dlrm.init_params(cfg, tc.seed)
+        ref = run_reference_tricks(
+            _weights_numpy(params0),
+            cfg.table_sizes,
+            batches,
+            self.LR,
+            kind="dense",
+            weighted_pooling=pooling,
+            v_W=vw,
+        )
+
+        state = init_train_state(cfg, tc)
+        state = state._replace(
+            params={
+                **state.params,
+                "v_W": [np.array(v) for v in vw],
+            }
+        )
+        step = make_train_step(cfg, tc, sparse_emb_grad=False)
+        losses = []
+        for b in batches:
+            batch = dlrm.Batch(
+                dense=b["dense"],
+                indices=b["indices"].astype(np.int32),
+                labels=b["labels"],
+            )
+            state, loss = step(state, batch)
+            losses.append(float(loss))
+
+        dev = np.max(
+            np.abs(np.array(losses) - np.array(ref["losses"]))
+            / (np.abs(np.array(ref["losses"])) + 1e-9)
+        )
+        assert dev < 5e-4, (losses, ref["losses"])
+        for k in range(cfg.num_tables):
+            np.testing.assert_allclose(
+                np.asarray(state.params["v_W"][k]),
+                ref["params"]["v_W"][k],
+                atol=2e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(state.params["emb"][k]),
+                ref["params"]["emb"][k],
+                atol=2e-4,
+            )
+        if pooling == "learned":
+            moved = max(
+                float(np.max(np.abs(ref["params"]["v_W"][k] - vw[k])))
+                for k in range(cfg.num_tables)
+            )
+            assert moved > 1e-6  # the reference actually trained v_W
+        else:
+            for k in range(cfg.num_tables):
+                np.testing.assert_array_equal(ref["params"]["v_W"][k], vw[k])
+
+    def test_learned_full_model(self):
+        self._run_ab("learned")
+
+    def test_fixed_full_model(self):
+        self._run_ab("fixed")
