@@ -494,6 +494,122 @@ def preprocess_criteo_days_parallel(
     return sorted(paths, key=lambda p: int(p.split("day_")[-1].split(".")[0]))
 
 
+def global_shuffle_days(
+    day_paths: List[str],
+    seed: int = 0,
+    rows_per_bucket: int = 1_000_000,
+) -> List[str]:
+    """True global uniform permutation of the rows ACROSS day files, under a
+    bounded memory cap — the reference's --data-randomize="total"
+    (transformCriteoAdData, data_utils.py:756-840), which materializes the
+    whole concatenated training set to permute it; at Terabyte scale that
+    cannot fit, so this is the classic two-stage external shuffle instead:
+
+    1. stream each day, assigning every row an iid uniform bucket in
+       [0, K), K = ceil(N / rows_per_bucket); rows spill to K temp files as
+       packed int32 [label, 13 dense, 26 sparse] records (the mlperf binary
+       record layout, data/binary.py);
+    2. read the buckets in order, uniformly permute each in memory, and
+       stream the result back into the day files, preserving each day's
+       ORIGINAL row count (so CriteoDataset's split geometry is unchanged).
+
+    Conditioned on the stage-1 bucket sizes, which rows land in which bucket
+    is an unordered uniform choice and stage 2 orders every bucket
+    uniformly, so all N! output orders are equally likely. Peak memory is
+    one bucket (~rows_per_bucket * 160 B) plus one day's output buffer.
+    Day files are replaced atomically (write-temp + os.replace). Callers
+    shuffle the TRAIN days only — the last day is the reference's val/test
+    split and keeps its temporal identity.
+    """
+    rng = np.random.RandomState(seed)
+    rec_w = 1 + NUM_DENSE + NUM_SPARSE  # int32 words per row
+    day_lens = []
+    total = 0
+    for p in day_paths:
+        with np.load(p) as d:
+            n = int(d["y"].shape[0])
+        day_lens.append(n)
+        total += n
+    if total == 0:
+        return list(day_paths)
+    n_buckets = max(1, -(-total // max(1, rows_per_bucket)))
+
+    tmp_dir = os.path.dirname(os.path.abspath(day_paths[0]))
+    bucket_paths = [
+        os.path.join(tmp_dir, f"_shuf_bucket_{b}.bin") for b in range(n_buckets)
+    ]
+    bucket_files = [open(p, "wb") for p in bucket_paths]
+    try:
+        for p in day_paths:
+            with np.load(p) as d:
+                y, xi, xc = d["y"], d["X_int"], d["X_cat"]
+                recs = np.concatenate(
+                    [
+                        y.reshape(-1, 1).astype(np.int32),
+                        xi.astype(np.int32),
+                        xc.astype(np.int32),
+                    ],
+                    axis=1,
+                )
+            assign = rng.randint(0, n_buckets, size=len(recs))
+            for b in range(n_buckets):
+                rows = recs[assign == b]
+                if len(rows):
+                    bucket_files[b].write(np.ascontiguousarray(rows).tobytes())
+        for f in bucket_files:
+            f.close()
+        bucket_files = []
+
+        day_i = 0
+        out_parts: List[np.ndarray] = []
+        out_have = 0
+
+        def flush_day():
+            nonlocal day_i, out_parts, out_have
+            recs = (
+                np.concatenate(out_parts)
+                if out_parts
+                else np.zeros((0, rec_w), np.int32)
+            )
+            path = day_paths[day_i]
+            tmp = path + ".shuftmp.npz"  # keep .npz so np.savez writes here
+            _savez(
+                tmp,
+                y=recs[:, 0].copy(),
+                X_int=recs[:, 1 : 1 + NUM_DENSE].copy(),
+                X_cat=recs[:, 1 + NUM_DENSE :].copy(),
+            )
+            os.replace(tmp, path)
+            day_i += 1
+            out_parts, out_have = [], 0
+
+        for bp in bucket_paths:
+            with open(bp, "rb") as f:
+                buf = f.read()
+            m = len(buf) // (4 * rec_w)
+            recs = np.frombuffer(buf, np.int32).reshape(m, rec_w)
+            recs = recs[rng.permutation(m)]
+            pos = 0
+            while pos < m:
+                need = day_lens[day_i] - out_have
+                take = min(need, m - pos)
+                out_parts.append(recs[pos : pos + take])
+                out_have += take
+                pos += take
+                if out_have == day_lens[day_i]:
+                    flush_day()
+        # zero-length trailing days (possible with empty inputs)
+        while day_i < len(day_paths):
+            flush_day()
+    finally:
+        for f in bucket_files:
+            f.close()
+        for p in bucket_paths:
+            if os.path.exists(p):
+                os.unlink(p)
+    return list(day_paths)
+
+
 class CriteoDataset:
     """Preprocessed Criteo days with the reference's split semantics.
 

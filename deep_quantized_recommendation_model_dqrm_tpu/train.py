@@ -240,6 +240,24 @@ def _day_sort_key(path: str):
     return (int(nums[-1]) if nums else -1, path)
 
 
+def _maybe_global_shuffle(args, day_paths):
+    """--data-randomize=total at preprocessing time: a TRUE global reorder
+    of the training rows across day files (the reference performs it while
+    the whole concatenated set is resident, transformCriteoAdData
+    data_utils.py:756-840; here it is a memory-bounded external shuffle,
+    data/criteo.global_shuffle_days). The last day — the val/test split —
+    keeps its temporal identity, like the reference's randomize of the
+    train portion only."""
+    if args.data_randomize != "total" or len(day_paths) < 2:
+        return
+    from deep_quantized_recommendation_model_dqrm_tpu.data.criteo import (
+        global_shuffle_days,
+    )
+
+    print(f"global shuffle of {len(day_paths) - 1} train day files")
+    global_shuffle_days(day_paths[:-1], seed=args.numpy_rand_seed)
+
+
 def make_configs(args) -> tuple:
     quant = QuantConfig(
         enabled=args.quantization_flag,
@@ -398,23 +416,25 @@ def make_loaders(args, cfg, tc):
                 f"preprocessing {len(day_files)} day files -> "
                 f"{args.processed_data_dir} ({args.preprocess_workers} workers)"
             )
-            preprocess_criteo_days_parallel(
+            day_paths = preprocess_criteo_days_parallel(
                 day_files,
                 args.processed_data_dir,
                 sub_sample_rate=args.data_sub_sample_rate,
                 workers=args.preprocess_workers,
             )
+            _maybe_global_shuffle(args, day_paths)
         elif args.raw_data_file and not have_npz:
             # preprocess-if-needed (CriteoDataset.__init__ behavior,
             # dlrm_data_pytorch.py:50-120 -> data_utils.getCriteoAdData)
             days = 7 if args.data_set == "kaggle" else 24
             print(f"preprocessing {args.raw_data_file} -> {args.processed_data_dir}")
-            preprocess_criteo(
+            day_paths = preprocess_criteo(
                 args.raw_data_file,
                 args.processed_data_dir,
                 num_days=days,
                 sub_sample_rate=args.data_sub_sample_rate,
             )
+            _maybe_global_shuffle(args, day_paths)
         train_ds = CriteoDataset(args.processed_data_dir, "train", args.max_ind_range)
         test_ds = CriteoDataset(args.processed_data_dir, "test", args.max_ind_range)
         sizes = train_ds.table_sizes

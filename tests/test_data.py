@@ -391,3 +391,106 @@ class TestDataRandomize:
         # deterministic per seed, different order, same multiset
         np.testing.assert_array_equal(shuf, labels(True))
         assert sorted(plain.tolist()) == sorted(shuf.tolist())
+
+
+class TestGlobalShuffle:
+    """Memory-bounded external shuffle = the reference's preprocessing-time
+    --data-randomize=total global reorder (transformCriteoAdData)."""
+
+    def _build(self, tmp_path, n_rows=600, days=4):
+        raw = write_raw(str(tmp_path / "raw.txt"), n_rows, seed=3)
+        out = str(tmp_path / "proc")
+        paths = preprocess_criteo(raw, out, num_days=days, use_native=False)
+        return paths
+
+    @staticmethod
+    def _rows(paths):
+        rows = []
+        lens = []
+        for p in paths:
+            d = np.load(p)
+            recs = np.concatenate(
+                [d["y"].reshape(-1, 1), d["X_int"], d["X_cat"]], axis=1
+            ).astype(np.int64)
+            rows.append(recs)
+            lens.append(len(recs))
+        return np.concatenate(rows), lens
+
+    def test_permutation_multiset_and_day_lengths(self, tmp_path):
+        from deep_quantized_recommendation_model_dqrm_tpu.data.criteo import (
+            global_shuffle_days,
+        )
+
+        paths = self._build(tmp_path)
+        before, lens_before = self._rows(paths)
+        # tiny buckets force the multi-bucket spill path
+        global_shuffle_days(paths, seed=7, rows_per_bucket=50)
+        after, lens_after = self._rows(paths)
+        assert lens_after == lens_before  # split geometry preserved
+        # exact multiset equality: sort rows lexicographically and compare
+        key = lambda a: a[np.lexsort(a.T[::-1])]
+        np.testing.assert_array_equal(key(before), key(after))
+        # and it actually moved things
+        assert not np.array_equal(before, after)
+
+    def test_mixes_across_days(self, tmp_path):
+        from deep_quantized_recommendation_model_dqrm_tpu.data.criteo import (
+            global_shuffle_days,
+        )
+
+        paths = self._build(tmp_path)
+        day0_before = set(map(tuple, self._rows(paths[:1])[0]))
+        global_shuffle_days(paths, seed=1, rows_per_bucket=50)
+        day0_after = set(map(tuple, self._rows(paths[:1])[0]))
+        # day 0 must now contain rows that were NOT in day 0 (600 rows over
+        # 4 days: the probability of a no-mix outcome is astronomically 0)
+        assert len(day0_after - day0_before) > 0
+
+    def test_deterministic_under_seed(self, tmp_path):
+        from deep_quantized_recommendation_model_dqrm_tpu.data.criteo import (
+            global_shuffle_days,
+        )
+
+        (tmp_path / "a").mkdir()
+        (tmp_path / "b").mkdir()
+        p1 = self._build(tmp_path / "a")
+        p2 = self._build(tmp_path / "b")
+        global_shuffle_days(p1, seed=9, rows_per_bucket=64)
+        global_shuffle_days(p2, seed=9, rows_per_bucket=64)
+        r1, _ = self._rows(p1)
+        r2, _ = self._rows(p2)
+        np.testing.assert_array_equal(r1, r2)
+
+    def test_no_leftover_bucket_files(self, tmp_path):
+        import glob
+
+        from deep_quantized_recommendation_model_dqrm_tpu.data.criteo import (
+            global_shuffle_days,
+        )
+
+        paths = self._build(tmp_path)
+        global_shuffle_days(paths, seed=2, rows_per_bucket=100)
+        assert glob.glob(str(tmp_path / "proc" / "_shuf_bucket_*")) == []
+        assert glob.glob(str(tmp_path / "proc" / "*.shuftmp*")) == []
+
+    def test_cli_total_randomize_shuffles_on_preprocess(self, tmp_path):
+        from deep_quantized_recommendation_model_dqrm_tpu.train import run
+
+        raw = write_raw(str(tmp_path / "raw.txt"), 800, seed=5)
+        out = str(tmp_path / "proc")
+        argv = [
+            "--data-generation=dataset",
+            f"--raw-data-file={raw}",
+            f"--processed-data-dir={out}",
+            "--data-randomize=total",
+            "--arch-sparse-feature-size=8",
+            "--arch-mlp-bot=13-16-8",
+            "--arch-mlp-top=16-1",
+            "--mini-batch-size=40",
+            "--test-mini-batch-size=10",
+            "--num-batches=4",
+            "--print-freq=2",
+            "--test-freq=2",
+        ]
+        m = run(argv)
+        assert np.isfinite(m["roc_auc"])
