@@ -92,10 +92,34 @@ def unpack_rows(
     return out
 
 
+def pack_rows_vw(
+    v_W: List[jax.Array],
+    plan: RowShardPlan,
+    mesh: Optional[Mesh] = None,
+    axis: str = "mp",
+) -> jax.Array:
+    """Concatenate per-table pooling weights into the global row layout
+    [n_dev*chunk] (pad rows weight 0), row-sharded like the mega-table."""
+    packed = pack_rows([v[:, None] for v in v_W], plan)[:, 0]
+    if mesh is not None:
+        packed = jax.device_put(packed, NamedSharding(mesh, P(axis)))
+    return packed
+
+
+def unpack_rows_vw(
+    vw: jax.Array, plan: RowShardPlan, table_sizes: Tuple[int, ...]
+) -> List[jax.Array]:
+    return [c[:, 0] for c in unpack_rows(vw[:, None], plan, table_sizes)]
+
+
 class RowShardState(NamedTuple):
     mega: jax.Array  # [n_dev*chunk, D] row-sharded global mega-table
     mlp: Any  # replicated MLP params
     qstate: dlrm.QuantState
+    # Pooling weights v_W in the global row layout [n_dev*chunk], sharded
+    # like `mega`; None unless config.weighted_pooling is set (see
+    # parallel/hybrid.py HybridState.vw for semantics).
+    vw: Any = None
 
 
 def init_rowshard_state(
@@ -115,14 +139,15 @@ def init_rowshard_state(
     params = dlrm.init_params(config, seed if seed is not None else tc.seed)
     mega = pack_rows(params["emb"], plan, mesh, axis)
     rep = NamedSharding(mesh, P())
-    mlp = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, rep),
-        {k: v for k, v in params.items() if k != "emb"},
-    )
+    non_emb = {k: v for k, v in params.items() if k != "emb"}
+    vw = None
+    if config.weighted_pooling is not None:
+        vw = pack_rows_vw(non_emb.pop("v_W"), plan, mesh, axis)
+    mlp = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), non_emb)
     qstate = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, rep), dlrm.init_quant_state(config)
     )
-    return RowShardState(mega=mega, mlp=mlp, qstate=qstate)
+    return RowShardState(mega=mega, mlp=mlp, qstate=qstate, vw=vw)
 
 
 def _partial_pooled(
@@ -131,11 +156,17 @@ def _partial_pooled(
     mask: Optional[jax.Array],
     me: jax.Array,
     chunk: int,
+    vw_block: Optional[jax.Array] = None,  # [chunk] pooling weights
 ) -> jax.Array:  # [T, B, D] partial sums from owned rows only
     local = gids - me * chunk
     owned = (local >= 0) & (local < chunk)
-    rows = jnp.take(block, jnp.clip(local, 0, chunk - 1), axis=0)  # [T,B,P,D]
+    safe = jnp.clip(local, 0, chunk - 1)
+    rows = jnp.take(block, safe, axis=0)  # [T,B,P,D]
     w = owned.astype(rows.dtype)
+    if vw_block is not None:
+        # per_sample_weights = v_W[row] (dlrm_s_pytorch.py:417-448); each
+        # row's weight lives on the device that owns the row
+        w = w * jnp.take(vw_block, safe).astype(rows.dtype)
     if mask is not None:
         w = w * mask.astype(rows.dtype)
     return jnp.sum(rows * w[..., None], axis=2)
@@ -177,10 +208,6 @@ def make_rowshard_train_step(
     Batch layout matches make_hybrid_train_step: dense/labels batch-sharded
     on `axis`, indices/mask replicated.
     """
-    if config.weighted_pooling == "learned":
-        raise NotImplementedError(
-            "weighted_pooling='learned' is not supported by the row-sharded step"
-        )
     if any(config.table_kind(k) != "dense" for k in range(config.num_tables)):
         raise NotImplementedError(
             "QR/MD embeddings cannot be row-sharded (their whole point is "
@@ -193,6 +220,7 @@ def make_rowshard_train_step(
     n_dev = plan.n_dev
     chunk = plan.chunk
     table_base = jnp.asarray(plan.table_base)
+    learned_vw = config.weighted_pooling == "learned"
 
     def device_step(state: RowShardState, batch: dlrm.Batch):
         me = jax.lax.axis_index(axis)
@@ -223,8 +251,11 @@ def make_rowshard_train_step(
             )
             qstate = qstate._replace(emb_scales=new_scales)
 
+        vw_block = (
+            jax.lax.stop_gradient(state.vw) if state.vw is not None else None
+        )
         partial = _partial_pooled(
-            jax.lax.stop_gradient(block), gids, batch.mask, me, chunk
+            jax.lax.stop_gradient(block), gids, batch.mask, me, chunk, vw_block
         )  # [T, B, D]
 
         def loss_fn(mlp_p, p_partial):
@@ -288,19 +319,38 @@ def make_rowshard_train_step(
         local = gids - me * chunk
         owned = (local >= 0) & (local < chunk)
         rows_idx = jnp.where(owned, local, chunk)  # chunk = dropped
+        safe = jnp.clip(local, 0, chunk - 1)
         T, B, Pp = batch.indices.shape
         vals = jnp.broadcast_to(
             g_partial[:, :, None, :], (T, B, Pp, g_partial.shape[-1])
         )
+        base_m = None
         if batch.mask is not None:
-            vals = vals * batch.mask[..., None].astype(vals.dtype)
+            base_m = batch.mask.astype(vals.dtype)
+        new_vw = state.vw
+        if vw_block is not None:
+            # d pooled / d row = v_W[row]; learned v_W additionally gets the
+            # per-occurrence scalar grad g_partial . E[row], scattered into
+            # the OWNED rows of the local vw shard (see hybrid.py).
+            w = jnp.take(vw_block, safe)  # [T, B, P]
+            if learned_vw:
+                rows_e = jnp.take(block, safe, axis=0)  # [T, B, P, D]
+                contrib = jnp.einsum("tbd,tbpd->tbp", g_partial, rows_e)
+                if base_m is not None:
+                    contrib = contrib * base_m
+                new_vw = state.vw.at[rows_idx.reshape(-1)].add(
+                    -(lr / n_dev) * contrib.reshape(-1), mode="drop"
+                )
+            vals = vals * w[..., None].astype(vals.dtype)
+        if base_m is not None:
+            vals = vals * base_m[..., None]
         new_block = block.at[rows_idx.reshape(-1)].add(
             -(lr / n_dev) * vals.reshape(-1, vals.shape[-1]).astype(block.dtype),
             mode="drop",
         )
 
         new_qs = new_qs._replace(step=qstate.step + 1)
-        return RowShardState(new_block, new_mlp, new_qs), mean_loss
+        return RowShardState(new_block, new_mlp, new_qs, new_vw), mean_loss
 
     batch_specs = dlrm.Batch(
         dense=P(axis),
@@ -308,7 +358,10 @@ def make_rowshard_train_step(
         labels=P(axis),
         mask=P() if has_mask else None,
     )
-    state_specs = RowShardState(mega=P(axis), mlp=P(), qstate=P())
+    state_specs = RowShardState(
+        mega=P(axis), mlp=P(), qstate=P(),
+        vw=P(axis) if config.weighted_pooling is not None else None,
+    )
 
     if steps_per_dispatch > 1:
 
@@ -352,7 +405,9 @@ def make_rowshard_eval_step(
     def device_eval(state: RowShardState, batch: dlrm.Batch) -> jax.Array:
         me = jax.lax.axis_index(axis)
         gids = batch.indices + table_base[:, None, None]
-        partial = _partial_pooled(state.mega, gids, batch.mask, me, chunk)
+        partial = _partial_pooled(
+            state.mega, gids, batch.mask, me, chunk, state.vw
+        )
         raw_pooled = jax.lax.psum_scatter(
             partial, axis, scatter_dimension=1, tiled=True
         )
@@ -377,7 +432,10 @@ def make_rowshard_eval_step(
         labels=P(axis),
         mask=P() if has_mask else None,
     )
-    state_specs = RowShardState(mega=P(axis), mlp=P(), qstate=P())
+    state_specs = RowShardState(
+        mega=P(axis), mlp=P(), qstate=P(),
+        vw=P(axis) if config.weighted_pooling is not None else None,
+    )
     fn = shard_map(
         device_eval,
         mesh=mesh,

@@ -137,3 +137,85 @@ class TestRowShard:
         np.testing.assert_allclose(
             np.asarray(s1.mega), np.asarray(s2.mega), atol=1e-6
         )
+
+
+class TestRowShardWeightedPooling:
+    """Learned per-row pooling weights in the row-sharded engine: vw is
+    sharded in the global row layout alongside the mega-table; analytic
+    scalar gradients scatter into OWNED rows. Must match single-chip
+    dense-autodiff SGD exactly with uncompressed MLP grads."""
+
+    def _fresh_vw(self, cfg):
+        rng = np.random.RandomState(0)
+        vw_np = [
+            rng.uniform(0.5, 1.5, (n,)).astype(np.float32)
+            for n in cfg.table_sizes
+        ]
+        return vw_np, lambda: [np.array(v) for v in vw_np]
+
+    def test_learned_matches_single_chip(self):
+        import jax.numpy as jnp
+
+        cfg = dataclasses.replace(CFG, weighted_pooling="learned")
+        tc = TC.replace(grad_quant_bits=32)
+        vw_np, fresh = self._fresh_vw(cfg)
+        mesh = make_mesh(8)
+        plan = rowshard.plan_row_sharding(cfg.table_sizes, 8)
+        rstate = rowshard.init_rowshard_state(cfg, tc, mesh, plan)
+        rstate = rstate._replace(
+            vw=rowshard.pack_rows_vw(
+                [jnp.asarray(v) for v in fresh()], plan, mesh
+            )
+        )
+        rstep = rowshard.make_rowshard_train_step(cfg, tc, mesh, plan)
+        sstate = init_train_state(cfg, tc)
+        sstate = sstate._replace(params={**sstate.params, "v_W": fresh()})
+        sstep = make_train_step(cfg, tc)
+        rng = np.random.RandomState(13)
+        for _ in range(3):
+            b = random_batch(cfg, 64, rng)
+            rstate, rl = rstep(rstate, b)
+            jax.block_until_ready(rstate)
+            sstate, sl = sstep(sstate, b)
+            assert np.isclose(float(rl), float(sl), rtol=1e-5)
+        rv = rowshard.unpack_rows_vw(rstate.vw, plan, cfg.table_sizes)
+        back = rowshard.unpack_rows(rstate.mega, plan, cfg.table_sizes)
+        moved = 0.0
+        for k in range(cfg.num_tables):
+            np.testing.assert_allclose(
+                np.asarray(rv[k]), np.asarray(sstate.params["v_W"][k]), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(back[k]), np.asarray(sstate.params["emb"][k]), atol=1e-5
+            )
+            moved = max(
+                moved,
+                float(np.max(np.abs(np.asarray(sstate.params["v_W"][k]) - vw_np[k]))),
+            )
+        assert moved > 1e-6
+
+    def test_eval_applies_vw(self):
+        import jax.numpy as jnp
+
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            make_eval_step,
+        )
+
+        cfg = dataclasses.replace(CFG, weighted_pooling="learned")
+        _, fresh = self._fresh_vw(cfg)
+        mesh = make_mesh(8)
+        plan = rowshard.plan_row_sharding(cfg.table_sizes, 8)
+        rstate = rowshard.init_rowshard_state(cfg, TC, mesh, plan)
+        rstate = rstate._replace(
+            vw=rowshard.pack_rows_vw(
+                [jnp.asarray(v) for v in fresh()], plan, mesh
+            )
+        )
+        reval = rowshard.make_rowshard_eval_step(cfg, mesh, plan)
+        sstate = init_train_state(cfg, TC)
+        sstate = sstate._replace(params={**sstate.params, "v_W": fresh()})
+        seval = make_eval_step(cfg)
+        b = random_batch(cfg, 64, np.random.RandomState(15))
+        np.testing.assert_allclose(
+            np.asarray(reval(rstate, b)), np.asarray(seval(sstate, b)), atol=1e-5
+        )
