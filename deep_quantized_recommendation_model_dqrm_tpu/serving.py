@@ -18,7 +18,7 @@ quantized `apply_emb` dispatch :422-442):
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Sequence
+from typing import List, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -47,10 +47,17 @@ from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.quant_matmul import
 
 class ServingModel(NamedTuple):
     config: DLRMConfig
-    emb: List[PackedTable]
+    # Per-table entry: PackedTable (dense) or a dict for the compositional
+    # tricks — {"q": PackedTable, "r": PackedTable} (QR; collisions/operation
+    # come from config) or {"table": PackedTable[, "proj": fp32 [D, d_k]]}
+    # (mixed-dimension; the tiny projection stays fp32).
+    emb: List
     bot: List  # QuantLinearWeights or fp32 {"w","b"} dicts
     top: List
     mlp_bits: int  # 32 = fp32 MLP
+    # Per-row pooling weights (config.weighted_pooling), kept fp32: [n_k]
+    # per table. None when the model has no weighted pooling.
+    vw: Optional[List] = None
 
 
 def ptq_export(
@@ -65,30 +72,52 @@ def ptq_export(
     emb_bits in {4, 8, 32}; 32 keeps fp32 tables (packed as int8? no —
     kept raw, lookup falls back to dense). mlp_bits in {8, 32}.
     Mirrors quantize_dynamic + quantize_embedding (dlrm_s_pytorch.py:
-    1446-1471).
+    1446-1471). QR/MD compositional tables (beyond the reference, whose
+    PTQ path only handles plain emb_l weights) pack each component table
+    at emb_bits; the MD projection matrix stays fp32 (it is a tiny dense
+    matmul). Weighted-pooling v_W rides along fp32 and is applied as
+    per-sample weights at lookup (apply_emb, dlrm_s_pytorch.py:407-411).
     """
-    if any(isinstance(t, dict) for t in params["emb"]):
-        raise NotImplementedError(
-            "PTQ packing expects dense tables; QR/MD models are already "
-            "compressed structurally (reference PTQ packs emb_l weights too, "
-            "dlrm_s_pytorch.py:457-474)"
-        )
-    if emb_bits in (4, 8):
-        emb = [pack_table(t, bits=emb_bits, rowwise=rowwise) for t in params["emb"]]
-    else:
+    if emb_bits not in (4, 8):
         raise ValueError("emb_bits must be 4 or 8 for packed serving")
+
+    def pack_entry(t):
+        if isinstance(t, dict):
+            if "q" in t:
+                return {
+                    "q": pack_table(t["q"], bits=emb_bits, rowwise=rowwise),
+                    "r": pack_table(t["r"], bits=emb_bits, rowwise=rowwise),
+                }
+            out = {"table": pack_table(t["table"], bits=emb_bits, rowwise=rowwise)}
+            if "proj" in t:
+                out["proj"] = t["proj"]
+            return out
+        return pack_table(t, bits=emb_bits, rowwise=rowwise)
+
+    emb = [pack_entry(t) for t in params["emb"]]
     if mlp_bits == 8:
         bot = [quantize_linear_weights(l["w"], l["b"], 8) for l in params["bot"]]
         top = [quantize_linear_weights(l["w"], l["b"], 8) for l in params["top"]]
     else:
         bot, top = params["bot"], params["top"]
-    return ServingModel(config=config, emb=emb, bot=bot, top=top, mlp_bits=mlp_bits)
+    vw = list(params["v_W"]) if config.weighted_pooling is not None else None
+    return ServingModel(
+        config=config, emb=emb, bot=bot, top=top, mlp_bits=mlp_bits, vw=vw
+    )
 
 
 def serving_model_bytes(sm: ServingModel) -> int:
     """Model size in bytes (the paper's 8x compression measurement,
     Table 3)."""
-    n = sum(pt.nbytes() for pt in sm.emb)
+    n = 0
+    for e in sm.emb:
+        if isinstance(e, dict):
+            for v in e.values():
+                n += v.nbytes() if isinstance(v, PackedTable) else v.size * 4
+        else:
+            n += e.nbytes()
+    if sm.vw is not None:
+        n += sum(v.size * 4 for v in sm.vw)
     for layers in (sm.bot, sm.top):
         for l in layers:
             if isinstance(l, QuantLinearWeights):
@@ -125,21 +154,46 @@ def _serving_arrays(sm: ServingModel):
     program beyond compiler limits (observed: remote-compile HTTP 413) and
     destroys compile time.
     """
+    def pt_arrays(pt: PackedTable):
+        return {"data": pt.data, "scale": pt.scale} | (
+            {"bias": pt.bias} if pt.bias is not None else {}
+        )
+
+    def pt_meta(pt: PackedTable):
+        return (pt.bits, pt.dim, pt.bias is not None)
+
+    emb_arrays, emb_meta = [], []
+    for e in sm.emb:
+        if isinstance(e, dict):
+            emb_arrays.append(
+                {
+                    k: pt_arrays(v) if isinstance(v, PackedTable) else v
+                    for k, v in e.items()
+                }
+            )
+            emb_meta.append(
+                {
+                    k: pt_meta(v)
+                    for k, v in e.items()
+                    if isinstance(v, PackedTable)
+                }
+            )
+        else:
+            emb_arrays.append(pt_arrays(e))
+            emb_meta.append(pt_meta(e))
     arrays = {
-        "emb": [
-            {"data": pt.data, "scale": pt.scale}
-            | ({"bias": pt.bias} if pt.bias is not None else {})
-            for pt in sm.emb
-        ],
+        "emb": emb_arrays,
         "bot": [l._asdict() if isinstance(l, QuantLinearWeights) else l for l in sm.bot],
         "top": [l._asdict() if isinstance(l, QuantLinearWeights) else l for l in sm.top],
     }
+    if sm.vw is not None:
+        arrays["vw"] = list(sm.vw)
     # drop the static 'bits' ints from the quantized-linear dicts
     for part in ("bot", "top"):
         for l in arrays[part]:
             l.pop("bits", None)
     meta = {
-        "emb": [(pt.bits, pt.dim, pt.bias is not None) for pt in sm.emb],
+        "emb": emb_meta,
         "mlp_bits": sm.mlp_bits,
         "config": sm.config,
     }
@@ -147,23 +201,32 @@ def _serving_arrays(sm: ServingModel):
 
 
 def _rebuild_serving_model(arrays, meta) -> ServingModel:
-    emb = [
-        PackedTable(
-            data=a["data"],
-            scale=a["scale"],
-            bias=a.get("bias"),
-            bits=bits,
-            dim=dim,
+    def pt_from(a, m):
+        bits, dim, _ = m
+        return PackedTable(
+            data=a["data"], scale=a["scale"], bias=a.get("bias"), bits=bits, dim=dim
         )
-        for a, (bits, dim, _) in zip(arrays["emb"], meta["emb"])
-    ]
+
+    emb = []
+    for a, m in zip(arrays["emb"], meta["emb"]):
+        if isinstance(m, dict):
+            emb.append(
+                {k: (pt_from(v, m[k]) if k in m else v) for k, v in a.items()}
+            )
+        else:
+            emb.append(pt_from(a, m))
     if meta["mlp_bits"] == 8:
         bot = [QuantLinearWeights(bits=8, **l) for l in arrays["bot"]]
         top = [QuantLinearWeights(bits=8, **l) for l in arrays["top"]]
     else:
         bot, top = arrays["bot"], arrays["top"]
     return ServingModel(
-        config=meta["config"], emb=emb, bot=bot, top=top, mlp_bits=meta["mlp_bits"]
+        config=meta["config"],
+        emb=emb,
+        bot=bot,
+        top=top,
+        mlp_bits=meta["mlp_bits"],
+        vw=arrays.get("vw"),
     )
 
 
@@ -181,15 +244,41 @@ def make_serving_fn(sm: ServingModel, use_pallas_lookup: bool = False,
         mlp_impl = "pallas" if use_pallas_mlp else "xla"
     arrays, meta = _serving_arrays(sm)
 
+    def lookup(pt: PackedTable, ids, msk):
+        if use_pallas_lookup and pt.bias is None and msk is None:
+            return packed_pooled_lookup_pallas(pt, ids)
+        return packed_pooled_lookup(pt, ids, msk)
+
     def fn(arrs, batch: dlrm.Batch) -> jax.Array:
         m_ = _rebuild_serving_model(arrs, meta)
         ly = []
-        for k, pt in enumerate(m_.emb):
+        for k, e in enumerate(m_.emb):
+            ids = batch.indices[k]
             msk = batch.mask[k] if batch.mask is not None else None
-            if use_pallas_lookup and pt.bias is None and msk is None:
-                ly.append(packed_pooled_lookup_pallas(pt, batch.indices[k]))
+            if m_.vw is not None:
+                # per_sample_weights = v_W[row] composed with the bag mask
+                # (lookup_all semantics; apply_emb dlrm_s_pytorch.py:407-411)
+                w = jnp.take(m_.vw[k], ids, axis=0).astype(jnp.float32)
+                msk = w if msk is None else msk.astype(jnp.float32) * w
+            if isinstance(e, dict) and "q" in e:
+                # QR: pool each component bag, then compose — the upstream
+                # order (qr_pooled_lookup, tricks/qr_embedding_bag.py:160-176)
+                c = cfg.qr_collisions
+                pq = lookup(e["q"], ids // c, msk)
+                pr = lookup(e["r"], ids % c, msk)
+                if cfg.qr_operation == "mult":
+                    ly.append(pq * pr)
+                elif cfg.qr_operation == "add":
+                    ly.append(pq + pr)
+                else:
+                    ly.append(jnp.concatenate([pq, pr], axis=-1))
+            elif isinstance(e, dict):
+                pooled = lookup(e["table"], ids, msk)
+                if "proj" in e:
+                    pooled = pooled @ e["proj"].T
+                ly.append(pooled)
             else:
-                ly.append(packed_pooled_lookup(pt, batch.indices[k], msk))
+                ly.append(lookup(e, ids, msk))
         ly = jnp.stack(ly)
         x = _apply_mlp_serving(m_.bot, batch.dense, m_.mlp_bits, False, mlp_impl)
         z = (

@@ -191,3 +191,134 @@ class TestExport:
         out = np.asarray(fn(b.dense, b.indices))
         ref = np.asarray(make_serving_fn(sm)(b))
         np.testing.assert_allclose(out, ref, rtol=0, atol=0)
+
+
+class TestTrickServing:
+    """PTQ serving for QR/MD compositional tables + weighted pooling —
+    beyond the reference, whose PTQ path only handles plain emb_l weights
+    (dlrm_s_pytorch.py:457-474 would crash on QR/MD models)."""
+
+    @staticmethod
+    def _unpacked_params(params, sm):
+        """params with every table replaced by its dequantized packed copy —
+        the exact fp32 model the packed serving path should compute."""
+        from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.packed_embedding import (
+            unpack_table,
+        )
+
+        out = dict(params)
+        emb = []
+        for e in sm.emb:
+            if isinstance(e, dict) and "q" in e:
+                emb.append({"q": unpack_table(e["q"]), "r": unpack_table(e["r"])})
+            elif isinstance(e, dict):
+                d = {"table": unpack_table(e["table"])}
+                if "proj" in e:
+                    d["proj"] = e["proj"]
+                emb.append(d)
+            else:
+                emb.append(unpack_table(e))
+        out["emb"] = emb
+        return out
+
+    @pytest.mark.parametrize("op", ["mult", "add", "concat"])
+    def test_qr_serving_matches_unpacked_forward(self, op):
+        cfg = DLRMConfig(
+            table_sizes=(512, 300, 64),
+            embedding_dim=8,
+            mlp_bot=(4, 16, 8),
+            mlp_top=(14, 8, 1),
+            qr_flag=True,
+            qr_collisions=4,
+            qr_threshold=200,
+            qr_operation=op,
+        )
+        params = dlrm.init_params(cfg, seed=0)
+        assert isinstance(params["emb"][0], dict)  # 512 > threshold -> QR
+        sm = ptq_export(cfg, params, emb_bits=8, mlp_bits=32)
+        b = random_batch(cfg, 32, np.random.RandomState(0))
+        got = np.asarray(make_serving_fn(sm)(b))
+        want = np.asarray(dlrm.predict(cfg, self._unpacked_params(params, sm), b))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_md_serving_matches_unpacked_forward(self):
+        cfg = DLRMConfig(
+            table_sizes=(512, 300, 64),
+            embedding_dim=8,
+            mlp_bot=(4, 16, 8),
+            mlp_top=(14, 8, 1),
+            md_flag=True,
+            md_threshold=200,
+        )
+        params = dlrm.init_params(cfg, seed=0)
+        assert isinstance(params["emb"][0], dict)
+        sm = ptq_export(cfg, params, emb_bits=8, mlp_bits=32)
+        b = random_batch(cfg, 32, np.random.RandomState(1))
+        got = np.asarray(make_serving_fn(sm)(b))
+        want = np.asarray(dlrm.predict(cfg, self._unpacked_params(params, sm), b))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_weighted_pooling_served(self):
+        """v_W rides along fp32 and is applied as per-sample weights."""
+        cfg = DLRMConfig(
+            table_sizes=(512, 128, 64),
+            embedding_dim=8,
+            mlp_bot=(4, 16, 8),
+            mlp_top=(14, 8, 1),
+            weighted_pooling="learned",
+            pooling_size=3,
+        )
+        params = dlrm.init_params(cfg, seed=0)
+        rng = np.random.RandomState(7)
+        params["v_W"] = [
+            np.asarray(rng.uniform(0.5, 1.5, v.shape), np.float32)
+            for v in params["v_W"]
+        ]
+        sm = ptq_export(cfg, params, emb_bits=8, mlp_bits=32)
+        assert sm.vw is not None
+        b = random_batch(cfg, 32, rng)
+        got = np.asarray(make_serving_fn(sm)(b))
+        want = np.asarray(dlrm.predict(cfg, self._unpacked_params(params, sm), b))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+        # non-trivial weights must actually change the output
+        ones = dict(params)
+        ones["v_W"] = [np.ones_like(v) for v in params["v_W"]]
+        p_ones = np.asarray(
+            dlrm.predict(cfg, self._unpacked_params(ones, ptq_export(cfg, ones, 8, 32)), b)
+        )
+        assert np.max(np.abs(p_ones - got)) > 1e-4
+
+    def test_qr_int4_stays_correlated(self):
+        cfg = DLRMConfig(
+            table_sizes=(512, 300, 64),
+            embedding_dim=8,
+            mlp_bot=(4, 16, 8),
+            mlp_top=(14, 8, 1),
+            qr_flag=True,
+            qr_threshold=200,
+        )
+        params = dlrm.init_params(cfg, seed=2)
+        b = random_batch(cfg, 64, np.random.RandomState(3))
+        p_fp = np.asarray(dlrm.predict(cfg, params, b))
+        p4 = np.asarray(make_serving_fn(ptq_export(cfg, params, 4, 8))(b))
+        assert np.corrcoef(p4, p_fp)[0, 1] > 0.85
+
+    def test_qr_model_bytes_below_dense(self):
+        dense_cfg = DLRMConfig(
+            table_sizes=(4096, 4096, 64),
+            embedding_dim=8,
+            mlp_bot=(4, 16, 8),
+            mlp_top=(14, 8, 1),
+        )
+        qr_cfg = DLRMConfig(
+            table_sizes=(4096, 4096, 64),
+            embedding_dim=8,
+            mlp_bot=(4, 16, 8),
+            mlp_top=(14, 8, 1),
+            qr_flag=True,
+            qr_collisions=8,
+            qr_threshold=200,
+        )
+        sm_dense = ptq_export(dense_cfg, dlrm.init_params(dense_cfg, 0), 4, 8)
+        sm_qr = ptq_export(qr_cfg, dlrm.init_params(qr_cfg, 0), 4, 8)
+        assert serving_model_bytes(sm_qr) < serving_model_bytes(sm_dense) / 3
