@@ -93,6 +93,16 @@ class QuantConfig:
                 "quantize_activation requires per-tensor MLP scales "
                 "(mlp_channelwise=False)"
             )
+        if self.quantize_activation and self.quant_scheme != "hawq":
+            # The reference's PACT/LSQ Linears take the plain forward path
+            # (not the QuantAct scale chain): dlrm_s_pytorch_single_gpu_ysx
+            # apply_mlp dispatches on isinstance(layer, QuantLinear), which
+            # QuantLinearPACT/LSQ are not (ysx:576-640).
+            raise ValueError(
+                "quantize_activation is only supported with the hawq "
+                "scheme (the reference pairs PACT/LSQ with the plain "
+                "weight-quant forward)"
+            )
 
 
 @dataclass(frozen=True)

@@ -189,6 +189,28 @@ def init_params(config: DLRMConfig, seed: int = 0, dtype=jnp.float32) -> Params:
             else jnp.ones((), jnp.float32)  # QR/MD: unused placeholder
             for t in emb
         ]
+        if config.quant.quantize_mlp:
+            # MLP learned steps (QuantLinearLSQ, quant_learned_step_size_
+            # quan.py:32-57): per-out-channel for weights, per-tensor for
+            # bias, both from the init_from table-stats rule. The reference
+            # ctor hardcodes bit=4 there; we use weight_bit (set it to 4
+            # for exact parity) — documented in PARITY.md.
+            qpw = 2 ** (config.quant.weight_bit - 1) - 1
+            params["lsq_mlp"] = {
+                part: [
+                    {
+                        "w": 2.0
+                        * jnp.mean(jnp.abs(l["w"]), axis=1)
+                        / np.sqrt(qpw),
+                        "b": jnp.asarray(
+                            2.0 * jnp.mean(jnp.abs(l["b"])) / np.sqrt(qpw),
+                            jnp.float32,
+                        ),
+                    }
+                    for l in params[part]
+                ]
+                for part in ("bot", "top")
+            }
     return params
 
 
@@ -323,22 +345,40 @@ def _apply_mlp_quant(
     qc,
     last_linear: bool,
     cdtype=jnp.float32,
+    lsq_steps=None,
 ) -> jax.Array:
     """Weight-only QAT MLP (quantize_activation=False branch,
     quant_modules.py:138-186: out = linear(x, w_int, b_int) * s_w, which is
     exactly linear(x, fake_quant(w), fake_quant(b)) since the per-out-channel
-    rescale commutes with the matmul)."""
+    rescale commutes with the matmul).
+
+    Alternate schemes mirror the ysx driver's create_mlp dispatch
+    (dlrm_s_pytorch_single_gpu_ysx.py:299-345): "pact" = DoReFa fake-quant
+    of weights AND bias at weight_bit (QuantLinearPACT, quant_pact_dorefa.
+    py:42-53); "lsq" = learned-step fake-quant, per-out-channel steps for
+    weights + per-tensor for bias (QuantLinearLSQ) — `lsq_steps` carries
+    the per-layer trainable steps (params["lsq_mlp"][part])."""
     n = len(layers)
     for i, layer in enumerate(layers):
-        # Reference drivers construct QuantLinear with bias_bit = weight_bit
-        # (comm_grad.py:316-323); bias shares the weight scale, so a small
-        # bias_bit clips biases larger than max|w| (notably the final
-        # 1-output layer whose bias is ~N(0,1)). bias_bit=32 (our default)
-        # keeps the scale-sharing but removes the clip; set bias_bit ==
-        # weight_bit for exact reference parity.
-        s_w, w_fq, b_fq = _quant_linear_weights(
-            layer, qc.weight_bit, qc.bias_bit, qc.mlp_channelwise
-        )
+        if qc.quant_scheme == "pact":
+            w_fq = q.fake_quant_pact(layer["w"], qc.weight_bit)
+            b_fq = q.fake_quant_pact(layer["b"], qc.weight_bit)
+        elif qc.quant_scheme == "lsq":
+            st = lsq_steps[i]
+            w_fq = q.fake_quant_lsq(
+                layer["w"], st["w"], qc.weight_bit, per_channel=True
+            )
+            b_fq = q.fake_quant_lsq(layer["b"], st["b"], qc.weight_bit)
+        else:
+            # Reference drivers construct QuantLinear with bias_bit =
+            # weight_bit (comm_grad.py:316-323); bias shares the weight
+            # scale, so a small bias_bit clips biases larger than max|w|
+            # (notably the final 1-output layer whose bias is ~N(0,1)).
+            # bias_bit=32 (our default) keeps the scale-sharing but removes
+            # the clip; set bias_bit == weight_bit for exact parity.
+            s_w, w_fq, b_fq = _quant_linear_weights(
+                layer, qc.weight_bit, qc.bias_bit, qc.mlp_channelwise
+            )
         x = _mm(x, w_fq, cdtype) + b_fq
         if not (last_linear and i == n - 1):
             x = jax.nn.relu(x)
@@ -583,13 +623,15 @@ def forward(
     else:
         # Weight-only MLP quant (or emb-only when quantize_mlp=False):
         # comm_grad.py:852-859.
+        lsq_mlp = params.get("lsq_mlp")
         mlp_fn = (
-            lambda layers, x, last_linear: _apply_mlp_fp(
-                layers, x, last_linear, cdtype=cdtype
+            lambda part, x, last_linear: _apply_mlp_fp(
+                params[part], x, last_linear, cdtype=cdtype
             )
         ) if not qc.quantize_mlp else (
-            lambda layers, x, last_linear: _apply_mlp_quant(
-                layers, x, qc, last_linear, cdtype=cdtype
+            lambda part, x, last_linear: _apply_mlp_quant(
+                params[part], x, qc, last_linear, cdtype=cdtype,
+                lsq_steps=lsq_mlp[part] if lsq_mlp is not None else None,
             )
         )
         dense_in = batch.dense
@@ -609,7 +651,7 @@ def forward(
             new_act_max = new_act_max.at[0].set(
                 jnp.where(fixed, qstate.act_max[0], new_max0)
             )
-        x = mlp_fn(params["bot"], dense_in, last_linear=False)
+        x = mlp_fn("bot", dense_in, last_linear=False)
         ly = get_ly(full_precision)
         z = (
             quantized_dot_interaction(x, ly, qc.interaction_bit, config.interact_itself)
@@ -620,7 +662,7 @@ def forward(
                 else cat_interaction(x, ly)
             )
         )
-        logits = mlp_fn(params["top"], z, last_linear=True)
+        logits = mlp_fn("top", z, last_linear=True)
 
     logits = logits.reshape(-1)
     new_qstate = qstate._replace(act_min=new_act_min, act_max=new_act_max)

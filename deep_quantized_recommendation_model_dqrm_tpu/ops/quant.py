@@ -198,18 +198,32 @@ ste_round.defvjp(_ste_round_fwd, _ste_round_bwd)
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def fake_quant_pact(x: jax.Array, bits: int) -> jax.Array:
     """DoReFa/PACT-style weight fake-quant (quant_pact_dorefa.py:15-40).
 
     w_n = tanh(x) / (2 max|tanh(x)|) + 0.5 in [0,1]; uniform-quantize to
-    2^b-1 levels with STE; map back to [-1, 1].
+    2^b-1 levels; map back to [-1, 1]. The backward is IDENTITY over the
+    WHOLE transform — the reference's DoReFaQuant.backward returns dLdr_o
+    unchanged (quant_pact_dorefa.py:25-28, "formula (5)"), i.e. the STE
+    spans the tanh normalization too, not just the round.
     """
     t = jnp.tanh(x)
-    max_t = jax.lax.stop_gradient(jnp.max(jnp.abs(t)))
-    w_n = t / (2.0 * max_t) + 0.5
+    w_n = t / (2.0 * jnp.max(jnp.abs(t))) + 0.5
     n = 2**bits - 1
-    w_q = ste_round(w_n * n) / n
+    w_q = jnp.round(w_n * n) / n
     return 2.0 * w_q - 1.0
+
+
+def _fake_quant_pact_fwd(x, bits):
+    return fake_quant_pact(x, bits), None
+
+
+def _fake_quant_pact_bwd(bits, _, g):
+    return (g,)
+
+
+fake_quant_pact.defvjp(_fake_quant_pact_fwd, _fake_quant_pact_bwd)
 
 
 def _grad_scale(x: jax.Array, scale: jax.Array) -> jax.Array:
