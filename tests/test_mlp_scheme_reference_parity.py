@@ -302,3 +302,118 @@ class TestSchemeTrajectoryParity:
             our_losses.append(float(l))
 
         np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-4, atol=2e-5)
+
+
+def _import_ref_emb():
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    from quantization_supp.quant_pact_dorefa import (  # noqa
+        QuantEmbeddingBagPACT,
+    )
+    from quantization_supp.quant_learned_step_size_quan import (  # noqa
+        QuantEmbeddingBagLSQ,
+    )
+
+    return QuantEmbeddingBagPACT, QuantEmbeddingBagLSQ
+
+
+class TestEmbeddingSchemeParity:
+    """Embedding-side PACT/LSQ vs the actual reference modules: PACT
+    fake-quants the WEIGHT TABLE before the pooled gather
+    (QuantEmbeddingBagPACT.forward, quant_pact_dorefa.py:99-104); LSQ pools
+    first and fake-quants the POOLED OUTPUT with a learned per-table step
+    (QuantEmbeddingBagLSQ.forward, quant_learned_step_size_quan.py:87-103).
+    """
+
+    def test_pact_embedding_forward_and_grad(self):
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+
+        from deep_quantized_recommendation_model_dqrm_tpu.ops import quant as q
+        from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import (
+            pooled_lookup,
+        )
+
+        QuantEmbeddingBagPACT, _ = _import_ref_emb()
+        rng = np.random.RandomState(3)
+        n, d, B, P = 29, 8, 16, 3
+        w = rng.uniform(-0.3, 0.3, size=(n, d)).astype(np.float32)
+        idx = rng.randint(0, n, size=(B, P))
+        gout = rng.normal(size=(B, d)).astype(np.float32)
+
+        ref = QuantEmbeddingBagPACT(n, d, bitwidth=4)
+        with torch.no_grad():
+            ref.embedding_bag.weight.data = torch.tensor(w)
+        out_ref = ref(
+            torch.tensor(idx.reshape(-1)), torch.tensor(np.arange(B) * P)
+        )
+        out_ref.backward(torch.tensor(gout))
+        gw_ref = ref.embedding_bag.weight.grad.to_dense().numpy()
+
+        def ours(table):
+            return pooled_lookup(
+                q.fake_quant_pact(table, 4), jnp.asarray(idx.astype(np.int32)), None
+            )
+
+        out = np.asarray(ours(jnp.asarray(w)))
+        np.testing.assert_allclose(
+            out, out_ref.detach().numpy(), rtol=1e-5, atol=1e-6
+        )
+        gw = jax.grad(lambda t: jnp.sum(ours(t) * jnp.asarray(gout)))(
+            jnp.asarray(w)
+        )
+        np.testing.assert_allclose(np.asarray(gw), gw_ref, rtol=1e-5, atol=1e-6)
+
+    def test_lsq_embedding_forward_and_grad(self):
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+
+        from deep_quantized_recommendation_model_dqrm_tpu.ops import quant as q
+        from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import (
+            pooled_lookup,
+        )
+
+        _, QuantEmbeddingBagLSQ = _import_ref_emb()
+        rng = np.random.RandomState(4)
+        n, d, B, P = 23, 8, 16, 2
+        w = rng.uniform(-0.25, 0.25, size=(n, d)).astype(np.float32)
+        idx = rng.randint(0, n, size=(B, P))
+        gout = rng.normal(size=(B, d)).astype(np.float32)
+
+        ref = QuantEmbeddingBagLSQ(n, d)  # hardcodes bit=4
+        with torch.no_grad():
+            ref.embedding_bag.weight.data = torch.tensor(w)
+        # the ctor ran init_from on its own random W; re-init from the
+        # injected table (the driver's create_emb initializes in-module)
+        ref.quan_w_fn.init_from(ref.embedding_bag.weight)
+        out_ref = ref(
+            torch.tensor(idx.reshape(-1)), torch.tensor(np.arange(B) * P)
+        )
+        out_ref.backward(torch.tensor(gout))
+        gw_ref = ref.embedding_bag.weight.grad.to_dense().numpy()
+
+        qp = 2 ** (4 - 1) - 1
+        step0 = np.float32(2.0 * np.abs(w).mean() / np.sqrt(qp))
+        np.testing.assert_allclose(
+            step0, float(ref.quan_w_fn.s.detach()), rtol=1e-6
+        )
+
+        def ours(table, s):
+            pooled = pooled_lookup(table, jnp.asarray(idx.astype(np.int32)), None)
+            return q.fake_quant_lsq(pooled, s, 4)
+
+        out = np.asarray(ours(jnp.asarray(w), jnp.asarray(step0)))
+        np.testing.assert_allclose(
+            out, out_ref.detach().numpy(), rtol=1e-5, atol=1e-6
+        )
+        gw, gs = jax.grad(
+            lambda t, s: jnp.sum(ours(t, s) * jnp.asarray(gout)), argnums=(0, 1)
+        )(jnp.asarray(w), jnp.asarray(step0))
+        np.testing.assert_allclose(np.asarray(gw), gw_ref, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            float(gs), float(ref.quan_w_fn.s.grad), rtol=1e-4, atol=1e-6
+        )
