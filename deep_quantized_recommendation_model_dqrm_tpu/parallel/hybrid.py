@@ -353,6 +353,15 @@ def make_hybrid_train_step(
     for its local tables). Output: (HybridState, mean loss).
     """
     qc = config.quant
+    if qc.enabled and qc.quantize_emb and qc.quant_scheme == "pact":
+        # PACT fake-quants the WEIGHT TABLE before the gather
+        # (quant_pact_dorefa.py:99-104, lookup_all); the mega-table engines
+        # gather raw rows and quantize pooled outputs only — running them
+        # would silently train FP32 embeddings.
+        raise NotImplementedError(
+            "quant_scheme='pact' (weight-side emb quant) is not supported "
+            "by the row-sharded engines; use parallelism=none or dp"
+        )
     has_vw = config.weighted_pooling is not None
     learned_vw = config.weighted_pooling == "learned"
     n_dev = plan.n_dev

@@ -217,6 +217,13 @@ def make_rowshard_train_step(
     from deep_quantized_recommendation_model_dqrm_tpu.ops import quant as q
 
     qc = config.quant
+    if qc.enabled and qc.quantize_emb and qc.quant_scheme == "pact":
+        # see make_hybrid_train_step: PACT quantizes table rows pre-gather,
+        # which the sharded gather here bypasses
+        raise NotImplementedError(
+            "quant_scheme='pact' (weight-side emb quant) is not supported "
+            "by the row-sharded engines; use parallelism=none or dp"
+        )
     n_dev = plan.n_dev
     chunk = plan.chunk
     table_base = jnp.asarray(plan.table_base)

@@ -782,11 +782,13 @@ def run(argv=None) -> dict:
         # explicit-sparse embedding updates guarantee O(touched rows)
         # update cost (see train_step._build_sparse_step_fn); the
         # dense-autodiff body is required when table gradients are
-        # not pure gathers (PACT weight-side quant, learned pooling
-        # weights, QR/MD).
+        # not pure gathers (learned pooling weights, QR/MD). All three
+        # quant schemes qualify: hawq/lsq quantize the pooled OUTPUT and
+        # pact's DoReFa STE is identity over the whole weight transform,
+        # so d loss/d table == scatter(g_pooled) exactly
+        # (tests/test_model.py::test_sparse_step_matches_dense_for_schemes).
         return (
             tc.optimizer in ("sgd", "adagrad", "rwsadagrad")
-            and eff.quant.quant_scheme == "hawq"
             and eff.weighted_pooling != "learned"
             and not (eff.qr_flag or eff.md_flag)
         )

@@ -327,6 +327,43 @@ class TestSparseStep:
         for a, b_ in zip(s1.params["emb"], s2.params["emb"]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
 
+    @pytest.mark.parametrize("scheme", ["pact", "lsq"])
+    def test_sparse_step_matches_dense_for_schemes(self, scheme):
+        """The explicit sparse-update body is EXACT for pact/lsq too:
+        PACT's DoReFa STE is identity over the whole weight transform
+        (d loss/d table == scatter(g_pooled)); LSQ quantizes the pooled
+        OUTPUT, so rows stay a pure gather. This is what lets train.py's
+        _sparse_ok and the accuracy proxy take the sparse path for all
+        three schemes."""
+        cfg = tiny_cfg(enabled=True, quant_scheme=scheme, scale_update_period=2)
+        tc = TrainConfig(batch_size=32, learning_rate=0.1)
+        s1 = init_train_state(cfg, tc)
+        s2 = init_train_state(cfg, tc)
+        dense = make_train_step(cfg, tc)
+        sparse = make_train_step(cfg, tc, sparse_emb_grad=True)
+        rng = np.random.RandomState(2)
+        for _ in range(3):
+            b = random_batch(cfg, 32, rng)
+            s1, l1 = dense(s1, b)
+            s2, l2 = sparse(s2, b)
+            assert np.isclose(float(l1), float(l2), rtol=1e-5)
+        for a, b_ in zip(s1.params["emb"], s2.params["emb"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
+        for da, sa in zip(s1.params["top"], s2.params["top"]):
+            np.testing.assert_allclose(
+                np.asarray(da["w"]), np.asarray(sa["w"]), atol=1e-6
+            )
+        if scheme == "lsq":
+            # trainable quantizer steps must follow the same trajectory
+            for a, b_ in zip(s1.params["lsq_emb"], s2.params["lsq_emb"]):
+                np.testing.assert_allclose(float(a), float(b_), atol=1e-7)
+            for pa, pb in zip(
+                s1.params["lsq_mlp"]["top"], s2.params["lsq_mlp"]["top"]
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(pa["w"]), np.asarray(pb["w"]), atol=1e-7
+                )
+
     def test_sparse_step_rwsadagrad_close_to_dense(self):
         # coalesced sparse updates match the dense rwsadagrad exactly
         tc = TrainConfig(batch_size=8, learning_rate=0.1, optimizer="rwsadagrad")

@@ -243,6 +243,93 @@ class TestHybrid:
         )
 
 
+class TestSchemeEngines:
+    """PACT/LSQ quant schemes through the distributed engines.
+
+    PACT through dp (uncompressed) must reproduce single-chip trajectories
+    EXACTLY (identity STE: row grads are pure scatters, weight grads plain).
+    LSQ through dp/hybrid TRACKS single-chip but is not bit-equal: the
+    learned-step gradient scale is 1/sqrt(x.numel()*Qp) (quantizer/lsq.py:
+    49-53) and the pooled output is batch-sharded, so each replica uses its
+    LOCAL numel — the same semantics torch DDP of LsqQuan produces. The
+    row-sharded engines must REJECT PACT (weight-side emb quant happens
+    before the gather the mega-table engines bypass)."""
+
+    def _run_pair(self, cfg, make_dist_state, make_dist_step, loss_rtol,
+                  n_steps=3):
+        tc = TC.replace(grad_quant_bits=32)
+        dstate = make_dist_state(cfg, tc)
+        dstep = make_dist_step(cfg, tc)
+        sstate = init_train_state(cfg, tc)
+        sstep = make_train_step(cfg, tc)
+        rng = np.random.RandomState(17)
+        for _ in range(n_steps):
+            b = random_batch(cfg, 64, rng)
+            dstate, dloss = dstep(dstate, b)
+            jax.block_until_ready(dstate)
+            sstate, sloss = sstep(sstate, b)
+            assert np.isclose(float(dloss), float(sloss), rtol=loss_rtol), (
+                float(dloss), float(sloss),
+            )
+        return dstate, sstate
+
+    def test_pact_dp_matches_single_chip_exactly(self):
+        cfg = qcfg(enabled=True, quant_scheme="pact", scale_update_period=2)
+        mesh = make_mesh(8)
+        dstate, sstate = self._run_pair(
+            cfg,
+            comm_grad.init_dp_state,
+            lambda c, t: comm_grad.make_dp_train_step(c, t, mesh),
+            loss_rtol=1e-4,
+        )
+        for a, b_ in zip(dstate.params["emb"], sstate.params["emb"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+    def test_lsq_dp_tracks_single_chip(self):
+        cfg = qcfg(enabled=True, quant_scheme="lsq", scale_update_period=2)
+        mesh = make_mesh(8)
+        dstate, sstate = self._run_pair(
+            cfg,
+            comm_grad.init_dp_state,
+            lambda c, t: comm_grad.make_dp_train_step(c, t, mesh),
+            loss_rtol=3e-3,
+        )
+        # tables follow the same trajectory up to the step-size drift
+        for a, b_ in zip(dstate.params["emb"], sstate.params["emb"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3)
+        # steps are finite, positive, and actually moved from init
+        for s in dstate.params["lsq_emb"]:
+            assert np.isfinite(float(s)) and float(s) > 0
+
+    def test_lsq_hybrid_tracks_single_chip(self):
+        cfg = qcfg(enabled=True, quant_scheme="lsq", scale_update_period=2)
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(cfg.table_sizes, 8)
+        dstate, sstate = self._run_pair(
+            cfg,
+            lambda c, t: hybrid.init_hybrid_state(c, t, mesh, plan),
+            lambda c, t: hybrid.make_hybrid_train_step(c, t, mesh, plan),
+            loss_rtol=3e-3,
+        )
+        back = hybrid.unpack_tables(dstate.mega, plan, cfg.table_sizes)
+        for a, b_ in zip(back, sstate.params["emb"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3)
+
+    def test_pact_rejected_by_rowsharded_engines(self):
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel import (
+            rowshard,
+        )
+
+        cfg = qcfg(enabled=True, quant_scheme="pact", scale_update_period=2)
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(cfg.table_sizes, 8)
+        with pytest.raises(NotImplementedError, match="pact"):
+            hybrid.make_hybrid_train_step(cfg, TC, mesh, plan)
+        rplan = rowshard.plan_row_sharding(cfg.table_sizes, 8)
+        with pytest.raises(NotImplementedError, match="pact"):
+            rowshard.make_rowshard_train_step(cfg, TC, mesh, rplan)
+
+
 class TestNoSyncDP:
     def test_replicas_drift_without_sync(self):
         """Local-SGD ablation: no grad sync => per-device replicas diverge;
