@@ -223,6 +223,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--process-id", type=int, default=-1)
     p.add_argument("--investigating-inputs", action="store_true")
     p.add_argument("--debug-mode", action="store_true")
+    p.add_argument("--print-precision", type=int, default=5,
+                   help="np.set_printoptions precision "
+                        "(dlrm_s_pytorch.py:1061-1062)")
+    p.add_argument("--plot-compute-graph", action="store_true",
+                   help="dump the train step's lowered StableHLO to "
+                        "<log-dir>/compute_graph.stablehlo.txt (the "
+                        "torchviz analogue, dlrm_s_pytorch.py:1797-1803)")
     p.add_argument("--enable-profiling", action="store_true")
     p.add_argument("--profile-dir", type=str, default="/tmp/dqrm_trace")
     p.add_argument("--platform", type=str, default="")
@@ -554,6 +561,7 @@ def evaluate(cfg, state, test_loader, eval_fn, max_batches: Optional[int] = None
 
 def run(argv=None) -> dict:
     args = build_parser().parse_args(argv)
+    np.set_printoptions(precision=args.print_precision)
     if args.platform:
         import jax
 
@@ -1168,6 +1176,36 @@ def run(argv=None) -> dict:
                 {"epoch": tc.nepochs, "batch": 0, "iter": it,
                  "test_acc": result.get("accuracy", 0.0)},
             )
+    if args.plot_compute_graph and rank == 0:
+        # torchviz compute-graph analogue (dlrm_s_pytorch.py:1797-1803):
+        # dump the last train step's lowered StableHLO (lowering only
+        # re-traces with abstract shapes; nothing executes).
+        try:
+            gstate = {
+                "dp": lambda: dstate, "dp-nosync": lambda: dstate,
+                "hybrid": lambda: hstate, "rowshard": lambda: hstate,
+                "pseudo": lambda: pstate,
+            }.get(step_mode, lambda: state)()
+            if multi_k > 1:
+                from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+                    stack_batches,
+                )
+
+                arg = (
+                    [batch] * multi_k
+                    if step_mode in ("dp", "dp-nosync", "hybrid", "rowshard")
+                    else stack_batches([batch] * multi_k)
+                )
+            else:
+                arg = batch
+            out = os.path.join(
+                args.log_dir or ".", "compute_graph.stablehlo.txt"
+            )
+            with open(out, "w") as f:
+                f.write(step_fn.lower(gstate, arg).as_text())
+            rank0_print(rank, f"compute graph -> {out}")
+        except Exception as e:  # pragma: no cover - best-effort tool
+            rank0_print(rank, f"plot-compute-graph failed: {e}")
     document_tables("1")
     logger.close()
     return result

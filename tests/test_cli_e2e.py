@@ -381,6 +381,17 @@ class TestSyntheticDataKnobs:
             not _np.array_equal(before[k], after[k]) for k in before.files
         ), "training must have changed at least one table"
 
+    def test_plot_compute_graph(self, tmp_path):
+        m = run(_rand_argv([
+            "--plot-compute-graph", f"--log-dir={tmp_path}",
+            "--quantization_flag", "--scale-update-period=4",
+        ]))
+        assert np.isfinite(m["roc_auc"])
+        text = (tmp_path / "compute_graph.stablehlo.txt").read_text()
+        # lowered StableHLO of the jitted train step
+        assert "stablehlo" in text or "module @" in text
+        assert "dot_general" in text  # the MLP matmuls are in the graph
+
     def test_mlperf_bin_shuffle(self, tmp_path):
         raw = write_raw(str(tmp_path / "raw.txt"), 400, seed=2)
         out = str(tmp_path / "proc")
