@@ -5,8 +5,24 @@ Prints ONE JSON line:
    "vs_baseline": <baseline_ms / ours_ms>}
 
 Baseline: the reference's single-device Kaggle DQRM INT4 at 22 ms/it
-(paper Table 3a, 1x A5000, batch 128 — BASELINE.md). vs_baseline > 1 means
+(paper Table 3a, 1x A5000, batch 128 - BASELINE.md). vs_baseline > 1 means
 faster than the reference.
+
+Methodology (IMPORTANT - see .claude/skills/verify/SKILL.md): on the
+tunneled TPU backend `jax.block_until_ready` returns at ENQUEUE, not at
+completion, so naive timings measure host dispatch throughput (micro-
+seconds/it) instead of device compute. The honest measurement is:
+
+  1. chain N megastep dispatches (each k=16 steps, state-dependent),
+  2. force completion with ONE scalar readback (`float(loss)` waits for
+     the full dependency chain),
+  3. take the SLOPE between two chain lengths so the ~27 ms readback RTT
+     and any warm-queue offset cancel:  ms/it = (T2-T1)/((N2-N1)*k).
+
+Measured on v5e-1 (2026-08-19): sparse megastep 0.42 ms/it at batch 128
+(the explicit-sparse production path, train.py --steps-per-dispatch=16);
+the dense-autodiff body is 14.3 ms/it (XLA does NOT fuse the full-table
+scatter on the real chip) and is not the CLI path for plain DLRM.
 """
 
 from __future__ import annotations
@@ -23,13 +39,11 @@ from deep_quantized_recommendation_model_dqrm_tpu.config import (
     kaggle_config,
 )
 from deep_quantized_recommendation_model_dqrm_tpu.data.synthetic import random_batch
-from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
-    init_train_state,
-    make_train_step,
-)
 
 BASELINE_MS = 22.0  # paper Table 3a: DQRM INT4 Kaggle, 22 ms/it on A5000
 BATCH = 128  # README Kaggle recipe --mini-batch-size=128
+K = 16  # steps per dispatch (train.py --steps-per-dispatch)
+N1, N2 = 25, 75  # chain lengths for the slope
 
 
 def _fast_device_init(cfg):
@@ -63,6 +77,27 @@ def _fast_device_init(cfg):
     return {"bot": mlp(cfg.mlp_bot), "top": mlp(cfg.mlp_top), "emb": emb}
 
 
+def sustained_ms_per_it(step_fn, state, arg, steps_per_call, n1=N1, n2=N2):
+    """Chain-slope timing with forced readback (see module docstring).
+
+    `step_fn(state, arg) -> (state, loss)` must be state-dependent so the
+    chain serializes on device. Returns (ms_per_it, final_state)."""
+
+    def run(n, st):
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(n):
+            st, loss = step_fn(st, arg)
+        float(loss)  # forces completion of the whole chain
+        return time.perf_counter() - t0, st
+
+    state, loss = step_fn(state, arg)  # compile + warm
+    float(loss)
+    t1, state = run(n1, state)
+    t2, state = run(n2, state)
+    return (t2 - t1) / ((n2 - n1) * steps_per_call) * 1e3, state
+
+
 def main() -> None:
     from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm
     from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
@@ -75,23 +110,13 @@ def main() -> None:
     )
     tc = TrainConfig(batch_size=BATCH, learning_rate=0.1)
 
-    # The K-step megastep (one dispatch per K batches, K steps unrolled in
-    # one jit) is the production training path (`--steps-per-dispatch`):
-    # DQRM's device step is ~10 us on a v5e chip, so a per-step Python
-    # dispatch (~0.2 ms on a tunneled host) would be measuring the HOST, not
-    # the chip. Measured round-1 history confirms it: the per-step async
-    # loop read 0.13/0.19/0.23 ms/it across sessions with enqueue time ==
-    # total time (pure dispatch throughput). Unrolling preserves XLA's
-    # scatter-update fusion (a lax.scan megastep breaks it: 0.37 ms/it).
-    K = 16
     rng = np.random.RandomState(0)
-    # list of pre-staged DEVICE batches (the exact configuration measured at
-    # 0.012-0.023 ms/it on chip); host-side loops use the stacked form
-    # instead to cut tunnel uploads (train_step.stack_batches)
     batches = [
         jax.device_put(random_batch(cfg, BATCH, rng)) for _ in range(K)
     ]
-    multi = make_multi_train_step(cfg, tc, K)
+    # the explicit-sparse megastep: the production path train.py takes for
+    # plain DLRM (O(touched rows) updates; proven equal to dense autodiff)
+    multi = make_multi_train_step(cfg, tc, K, sparse_emb_grad=True)
 
     state = TrainState(
         params=_fast_device_init(cfg),
@@ -99,32 +124,17 @@ def main() -> None:
         qstate=dlrm.init_quant_state(cfg),
     )
 
-    # Warmup: compile + first megastep (includes the periodic scale scan).
-    state, loss = multi(state, batches)
-    jax.block_until_ready(loss)
-
-    # Measurement: n_disp state-dependent megastep dispatches, block once.
-    # Best of 4 repetitions to reject host/tunnel jitter.
-    n_disp = 25  # 400 steps per repetition
     best = float("inf")
-    for _ in range(4):
-        t0 = time.perf_counter()
-        for _ in range(n_disp):
-            state, loss = multi(state, batches)
-        jax.block_until_ready(loss)
-        best = min(best, (time.perf_counter() - t0) / (n_disp * K) * 1e3)
-    dt_ms = best
+    for _ in range(2):
+        ms_it, state = sustained_ms_per_it(multi, state, batches, K)
+        best = min(best, ms_it)
 
-    print(
-        json.dumps(
-            {
-                "metric": "qat_train_step_ms",
-                "value": round(dt_ms, 4),
-                "unit": "ms",
-                "vs_baseline": round(BASELINE_MS / dt_ms, 2),
-            }
-        )
-    )
+    print(json.dumps({
+        "metric": "qat_train_step_ms",
+        "value": round(best, 4),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / best, 2),
+    }))
 
 
 if __name__ == "__main__":

@@ -3,6 +3,12 @@
 Measures the PTQ inference path (bit-packed tables + int8 MLP) at the
 reference's test batch size. Prints one JSON line per configuration.
 
+Methodology: on the tunneled TPU backend `block_until_ready` returns at
+ENQUEUE (see .claude/skills/verify/SKILL.md), so each iteration's input
+carries a data dependency on the previous output (forcing on-device
+serialization), the chain ends with one scalar readback, and the reported
+latency is the SLOPE between two chain lengths (readback RTT cancels).
+
 Usage: python tools/bench_serving.py [--batch 16384] [--iters 30]
 """
 
@@ -16,6 +22,27 @@ import time
 sys.path.insert(0, ".")
 
 import numpy as np
+
+
+def _sustained_latency_s(fn, batch, n1: int, n2: int) -> float:
+    """Per-call latency via chained dispatches + one readback, slope of two
+    chain lengths. `fn(batch) -> scores [B]`; the next call's dense input
+    adds scores[0]*0 so the chain is data-dependent end to end."""
+    import jax.numpy as jnp
+
+    def run(n):
+        b = batch
+        t0 = time.perf_counter()
+        y = None
+        for _ in range(n):
+            y = fn(b)
+            b = b._replace(dense=batch.dense + y[0] * 0.0)
+        float(jnp.sum(y))  # forces completion of the whole chain
+        return time.perf_counter() - t0
+
+    run(2)  # warm both input shapes/specializations
+    t1, t2 = run(n1), run(n2)
+    return (t2 - t1) / (n2 - n1)
 
 
 def main() -> None:
@@ -59,9 +86,6 @@ def main() -> None:
     )
     del params
 
-    fns = {impl: make_serving_fn(sm, mlp_impl=impl)
-           for impl in ("xla", "int8")}
-    fn = fns["xla"]
     rng = np.random.RandomState(0)
     B = args.batch
     import jax.numpy as jnp
@@ -76,40 +100,18 @@ def main() -> None:
         labels=jnp.zeros((B,), jnp.float32),
         mask=None,
     )
-    t0 = time.time()
-    fn(batch).block_until_ready()
-    print(f"# compile+first run: {time.time()-t0:.1f}s", flush=True)
-    t0 = time.perf_counter()
-    ys = [fn(batch) for _ in range(args.iters)]
-    jax.block_until_ready(ys)
-    dt = (time.perf_counter() - t0) / args.iters
-    qps = B / dt
-    print(
-        json.dumps(
-            {
-                "metric": "serving_qps_per_chip",
-                "value": round(qps),
-                "unit": f"predictions/s (batch {B}, INT{args.emb_bits} emb, INT8 mlp)",
-                "vs_baseline": None,
-                "latency_ms": round(dt * 1e3, 3),
-            }
-        ),
-        flush=True,
-    )
-
-
-    for impl, f in fns.items():
-        f(batch).block_until_ready()
-        t0 = time.perf_counter()
-        ys = [f(batch) for _ in range(args.iters)]
-        jax.block_until_ready(ys)
-        dt = (time.perf_counter() - t0) / args.iters
+    n1, n2 = max(args.iters // 3, 5), args.iters
+    for impl in ("xla", "int8"):
+        f = make_serving_fn(sm, mlp_impl=impl)
+        dt = _sustained_latency_s(f, batch, n1, n2)
         print(
             json.dumps(
                 {
                     "metric": f"serving_qps_per_chip_{impl}",
-                    "value": round(args.batch / dt),
-                    "unit": f"predictions/s (batch {args.batch}, mlp_impl={impl})",
+                    "value": round(B / dt),
+                    "unit": f"predictions/s (batch {B}, INT{args.emb_bits} "
+                            f"emb, mlp_impl={impl})",
+                    "latency_ms": round(dt * 1e3, 3),
                 }
             ),
             flush=True,
