@@ -67,11 +67,12 @@ def _fast_device_init(cfg):
             )
         return layers
 
+    t_dtype = jnp.bfloat16 if cfg.table_dtype == "bfloat16" else jnp.float32
     emb = [
         jax.random.uniform(
             ks[next(ki)], (n, cfg.embedding_dim), jnp.float32,
             -(1.0 / n) ** 0.5, (1.0 / n) ** 0.5,
-        )
+        ).astype(t_dtype)
         for n in cfg.table_sizes
     ]
     return {"bot": mlp(cfg.mlp_bot), "top": mlp(cfg.mlp_top), "emb": emb}

@@ -297,18 +297,27 @@ def make_multi_train_step(
     tc: TrainConfig,
     k: int,
     sparse_emb_grad: bool = False,
+    use_scan: bool = True,
 ):
     """K-step training megastep: one dispatch runs `k` sequential train
-    steps (UNROLLED inside one jit — `lax.scan` would break XLA's
-    scatter-update fusion and rewrite the full tables every iteration;
-    unrolling preserves it).
+    steps via `lax.scan` (numerically identical to `k` calls of the single
+    step — losses come out stacked, the last one is returned).
 
-    Numerically identical to `k` calls of the single step. Takes
-    (TrainState, [Batch; k] list) and returns (state, last loss). Python
-    dispatch overhead on a tunneled host is ~0.2 ms/call — at DQRM step
-    times (~10 us on one v5e chip) the dispatch IS the training wall-clock,
-    so amortizing it over k steps is the difference between ~5k and ~50k
-    steps/s. Compile time grows ~linearly in k (k=16 ~= 40 s remote).
+    Takes (TrainState, [Batch; k] list or one Batch with a leading [k]
+    axis) and returns (state, last loss). The stacked form is strongly
+    preferred on tunneled hosts: a list dispatch uploads ~4k separate host
+    buffers (each a tunnel round trip); stacked is 3-4 uploads total.
+
+    Why a megastep at all: per-dispatch overhead on a tunneled host is
+    ~0.3 ms while the sparse step computes in ~0.4 ms (honest chain-slope
+    measurement, bench.py) — k=16 amortizes the dispatch to noise.
+
+    Why scan: measured EQUAL to the unrolled form on chip (0.423 vs
+    0.417 ms/it, 2026-08-19 — the round-1 "scan breaks scatter fusion"
+    finding was an enqueue-timing artifact), compiles in seconds instead
+    of ~40 s, and its program footprint stays O(1) in k (the unrolled
+    Terabyte-arch k=16 megastep OOMs HBM at 11.8 GB of program memory;
+    the scan form fits). `use_scan=False` restores the unrolled body.
     """
     body = (
         _build_sparse_step_fn(config, tc)
@@ -316,13 +325,28 @@ def make_multi_train_step(
         else _build_step_fn(config, tc)
     )
 
+    def _stack_in_graph(batches):
+        return dlrm.Batch(
+            dense=jnp.stack([b.dense for b in batches]),
+            indices=jnp.stack([b.indices for b in batches]),
+            labels=jnp.stack([b.labels for b in batches]),
+            mask=None
+            if batches[0].mask is None
+            else jnp.stack([b.mask for b in batches]),
+        )
+
     def multi(state: TrainState, batches):
-        # Accepts a list of k Batches OR one Batch with a leading [k] axis.
-        # The stacked form is strongly preferred on tunneled hosts: a list
-        # dispatch uploads ~4k separate host buffers (each a tunnel round
-        # trip); stacked is 3-4 uploads total (measured 10 s -> ms per
-        # dispatch on the remote chip).
         loss = None
+        if use_scan:
+            stacked = (
+                batches
+                if isinstance(batches, dlrm.Batch)
+                else _stack_in_graph(list(batches))
+            )
+            state, losses = jax.lax.scan(
+                lambda st, b: body(st, b), state, stacked
+            )
+            return state, losses[-1]
         if isinstance(batches, dlrm.Batch):  # stacked [k, ...] form
             for i in range(k):
                 b = jax.tree_util.tree_map(lambda x: x[i], batches)
