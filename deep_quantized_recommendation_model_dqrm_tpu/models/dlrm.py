@@ -224,8 +224,13 @@ def compute_emb_scales(config: DLRMConfig, params: Params) -> jax.Array:
     quant_utils.py:141-194). One fused reduction per table. QR/MD tables
     stay full-precision (reference create_emb dispatch precedes the
     quantization branch) and get placeholder scales."""
+    # NOTE: reduce in the table's own dtype and convert only the SCALAR
+    # extrema — `t.astype(f32)` here would materialize a full fp32 copy of
+    # every table inside the lax.cond branch (12.6 GB of program memory for
+    # bf16 Terabyte tables; caused a real HBM OOM). min/max over bf16 is
+    # exact, so the scale is unchanged.
     scales = [
-        q.table_scale(config.quant.embedding_bit, t.astype(jnp.float32))
+        q.table_scale(config.quant.embedding_bit, t)
         if not isinstance(t, dict)
         else jnp.ones((), jnp.float32)
         for t in params["emb"]

@@ -64,8 +64,11 @@ def table_scale(bits: int, table: jax.Array) -> jax.Array:
     — a double min/max reduction that never materializes a copy; under XLA a
     full-array reduce is a single fused pass over HBM.
     """
-    w_min = jnp.min(table)
-    w_max = jnp.max(table)
+    # reduce in the table's own dtype (exact for min/max), convert only the
+    # scalar extrema — casting the whole table first would materialize a
+    # full-size fp32 temporary (see models/dlrm.compute_emb_scales)
+    w_min = jnp.min(table).astype(jnp.float32)
+    w_max = jnp.max(table).astype(jnp.float32)
     return symmetric_quantization_params(bits, w_min, w_max)
 
 

@@ -213,6 +213,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="unroll N train steps into one jitted dispatch "
                         "(single-chip mode): amortizes host dispatch "
                         "overhead ~N-fold; numerically identical")
+    p.add_argument("--pin-table-layout", action="store_true",
+                   help="pin embedding tables to row-major device layouts "
+                        "(single-chip megastep): removes XLA's per-dispatch "
+                        "layout-conversion copies at the cost of lane "
+                        "padding at rest (rows pad to 128 lanes) — use for "
+                        "wide-dim models (Terabyte d=64: OOM -> 9.3 ms/it)")
     # multi-process launch (the reference's -n/-g/-nr + MASTER_ADDR/PORT env,
     # dlrm_s_pytorch_comm_grad.py:1159-1167; rank discovery
     # extend_distributed.py:74-132). All three also read from env
@@ -607,6 +613,18 @@ def run(argv=None) -> dict:
     mll.start("init")
 
     state = init_train_state(cfg, tc)
+    if args.pin_table_layout:
+        if args.parallelism != "none":
+            raise SystemExit(
+                "--pin-table-layout applies to the single-chip megastep "
+                "(parallelism=none); the sharded engines manage their own "
+                "mega-table layout"
+            )
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            pin_params_layout,
+        )
+
+        state = state._replace(params=pin_params_layout(state.params))
     if args.debug_mode:
         # arch + initial parameter printout (dlrm_s_pytorch.py:1210-1263)
         rank0_print(rank, f"model config: {cfg}")
@@ -838,12 +856,26 @@ def run(argv=None) -> dict:
                 )
             elif k > 1:
                 from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+                    jit_with_pinned_tables,
                     make_multi_train_step,
                 )
 
-                _step_cache[key] = make_multi_train_step(
-                    eff, tc, k, sparse_emb_grad=_sparse_ok(eff)
-                )
+                if args.pin_table_layout:
+                    # row-major table layouts: no boundary relayout copies
+                    # (see train_step.pin_params_layout; the state was
+                    # pinned after init). Memory cost: rows pad to 128
+                    # lanes — use for wide-dim (d>=64) models.
+                    _step_cache[key] = jit_with_pinned_tables(
+                        make_multi_train_step(
+                            eff, tc, k,
+                            sparse_emb_grad=_sparse_ok(eff), _jit=False,
+                        ),
+                        state,
+                    )
+                else:
+                    _step_cache[key] = make_multi_train_step(
+                        eff, tc, k, sparse_emb_grad=_sparse_ok(eff)
+                    )
             else:
                 _step_cache[key] = make_train_step(
                     eff, tc, sparse_emb_grad=_sparse_ok(eff)

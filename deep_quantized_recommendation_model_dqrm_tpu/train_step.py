@@ -298,6 +298,7 @@ def make_multi_train_step(
     k: int,
     sparse_emb_grad: bool = False,
     use_scan: bool = True,
+    _jit: bool = True,
 ):
     """K-step training megastep: one dispatch runs `k` sequential train
     steps via `lax.scan` (numerically identical to `k` calls of the single
@@ -356,7 +357,65 @@ def make_multi_train_step(
                 state, loss = body(state, b)
         return state, loss
 
+    if not _jit:
+        # raw body for callers that jit with extra constraints
+        # (jit_with_pinned_tables)
+        return multi
     return jax.jit(multi, donate_argnums=(0,))
+
+
+def _rowmajor_format():
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    dev = jax.devices()[0]
+    return Format(
+        Layout(major_to_minor=(0, 1)), SingleDeviceSharding(dev)
+    )
+
+
+def pin_params_layout(params: dlrm.Params) -> dlrm.Params:
+    """Relayout the embedding tables to ROW-MAJOR, one table at a time
+    (staged so the compact original is freed before the next relayout —
+    doing the whole model at once transiently doubles HBM).
+
+    Why: XLA stores [n, d] tables column-major at rest (compact: the long
+    axis rides the 128 lanes) but the scatter-update wants row-major, so
+    every megastep dispatch pays two full-model layout-conversion copies —
+    and the conversion temporaries OOM HBM for the 6.3 GB Terabyte model
+    (measured: the bf16 d=64 k=16 megastep allocates 11.7 GB of program
+    memory and dies). Pinning row-major kills the copies at the cost of
+    lane padding AT REST: rows pad to 128 lanes, so memory grows by
+    128/(d*4/elem_bytes) — 2x for bf16 d=64 (fits: 11.7 GB), 8x for fp32
+    d=16 (do NOT pin the Kaggle model). Measured Terabyte k=16: OOM ->
+    9.29 ms/it at batch 2048.
+    """
+    fmt = _rowmajor_format()
+    emb = list(params["emb"])
+    for i, t in enumerate(emb):
+        if isinstance(t, dict):
+            continue  # QR/MD trick tables are small; leave default
+        emb[i] = jax.device_put(t, fmt)
+        emb[i].block_until_ready()
+    return {**params, "emb": emb}
+
+
+def jit_with_pinned_tables(fn, state_template: TrainState):
+    """jit `fn(state, batches) -> (state, loss)` with the emb tables pinned
+    to row-major layouts on both the inputs and outputs (so the layout is
+    stable across dispatches — no boundary conversions). The state passed
+    at call time must already be `pin_params_layout`-ed."""
+    fmt = _rowmajor_format()
+    spec = jax.tree_util.tree_map(lambda x: None, state_template)
+    emb_spec = [
+        None if isinstance(t, dict) else fmt
+        for t in state_template.params["emb"]
+    ]
+    spec = spec._replace(params={**spec.params, "emb": emb_spec})
+    return jax.jit(
+        fn, donate_argnums=(0,), in_shardings=(spec, None),
+        out_shardings=(spec, None),
+    )
 
 
 def stack_batches(batches) -> dlrm.Batch:

@@ -381,6 +381,13 @@ class TestSyntheticDataKnobs:
             not _np.array_equal(before[k], after[k]) for k in before.files
         ), "training must have changed at least one table"
 
+    def test_pin_table_layout(self, tmp_path):
+        m = run(_rand_argv([
+            "--pin-table-layout", "--steps-per-dispatch=4",
+            "--quantization_flag", "--scale-update-period=4",
+        ]))
+        assert np.isfinite(m["roc_auc"])
+
     def test_plot_compute_graph(self, tmp_path):
         m = run(_rand_argv([
             "--plot-compute-graph", f"--log-dir={tmp_path}",

@@ -378,6 +378,41 @@ class TestSparseStep:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
 
 
+class TestPinnedTableLayout:
+    def test_pinned_megastep_matches_default(self):
+        """pin_params_layout + jit_with_pinned_tables (row-major device
+        layouts for the tables — the Terabyte OOM/speed fix) is a pure
+        layout change: trajectories must be identical."""
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            jit_with_pinned_tables,
+            make_multi_train_step,
+            pin_params_layout,
+            stack_batches,
+        )
+
+        cfg = tiny_cfg(enabled=True, scale_update_period=4)
+        tc = TrainConfig(batch_size=16, learning_rate=0.1)
+        K = 4
+        rng = np.random.RandomState(3)
+        batches = stack_batches([random_batch(cfg, 16, rng) for _ in range(K)])
+
+        s_ref = init_train_state(cfg, tc)
+        multi_ref = make_multi_train_step(cfg, tc, K, sparse_emb_grad=True)
+        s_ref, l_ref = multi_ref(s_ref, batches)
+
+        s_pin = init_train_state(cfg, tc)
+        s_pin = s_pin._replace(params=pin_params_layout(s_pin.params))
+        multi_pin = jit_with_pinned_tables(
+            make_multi_train_step(cfg, tc, K, sparse_emb_grad=True, _jit=False),
+            s_pin,
+        )
+        s_pin, l_pin = multi_pin(s_pin, batches)
+
+        assert np.isclose(float(l_ref), float(l_pin), rtol=1e-6)
+        for a, b_ in zip(s_ref.params["emb"], s_pin.params["emb"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-7)
+
+
 class TestBf16Tables:
     def test_bf16_tables_train_and_track_fp32(self):
         import dataclasses
