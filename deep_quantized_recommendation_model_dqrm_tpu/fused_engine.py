@@ -13,12 +13,14 @@ row-major mega-table (same total bytes) with static per-table row offsets:
 
 Semantics are identical to the per-table sparse step (verified by test).
 
-MEASURED RESULT (TPU v5e, Kaggle model, batch 128): the fused step runs at
-0.64 ms/it vs 0.13-0.21 ms/it for the per-table formulation, and compiles
-~45x slower — one giant gather/scatter over a 33.8M-row array schedules
-WORSE than 26 independent small ones on this chip, so the per-table step
-remains the default engine. Kept as an alternative layout (verified
-equivalent) for future hardware/compilers where the trade-off flips.
+MEASURED RESULT (TPU v5e, Kaggle model, batch 128; HONEST chain-slope
+timing, 2026-08-19 — earlier figures here were enqueue artifacts): the
+fused k=16 megastep runs at 0.476 ms/it vs 0.417 for the per-table
+formulation, and compiles ~2.5x slower. The step cost is dominated by the
+scatter-add's per-row read-modify-write latency (~34 ns/row vs the
+gather's 7.4 ns/row), which fusing the tables does not change, so the
+per-table step remains the default engine. Kept as an alternative layout
+(verified equivalent) for hardware/compilers where the trade-off flips.
 """
 
 from __future__ import annotations

@@ -128,10 +128,10 @@ def _build_sparse_step_fn(
     """Train-step body with EXPLICIT sparse embedding updates.
 
     Autodiff through the gather yields dense zero-plus-scatter table
-    gradients; a standalone jitted step gets that fused into an in-place
-    scatter by XLA, but inside `lax.scan` the fusion breaks and every
-    iteration rewrites the full tables (measured: 0.2 ms/it -> 14.5 ms/it on
-    the Kaggle model). This variant cuts autodiff at the pooled lookups and
+    gradients; XLA does NOT reliably fuse that into an in-place scatter on
+    the real chip (honest chain-slope measurement 2026-08-19: the dense
+    body costs 14.3 ms/it on the Kaggle model vs 0.42 for this sparse
+    variant). This variant cuts autodiff at the pooled lookups and
     applies (ids, rows) scatter updates directly — the same sparse-gradient
     mechanism as nn.EmbeddingBag(sparse=True) + the reference's manual SGD
     (sgd_quantized_gradients_parallel_comm.py:601-685) — so update cost is

@@ -23,6 +23,13 @@ activation bytes through the backward; QAT-step and forward-only deltas were
 inside the tunnel's run-to-run noise (~40%). The knob matters most when
 `jax_default_matmul_precision=highest` (strict fp32) is set, and it pins the
 numerics contract explicitly rather than relying on a backend default.
+
+TIMING CAVEAT (2026-08-19): the loops below time with
+`jax.block_until_ready`, which on the axon tunneled backend returns at
+ENQUEUE, not completion — absolute numbers this script printed before
+2026-08-19 are host enqueue rates, not device compute. Before trusting a
+re-run, port the timing to the chain-slope + forced-scalar-readback
+pattern (see bench.py / .claude/skills/verify/SKILL.md).
 """
 
 from __future__ import annotations

@@ -18,6 +18,13 @@ A DMA kernel cannot beat the hardware gather issue rate for uncoalescible
 the XLA gather path IS the right engine for narrow packed rows. The Pallas
 kernel remains for wide rows (packed >= 128 B), where it is
 bandwidth-parity with XLA (round-1: 784 vs 762 us).
+
+TIMING CAVEAT (2026-08-19): the loops below time with
+`jax.block_until_ready`, which on the axon tunneled backend returns at
+ENQUEUE, not completion — absolute numbers this script printed before
+2026-08-19 are host enqueue rates, not device compute. Before trusting a
+re-run, port the timing to the chain-slope + forced-scalar-readback
+pattern (see bench.py / .claude/skills/verify/SKILL.md).
 """
 
 from __future__ import annotations

@@ -7,6 +7,13 @@ per-iteration cost and check the scan against HBM speed-of-light
 pass has a ~2.6 ms floor).
 
 Usage: python scripts/bench_scale_scan.py
+
+TIMING CAVEAT (2026-08-19): the loops below time with
+`jax.block_until_ready`, which on the axon tunneled backend returns at
+ENQUEUE, not completion — absolute numbers this script printed before
+2026-08-19 are host enqueue rates, not device compute. Before trusting a
+re-run, port the timing to the chain-slope + forced-scalar-readback
+pattern (see bench.py / .claude/skills/verify/SKILL.md).
 """
 
 import os

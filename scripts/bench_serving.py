@@ -8,6 +8,13 @@ Measures the PTQ serving slice (SURVEY §7.8) end to end:
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_serving.py \
     [--bucket 16384] [--clients 16] [--req-size 32] [--cap 1000000]
+
+TIMING CAVEAT (2026-08-19): the loops below time with
+`jax.block_until_ready`, which on the axon tunneled backend returns at
+ENQUEUE, not completion — absolute numbers this script printed before
+2026-08-19 are host enqueue rates, not device compute. Before trusting a
+re-run, port the timing to the chain-slope + forced-scalar-readback
+pattern (see bench.py / .claude/skills/verify/SKILL.md).
 """
 
 from __future__ import annotations
