@@ -1,0 +1,140 @@
+"""Analytic multi-chip scaling model for the DQRM engines (scaling-book
+method: count the bytes each collective moves, divide by ICI bandwidth,
+compare against the measured per-chip step time).
+
+Multi-chip hardware is not attachable in this environment, so this model
+is the quantitative design artifact behind the sharding choices: it uses
+(a) EXACT per-step wire-byte counts (the same math as
+tools/analysis.comm_volume_report / a2a_volume_report, which the tests
+pin against the runtime payload shapes), and (b) the MEASURED single-chip
+step time (bench.py, honest chain-slope timing) as the compute term.
+Collectives ride ICI; XLA overlaps them with compute, so the reported
+step time is max(compute, comm) with the additive value shown too.
+
+Chip constants are the public v5e figures (jax-ml.github.io/scaling-book):
+HBM 0.81 TB/s, ICI 4.5e10 B/s one-way per link, 4 links (2D torus),
+197 bf16 TFLOP/s.
+
+Usage: python tools/scaling_model.py [--markdown]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from dataclasses import dataclass
+
+sys.path.insert(0, ".")
+
+from deep_quantized_recommendation_model_dqrm_tpu.config import (
+    kaggle_config,
+    terabyte_config,
+)
+from deep_quantized_recommendation_model_dqrm_tpu.tools.analysis import (
+    a2a_volume_report,
+    comm_volume_report,
+)
+
+
+@dataclass(frozen=True)
+class Chip:
+    name: str = "v5e"
+    ici_bw_per_link: float = 4.5e10  # B/s one-way
+    ici_links: int = 4  # 2D torus
+
+
+@dataclass(frozen=True)
+class Workload:
+    name: str
+    cfg: object
+    batch_per_chip: int
+    measured_step_ms: float  # honest single-chip step time at batch_per_chip
+    pooling: int = 1
+
+
+def dp_model(w: Workload, chip: Chip, n: int, grad_bits: int = 8):
+    """Compressed-grad DP (comm_grad.make_dp_train_step): sparse emb
+    all-gather + INT8 MLP psum, MLPs+tables replicated."""
+    cfg = w.cfg
+    r = comm_volume_report(
+        cfg.table_sizes, cfg.embedding_dim,
+        cfg.mlp_bot, cfg.mlp_top,
+        batch_per_rank=w.batch_per_chip, pooling=w.pooling,
+        grad_bits=grad_bits, sparse=True, world_size=n,
+    )
+    # each chip injects total_bytes/n and receives the rest; ring time is
+    # ~(n-1)/n * total / (links * bw) per direction
+    wire = r["total_bytes"] * (n - 1) / max(n, 1)
+    comm_ms = wire / (chip.ici_links * chip.ici_bw_per_link) * 1e3
+    return comm_ms, r["total_bytes"]
+
+
+def hybrid_model(w: Workload, chip: Chip, n: int, a2a_bits: int = 32,
+                 grad_bits: int = 8):
+    """Hybrid MP+DP: tables row/table-sharded, pooled embeddings exchanged
+    by all-to-all fwd+bwd, MLP grads psum'd."""
+    cfg = w.cfg
+    t_per = max(1, len(cfg.table_sizes) // max(n, 1))
+    a2a = a2a_volume_report(
+        t_per, w.batch_per_chip, cfg.embedding_dim,
+        world_size=n, a2a_bits=a2a_bits,
+    )
+    per_chip_a2a = (
+        a2a["compressed_bytes" if a2a_bits < 32 else "fp32_bytes"] / max(n, 1)
+    )
+    # fwd + bwd exchanges; each chip sends (n-1)/n of its payload
+    wire = 2.0 * per_chip_a2a * (n - 1) / max(n, 1)
+    mlp_params = sum(
+        a * b + b for a, b in zip(cfg.mlp_bot[:-1], cfg.mlp_bot[1:])
+    ) + sum(a * b + b for a, b in zip(cfg.mlp_top[:-1], cfg.mlp_top[1:]))
+    wire += 2.0 * mlp_params * grad_bits / 8 * (n - 1) / max(n, 1)
+    comm_ms = wire / (chip.ici_links * chip.ici_bw_per_link) * 1e3
+    return comm_ms, wire
+
+
+def table(w: Workload, chip: Chip, engine: str, **kw):
+    rows = []
+    for n in (1, 4, 8, 16, 64, 256):
+        comm_ms, wire = (
+            dp_model(w, chip, n, **kw) if engine == "dp"
+            else hybrid_model(w, chip, n, **kw)
+        )
+        step = max(w.measured_step_ms, comm_ms)  # XLA overlaps comm/compute
+        additive = w.measured_step_ms + comm_ms
+        eff = w.measured_step_ms / step
+        qps = n * w.batch_per_chip / step * 1e3
+        rows.append((n, comm_ms, step, additive, eff, qps, wire))
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--markdown", action="store_true")
+    args = ap.parse_args()
+    chip = Chip()
+    kaggle = Workload("Kaggle INT4 QAT (B=128/chip)", kaggle_config(), 128,
+                      measured_step_ms=0.416)
+    tb = Workload("Terabyte INT4 QAT bf16 (B=2048/chip, pinned layout)",
+                  terabyte_config(), 2048, measured_step_ms=9.29)
+    out = []
+    for w, engine, kw in (
+        (kaggle, "dp", dict(grad_bits=8)),
+        (kaggle, "hybrid", dict(a2a_bits=8)),
+        (tb, "dp", dict(grad_bits=8)),
+        (tb, "hybrid", dict(a2a_bits=8)),
+    ):
+        hdr = f"{w.name} — {engine} engine ({kw})"
+        rows = table(w, chip, engine, **kw)
+        out.append((hdr, rows))
+    for hdr, rows in out:
+        print(f"\n## {hdr}")
+        print("| chips | comm ms | step ms (overlap) | step ms (additive) "
+              "| scaling eff | samples/s | wire B/chip/step |")
+        print("|---|---|---|---|---|---|---|")
+        for n, c, s, a, e, q, wire in rows:
+            print(f"| {n} | {c:.3f} | {s:.3f} | {a:.3f} | {e:.2f} "
+                  f"| {q:,.0f} | {wire:,.0f} |")
+
+
+if __name__ == "__main__":
+    main()
