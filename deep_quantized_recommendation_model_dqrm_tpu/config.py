@@ -352,6 +352,12 @@ class TrainConfig:
     quantize_mlp_from_epoch: int = -1
     shift_bit_width_at_epoch: int = -1
     shift_bit_width_to: int = 4
+    # TPU-native optimization (no reference counterpart): tables with at most
+    # this many rows apply their sparse update as an MXU one-hot dense grad
+    # (ops/pallas/onehot_update.py) instead of the latency-bound serial
+    # scatter (~34 ns/row). 0 disables. Numerically identical up to fp32
+    # summation order of duplicate ids.
+    onehot_update_max_rows: int = 0
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -1,0 +1,152 @@
+"""MXU one-hot dense-grad kernel — the scatter-add replacement for small
+embedding tables.
+
+The sparse train step applies embedding updates as `table.at[ids].add(rows)`.
+On TPU that scatter is LATENCY-bound: XLA lowers it to a serial per-row
+read-modify-write loop measured at ~34 ns/row (2026-08-19 on-chip
+characterization, see README "benchmark methodology") — independent of row
+width, and by far the dominant cost of the training step at large batch
+(7.16 ms of a 9.6 ms step at B=8192 on the Kaggle model).
+
+For a table with n rows the mathematically identical dense gradient is a
+matmul against a one-hot matrix:
+
+    dense[n, d] = onehot(ids)[R, n]^T @ vals[R, d]
+
+which runs on the MXU at compute speed instead of scatter latency. A pure-XLA
+formulation loses because the [R, n] one-hot materializes in HBM (measured:
+7.8 vs 8.5 ms at B=8192 — the round-2 `scripts/bench_onehot_lookup.py`
+rejection). This kernel builds each one-hot TILE in VMEM, consumes it
+immediately in an MXU pass, and never spills it:
+
+  * grid (n_tiles, r_chunks), r innermost; the [d, n_tile] output block stays
+    resident in VMEM and accumulates across r chunks.
+  * the matmul is oriented `out[d, n_tile] = vals^T[d, r] @ mask^T[n_tile, r]`
+    so the tiny embedding dim d (16/64) rides the M axis, which STREAMS
+    through the 128x128 systolic array — K = r_chunk and N = n_tile are the
+    axes that must be 128-aligned, so no MXU padding waste at DLRM dims.
+  * mask build is d-independent VPU work (R*n compares total); together with
+    the matmul the cost is ~n*R*1e-12 s, beating the 34 ns/row scatter for
+    n up to ~20k rows at any R (measured crossover: scripts/
+    bench_onehot_scatter.py).
+
+Numerics: the mask is exact {0.0, 1.0} fp32 and every product mask*val is
+exact, so the result equals the coalesced scatter-add up to fp32 summation
+ORDER of duplicate ids only. Out-of-range ids (including the -1 padding this
+wrapper adds) match no one-hot column — the same semantics as
+`.at[].add(mode="drop")`.
+
+Replaces: the serial scatter in the reference's manual sparse SGD
+(sgd_quantized_gradients_parallel_comm.py:601-685 iterates sparse COO rows);
+torch's EmbeddingBag(sparse=True) backward emits the same per-occurrence
+(ids, rows) pairs this kernel consumes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(ids_ref, vt_ref, out_ref):
+    j = pl.program_id(1)
+    n_tile = out_ref.shape[1]
+    r_chunk = ids_ref.shape[1]
+    base = pl.program_id(0) * n_tile
+    # maskT[c, r] = 1.0 iff ids[r] == base + c. ids arrive lane-oriented
+    # [1, r_chunk] and broadcast over the sublane (row-id) axis for free.
+    rowids = jax.lax.broadcasted_iota(jnp.int32, (n_tile, r_chunk), 0) + base
+    mask_t = (rowids == ids_ref[:]).astype(jnp.float32)
+    contrib = jax.lax.dot_general(
+        vt_ref[:],
+        mask_t,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [d, n_tile]
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] += contrib
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_rows", "n_tile", "r_chunk", "interpret")
+)
+def onehot_dense_grad(
+    ids: jax.Array,
+    vals: jax.Array,
+    num_rows: int,
+    *,
+    n_tile: int = 512,
+    r_chunk: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """`jnp.zeros((num_rows, d)).at[ids].add(vals, mode="drop")` on the MXU.
+
+    ids:  [R] int32 row ids (out-of-range entries are dropped)
+    vals: [R, d] float32 rows to accumulate
+    Returns [num_rows, d] float32.
+    """
+    if ids.ndim != 1 or vals.ndim != 2 or vals.shape[0] != ids.shape[0]:
+        raise ValueError(f"bad shapes ids={ids.shape} vals={vals.shape}")
+    R, d = vals.shape
+    r_chunk = min(r_chunk, _round_up(max(R, 1), 128))
+    rp = _round_up(max(R, 1), r_chunk)
+    np_ = _round_up(num_rows, n_tile)
+    dp = _round_up(d, 8)
+
+    ids_p = jnp.full((1, rp), -1, jnp.int32).at[0, :R].set(ids.astype(jnp.int32))
+    vt = jnp.zeros((dp, rp), jnp.float32).at[:d, :R].set(
+        vals.astype(jnp.float32).T
+    )
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(np_ // n_tile, rp // r_chunk),
+        in_specs=[
+            pl.BlockSpec((1, r_chunk), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, r_chunk), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((dp, n_tile), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((dp, np_), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * dp * rp * np_,
+            bytes_accessed=4 * (rp + dp * rp + dp * np_),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ids_p, vt)
+    return out[:d, :num_rows].T
+
+
+def dense_grad_auto(
+    ids: jax.Array,
+    vals: jax.Array,
+    num_rows: int,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """One-hot MXU dense grad on TPU; exact XLA scatter elsewhere (CPU test
+    meshes have no Mosaic — and no scatter-latency problem to solve)."""
+    if jax.default_backend() == "tpu" or interpret:
+        return onehot_dense_grad(ids, vals, num_rows, interpret=interpret)
+    d = vals.shape[1]
+    return (
+        jnp.zeros((num_rows, d), jnp.float32)
+        .at[ids].add(vals.astype(jnp.float32), mode="drop")
+    )

@@ -213,6 +213,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="unroll N train steps into one jitted dispatch "
                         "(single-chip mode): amortizes host dispatch "
                         "overhead ~N-fold; numerically identical")
+    p.add_argument("--onehot-update-max-rows", type=int, default=0,
+                   help="tables with <= this many rows apply sparse updates "
+                        "as MXU one-hot dense grads instead of the "
+                        "latency-bound serial scatter (TPU-native "
+                        "optimization; 0 disables)")
     p.add_argument("--pin-table-layout", action="store_true",
                    help="pin embedding tables to row-major device layouts "
                         "(single-chip megastep): removes XLA's per-dispatch "
@@ -348,6 +353,7 @@ def make_configs(args) -> tuple:
         quantize_mlp_from_epoch=2 if args.pretrain_and_quantize_lin else -1,
         shift_bit_width_at_epoch=3 if args.linear_shift_down_bit_width else -1,
         shift_bit_width_to=args.shift_bit_width_to,
+        onehot_update_max_rows=args.onehot_update_max_rows,
     )
     return cfg, tc
 

@@ -141,6 +141,9 @@ def _build_sparse_step_fn(
     from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import (
         rows_grad_from_pooled,
     )
+    from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.onehot_update import (
+        dense_grad_auto,
+    )
     from deep_quantized_recommendation_model_dqrm_tpu.optim.sgd import EPS
 
     if tc.optimizer not in ("sgd", "adagrad", "rwsadagrad"):
@@ -227,6 +230,38 @@ def _build_sparse_step_fn(
             ids, vals = rows_grad_from_pooled(
                 g_pooled[k], batch.indices[k], eff_m
             )
+            n_rows = table.shape[0]
+            if 0 < n_rows <= tc.onehot_update_max_rows:
+                # Small table: the coalesced dense gradient via the MXU
+                # one-hot kernel replaces the serial scatter (34 ns/row
+                # latency-bound); the optimizer update becomes dense
+                # elementwise math. Untouched rows have dense == 0, so the
+                # touched-rows-only optimizer semantics are preserved
+                # exactly (see ops/pallas/onehot_update.py).
+                dense = dense_grad_auto(ids, vals, n_rows)
+                if tc.optimizer == "sgd":
+                    new_emb.append(
+                        table + (-lr * dense).astype(table.dtype)
+                    )
+                elif tc.optimizer == "adagrad":
+                    acc = state.opt_state["emb"][k]
+                    acc2 = acc + dense * dense
+                    new_emb.append(
+                        table
+                        + (-lr * dense / (jnp.sqrt(acc2) + EPS)).astype(
+                            table.dtype
+                        )
+                    )
+                    new_emb_acc.append(acc2)
+                else:  # rwsadagrad: row-wise accumulator
+                    acc = state.opt_state["emb"][k]
+                    acc2 = acc + jnp.mean(dense * dense, axis=1)
+                    std = jnp.sqrt(acc2)[:, None] + EPS
+                    new_emb.append(
+                        table + (-lr * dense / std).astype(table.dtype)
+                    )
+                    new_emb_acc.append(acc2)
+                continue
             if tc.optimizer == "sgd":
                 new_emb.append(
                     table.at[ids].add((-lr * vals).astype(table.dtype), mode="drop")
