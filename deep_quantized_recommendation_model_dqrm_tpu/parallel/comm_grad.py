@@ -45,6 +45,9 @@ from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import (
     coalesce_sparse_grad,
     rows_grad_from_pooled,
 )
+from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.onehot_update import (
+    dense_grad_auto,
+)
 from deep_quantized_recommendation_model_dqrm_tpu.optim import lr_policy
 from deep_quantized_recommendation_model_dqrm_tpu.parallel import ranking_range
 
@@ -430,11 +433,21 @@ def make_dp_train_step(
                 )
                 delta = q.dequantize(all_vals, s)
             # Mean over replicas; scatter-add applies every touched row.
-            new_emb.append(
-                table.at[all_ids].add(
-                    -(lr / n_dev) * delta.astype(table.dtype), mode="drop"
+            # Small tables take the MXU one-hot dense grad instead of the
+            # latency-bound serial scatter (ops/pallas/onehot_update.py).
+            if 0 < table.shape[0] <= tc.onehot_update_max_rows:
+                dense = dense_grad_auto(
+                    all_ids, delta.astype(jnp.float32), table.shape[0]
                 )
-            )
+                new_emb.append(
+                    table + (-(lr / n_dev) * dense).astype(table.dtype)
+                )
+            else:
+                new_emb.append(
+                    table.at[all_ids].add(
+                        -(lr / n_dev) * delta.astype(table.dtype), mode="drop"
+                    )
+                )
 
         # Remaining non-MLP dense params (LSQ step sizes, fixed pooling
         # weights) ride the uncompressed pmean path; "fixed" pooling

@@ -57,11 +57,11 @@ def main():
     print(f"{'n':>8} {'R':>7} {'scatter':>9} {'onehot':>9} {'speedup':>8}")
     for n in (512, 2048, 8192, 16384, 32768, 65536):
         for R in (128, 2048, 8192):
-            table = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
             ids = jnp.asarray(rng.randint(0, n, size=R).astype(np.int32))
             vals = jnp.asarray(rng.normal(size=(R, d)).astype(np.float32) * 1e-4)
-            ms_sc = slope(scatter_step, table, ids, vals)
-            ms_oh = slope(onehot_step, table, ids, vals)
+            tnp = rng.normal(size=(n, d)).astype(np.float32)
+            ms_sc = slope(scatter_step, jnp.asarray(tnp), ids, vals)
+            ms_oh = slope(onehot_step, jnp.asarray(tnp), ids, vals)
             print(f"{n:>8} {R:>7} {ms_sc:>9.4f} {ms_oh:>9.4f} "
                   f"{ms_sc/ms_oh:>8.2f}x", flush=True)
 
