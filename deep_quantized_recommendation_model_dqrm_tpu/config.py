@@ -158,6 +158,12 @@ class DLRMConfig:
     # analogue (CUDA fp32 throughout); this is the TPU-first option for
     # large-batch Terabyte training.
     compute_dtype: str = "float32"
+    # TPU-native optimization (no reference counterpart): plain (non-trick)
+    # tables with at most this many rows run the pooled lookup as an MXU
+    # one-hot matmul (ops/pallas/onehot_update.py) instead of the
+    # latency-bound serial row gather. 0 disables. Identical semantics;
+    # fp32 accumulation regardless of table_dtype.
+    onehot_lookup_max_rows: int = 0
     # Per-row pooling weights v_W_l (`--weighted-pooling`,
     # dlrm_s_pytorch.py:276-281, :360-366): None | "fixed" (ones, frozen) |
     # "learned" (trainable parameter).

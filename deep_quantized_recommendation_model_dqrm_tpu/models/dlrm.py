@@ -482,7 +482,16 @@ def lookup_all(
         else:
             if pact:
                 table = q.fake_quant_pact(table, qc.embedding_bit)
-            pooled = pooled_lookup(table, indices[k], m)
+            if 0 < table.shape[0] <= config.onehot_lookup_max_rows:
+                # small table: MXU one-hot matmul instead of the serial
+                # row gather (ops/pallas/onehot_update.py)
+                from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.onehot_update import (
+                    pooled_lookup_onehot_auto,
+                )
+
+                pooled = pooled_lookup_onehot_auto(table, indices[k], m)
+            else:
+                pooled = pooled_lookup(table, indices[k], m)
         outs.append(pooled.astype(jnp.float32))  # compute path stays fp32
     return jnp.stack(outs)  # [T, B, D]
 

@@ -134,6 +134,156 @@ def onehot_dense_grad(
     return out[:d, :num_rows].T
 
 
+def _lookup_kernel(idsT_ref, w_ref, tT_ref, out_ref):
+    j = pl.program_id(1)
+    n_chunk = tT_ref.shape[1]
+    b_tile = idsT_ref.shape[1]
+    base = j * n_chunk
+    rowids = jax.lax.broadcasted_iota(jnp.int32, (n_chunk, b_tile), 0) + base
+    counts = jnp.zeros((n_chunk, b_tile), jnp.float32)
+    for p in range(idsT_ref.shape[0]):  # static P unroll
+        counts += jnp.where(
+            rowids == idsT_ref[p, :], w_ref[p, :], 0.0
+        )
+    contrib = jax.lax.dot_general(
+        tT_ref[:].astype(jnp.float32),
+        counts,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [d, b_tile]
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] += contrib
+
+
+@functools.partial(
+    jax.jit, static_argnames=("b_tile", "n_chunk", "interpret")
+)
+def _onehot_pooled_lookup_fwd(
+    table: jax.Array,
+    indices: jax.Array,
+    weights: jax.Array,
+    *,
+    b_tile: int = 1024,
+    n_chunk: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    n, d = table.shape
+    B, P = indices.shape
+    b_tile = min(b_tile, _round_up(max(B, 1), 128))
+    bp = _round_up(max(B, 1), b_tile)
+    np_ = _round_up(n, n_chunk)
+    dp = _round_up(d, 8)
+
+    idsT = jnp.full((P, bp), -1, jnp.int32).at[:, :B].set(
+        indices.astype(jnp.int32).T
+    )
+    wT = jnp.zeros((P, bp), jnp.float32).at[:, :B].set(
+        weights.astype(jnp.float32).T
+    )
+    tT = jnp.zeros((dp, np_), jnp.float32).at[:d, :n].set(
+        table.astype(jnp.float32).T
+    )
+
+    out = pl.pallas_call(
+        _lookup_kernel,
+        grid=(bp // b_tile, np_ // n_chunk),
+        in_specs=[
+            pl.BlockSpec((P, b_tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, b_tile), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, n_chunk), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((dp, b_tile), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((dp, bp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * dp * bp * np_,
+            bytes_accessed=4 * (2 * P * bp + dp * np_ + dp * bp),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(idsT, wT, tT)
+    return out[:d, :B].T.astype(table.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def onehot_pooled_lookup(
+    table: jax.Array,  # [n, d]
+    indices: jax.Array,  # [B, P] int32
+    weights: jax.Array,  # [B, P] float (bag mask and/or per-sample weights)
+    interpret: bool = False,
+) -> jax.Array:  # [B, d]
+    """Sum-pooled embedding lookup as an MXU one-hot matmul.
+
+    `sum_p weights[b, p] * table[indices[b, p]]` — identical semantics to
+    `ops.embedding.pooled_lookup` (out-of-range ids contribute nothing, like
+    the gather's clip+mask handling never produces them). For small tables
+    the matmul replaces the latency-bound serial row gather (~7.4 ns/row);
+    the one-hot counts matrix is built tile-by-tile in VMEM and never hits
+    HBM. Backward reuses `onehot_dense_grad` for the table cotangent.
+    """
+    return _onehot_pooled_lookup_fwd(
+        table, indices, weights, interpret=interpret
+    )
+
+
+def _lookup_fwd(table, indices, weights, interpret):
+    out = _onehot_pooled_lookup_fwd(table, indices, weights,
+                                    interpret=interpret)
+    return out, (table, indices, weights)
+
+
+def _lookup_bwd(interpret, res, g):
+    table, indices, weights = res
+    B, P = indices.shape
+    d = table.shape[1]
+    rows_g = (g[:, None, :].astype(jnp.float32)
+              * weights[..., None].astype(jnp.float32))
+    d_table = dense_grad_auto(
+        indices.reshape(B * P),
+        rows_g.reshape(B * P, d),
+        table.shape[0],
+        interpret=interpret,
+    ).astype(table.dtype)
+    # d weights[b, p] = g[b] . table[indices[b, p]] — only reachable for
+    # learned pooling weights; XLA drops it when the cotangent is unused.
+    rows = jnp.take(table, indices, axis=0).astype(jnp.float32)  # [B, P, d]
+    d_w = jnp.einsum("bd,bpd->bp", g.astype(jnp.float32), rows).astype(
+        weights.dtype
+    )
+    return d_table, None, d_w
+
+
+onehot_pooled_lookup.defvjp(_lookup_fwd, _lookup_bwd)
+
+
+def pooled_lookup_onehot_auto(
+    table: jax.Array,
+    indices: jax.Array,
+    mask,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """One-hot MXU pooled lookup on TPU; the plain gather elsewhere."""
+    from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import (
+        pooled_lookup,
+    )
+
+    if jax.default_backend() != "tpu" and not interpret:
+        return pooled_lookup(table, indices, mask)
+    w = (jnp.ones(indices.shape, jnp.float32) if mask is None
+         else mask.astype(jnp.float32))
+    return onehot_pooled_lookup(table, indices, w, interpret)
+
+
 def dense_grad_auto(
     ids: jax.Array,
     vals: jax.Array,

@@ -213,6 +213,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="unroll N train steps into one jitted dispatch "
                         "(single-chip mode): amortizes host dispatch "
                         "overhead ~N-fold; numerically identical")
+    p.add_argument("--onehot-lookup-max-rows", type=int, default=0,
+                   help="tables with <= this many rows run the pooled "
+                        "lookup as an MXU one-hot matmul instead of the "
+                        "serial row gather (TPU-native; 0 disables)")
     p.add_argument("--onehot-update-max-rows", type=int, default=0,
                    help="tables with <= this many rows apply sparse updates "
                         "as MXU one-hot dense grads instead of the "
@@ -321,6 +325,7 @@ def make_configs(args) -> tuple:
         md_round_dims=args.md_round_dims,
         table_dtype=args.table_dtype,
         compute_dtype=args.compute_dtype,
+        onehot_lookup_max_rows=args.onehot_lookup_max_rows,
         quant=quant,
     )
     # derive ln_top input like the reference (dlrm_s_pytorch.py:1141-1164)
