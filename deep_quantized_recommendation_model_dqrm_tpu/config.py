@@ -361,8 +361,10 @@ class TrainConfig:
     # TPU-native optimization (no reference counterpart): tables with at most
     # this many rows apply their sparse update as an MXU one-hot dense grad
     # (ops/pallas/onehot_update.py) instead of the latency-bound serial
-    # scatter (~34 ns/row). 0 disables. Numerically identical up to fp32
-    # summation order of duplicate ids.
+    # scatter (~34 ns/row). 0 disables. For fp32 tables identical up to fp32
+    # summation order of duplicate ids; for bf16 tables the dense path
+    # accumulates in fp32 and rounds ONCE on apply (the scatter path
+    # accumulates in bf16) — a slightly more accurate, not identical, update.
     onehot_update_max_rows: int = 0
 
     def replace(self, **kw) -> "TrainConfig":

@@ -45,11 +45,19 @@ torch's EmbeddingBag(sparse=True) backward emits the same per-occurrence
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _force_interpret() -> bool:
+    """Test hook: DQRM_ONEHOT_INTERPRET=1 makes the *_auto wrappers run the
+    Pallas kernels in interpreter mode on non-TPU backends instead of taking
+    the XLA fallback — so CPU CI genuinely exercises the kernel wiring."""
+    return os.environ.get("DQRM_ONEHOT_INTERPRET", "") == "1"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -277,8 +285,10 @@ def pooled_lookup_onehot_auto(
         pooled_lookup,
     )
 
-    if jax.default_backend() != "tpu" and not interpret:
-        return pooled_lookup(table, indices, mask)
+    if jax.default_backend() != "tpu":
+        if not (interpret or _force_interpret()):
+            return pooled_lookup(table, indices, mask)
+        interpret = True
     w = (jnp.ones(indices.shape, jnp.float32) if mask is None
          else mask.astype(jnp.float32))
     return onehot_pooled_lookup(table, indices, w, interpret)
@@ -293,8 +303,11 @@ def dense_grad_auto(
 ) -> jax.Array:
     """One-hot MXU dense grad on TPU; exact XLA scatter elsewhere (CPU test
     meshes have no Mosaic — and no scatter-latency problem to solve)."""
-    if jax.default_backend() == "tpu" or interpret:
-        return onehot_dense_grad(ids, vals, num_rows, interpret=interpret)
+    if jax.default_backend() == "tpu" or interpret or _force_interpret():
+        return onehot_dense_grad(
+            ids, vals, num_rows,
+            interpret=interpret or jax.default_backend() != "tpu",
+        )
     d = vals.shape[1]
     return (
         jnp.zeros((num_rows, d), jnp.float32)

@@ -623,6 +623,23 @@ def run(argv=None) -> dict:
     )
     mll.start("init")
 
+    if args.parallelism in ("hybrid", "rowshard", "pseudo") and (
+        args.onehot_update_max_rows > 0 or args.onehot_lookup_max_rows > 0
+    ):
+        # the mega-table engines (and the pseudo simulator) manage their own
+        # gather/scatter layouts; the one-hot swaps apply to the single-chip
+        # and dp engines only — reject loudly rather than silently ignore
+        raise SystemExit(
+            "--onehot-update-max-rows / --onehot-lookup-max-rows apply to "
+            "parallelism none / dp / dp-nosync (dp-nosync: lookup flag "
+            "only); the hybrid/rowshard mega-table scatter and the pseudo "
+            "simulator do not take the one-hot path"
+        )
+    if args.parallelism == "dp-nosync" and args.onehot_update_max_rows > 0:
+        raise SystemExit(
+            "--onehot-update-max-rows: dp-nosync updates via dense "
+            "autodiff; only --onehot-lookup-max-rows applies there"
+        )
     state = init_train_state(cfg, tc)
     if args.pin_table_layout:
         if args.parallelism != "none":

@@ -141,13 +141,17 @@ class TestForwardLookup:
         np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
                                    rtol=1e-4, atol=1e-5)
 
-    def test_lookup_all_trajectory_matches(self):
+    def test_lookup_all_trajectory_matches(self, monkeypatch):
         """onehot_lookup_max_rows swaps the forward gather — dense-autodiff
-        step trajectories stay identical (vjp covered end-to-end)."""
+        step trajectories stay identical. DQRM_ONEHOT_INTERPRET=1 forces the
+        real kernel (interpreter mode) on the CPU backend so this covers the
+        lookup_all wiring (mask=None -> ones, dtype cast) and the custom_vjp
+        end-to-end, not the gather fallback."""
         from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
             make_train_step as mts,
         )
 
+        monkeypatch.setenv("DQRM_ONEHOT_INTERPRET", "1")
         cfg1 = dataclasses.replace(TINY, onehot_lookup_max_rows=1000)
         tc = TrainConfig(batch_size=32, learning_rate=0.1)
         s0 = init_train_state(TINY, tc)
@@ -190,6 +194,29 @@ class TestSparseStepOnehot:
                 np.testing.assert_allclose(
                     np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-7
                 )
+
+    def test_bf16_tables_track_scatter_path(self):
+        """bf16 tables: the dense path accumulates in fp32 and rounds once
+        (scatter accumulates in bf16) — trajectories TRACK within bf16 ulp,
+        not bit-exact (documented in config.py)."""
+        cfg = dataclasses.replace(TINY, table_dtype="bfloat16")
+        tc0 = TrainConfig(batch_size=32, learning_rate=0.1)
+        tc1 = tc0.replace(onehot_update_max_rows=1000)
+        s0 = init_train_state(cfg, tc0)
+        s1 = init_train_state(cfg, tc1)
+        step0 = make_train_step(cfg, tc0, sparse_emb_grad=True)
+        step1 = make_train_step(cfg, tc1, sparse_emb_grad=True)
+        rng = np.random.RandomState(11)
+        for _ in range(4):
+            b = random_batch(cfg, 32, rng)
+            s0, l0 = step0(s0, b)
+            s1, l1 = step1(s1, b)
+            assert np.isclose(float(l0), float(l1), rtol=1e-2)
+        for a, c in zip(s0.params["emb"], s1.params["emb"]):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(c, np.float32),
+                rtol=2e-2, atol=2e-3,
+            )
 
     def test_qat_variable_pooling_masked(self):
         cfg = dataclasses.replace(
