@@ -328,6 +328,7 @@ class TrainConfig:
     lr_decay_start_step: int = 0
     lr_num_decay_steps: int = 0
     print_freq: int = 1024
+    print_wall_time: bool = False  # append HH:MM to the training print
     test_freq: int = -1
     seed: int = 123  # `--numpy-rand-seed`
     # DQRM gradient-communication compression (§2.3 of the survey):

@@ -104,6 +104,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "shuffle day order (streaming stand-in for the "
                         "reference's preprocessing-time global reorder)")
     p.add_argument("--num-batches", type=int, default=0)
+    p.add_argument("--data-size", type=int, default=0,
+                   help="total synthetic samples; rounds up to whole batches "
+                        "(RandomDataset, dlrm_data_pytorch.py:786-794). "
+                        "--num-batches takes precedence when both are set")
     p.add_argument("--num-indices-per-lookup", type=int, default=1)
     # synthetic-data generation knobs (dlrm_s_pytorch.py:942-960 +
     # generate_dist_input_batch, dlrm_data_pytorch.py:1098-1158)
@@ -156,6 +160,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--print-freq", type=int, default=1024)
     p.add_argument("--test-freq", type=int, default=-1)
     p.add_argument("--print-time", action="store_true")
+    p.add_argument("--print-wall-time", action="store_true",
+                   help="append HH:MM wall clock to the training print "
+                        "(dlrm_s_pytorch.py:1636-1638)")
     p.add_argument("--save-model", type=str, default="")
     p.add_argument("--load-model", type=str, default="")
     p.add_argument("--inference-only", action="store_true")
@@ -343,6 +350,7 @@ def make_configs(args) -> tuple:
         lr_decay_start_step=args.lr_decay_start_step,
         lr_num_decay_steps=args.lr_num_decay_steps,
         print_freq=args.print_freq,
+        print_wall_time=args.print_wall_time,
         test_freq=args.test_freq,
         seed=args.numpy_rand_seed,
         grad_quant_bits=args.grad_quant_bits,
@@ -371,7 +379,9 @@ def make_loaders(args, cfg, tc):
     )
 
     if args.data_generation == "random":
-        nb = args.num_batches or 128
+        nb = args.num_batches or (
+            -(-args.data_size // tc.batch_size) if args.data_size > 0 else 128
+        )
         if args.data_trace_file:
             # the trace generator has its own index model; the random-data
             # knobs below do not apply to it — reject rather than ignore
@@ -1131,10 +1141,15 @@ def run(argv=None) -> dict:
                 it_last_print = it
                 while next_print <= it:
                     next_print += tc.print_freq
+                wall = (
+                    " ({})".format(time.strftime("%H:%M"))
+                    if tc.print_wall_time
+                    else ""
+                )
                 rank0_print(
                     rank,
                     f"Finished training it {it}/{len(train_loader)} of epoch {epoch}, "
-                    f"{dt:.2f} ms/it, loss {loss_v:.6f}",
+                    f"{dt:.2f} ms/it, loss {loss_v:.6f}" + wall,
                 )
                 logger.add_scalar("Train/Loss", loss_v, it)
             if tc.test_freq > 0 and it >= next_test:

@@ -1,6 +1,8 @@
 """End-to-end CLI integration: raw TSV -> preprocess -> train -> checkpoint
 -> resume -> PTQ inference, all through the public driver (train.run)."""
 
+import re
+
 import numpy as np
 
 from deep_quantized_recommendation_model_dqrm_tpu.data.binary import numpy_to_binary
@@ -360,6 +362,18 @@ class TestSyntheticDataKnobs:
 
     def test_trace_driven_indices(self):
         m = run(_rand_argv(["--data-trace-file=lru"]))
+        assert np.isfinite(m["roc_auc"])
+
+    def test_data_size_and_wall_time(self, capsys):
+        """--data-size rounds up to whole batches (RandomDataset,
+        dlrm_data_pytorch.py:786-794); --print-wall-time appends HH:MM
+        (dlrm_s_pytorch.py:1636-1638)."""
+        argv = [a for a in _rand_argv([]) if not a.startswith("--num-batches")]
+        m = run(argv + ["--data-size=100", "--print-wall-time",
+                        "--print-freq=1"])
+        out = capsys.readouterr().out
+        # ceil(100/32) = 4 batches
+        assert "it 4/4" in out and re.search(r"\(\d{2}:\d{2}\)", out)
         assert np.isfinite(m["roc_auc"])
 
     def test_grad_accumulation(self):
