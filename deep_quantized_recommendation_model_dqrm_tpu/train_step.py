@@ -277,11 +277,18 @@ def _build_sparse_step_fn(
                     ids, vals, table.shape[0], max_unique=ids.shape[0]
                 )
                 acc = state.opt_state["emb"][k]
-                acc2 = acc.at[uids].add(uvals * uvals, mode="drop")
+                # coalesce_sparse_grad guarantees sorted duplicate-free ids
+                # (padding = distinct out-of-range, dropped) -> the scatters
+                # may claim the hints (2-3x on v5e, bench_dedupe_scatter.py)
+                acc2 = acc.at[uids].add(
+                    uvals * uvals, mode="drop",
+                    unique_indices=True, indices_are_sorted=True,
+                )
                 denom = jnp.sqrt(acc2.at[uids].get(mode="clip")) + EPS
                 new_emb.append(
                     table.at[uids].add(
-                        (-lr * uvals / denom).astype(table.dtype), mode="drop"
+                        (-lr * uvals / denom).astype(table.dtype), mode="drop",
+                        unique_indices=True, indices_are_sorted=True,
                     )
                 )
                 new_emb_acc.append(acc2)
@@ -299,11 +306,16 @@ def _build_sparse_step_fn(
                 )
                 acc = state.opt_state["emb"][k]
                 row_ms = jnp.mean(uvals * uvals, axis=1)  # [K]
-                acc2 = acc.at[uids].add(row_ms, mode="drop")
+                # sorted duplicate-free ids from coalesce -> hints legal
+                acc2 = acc.at[uids].add(
+                    row_ms, mode="drop",
+                    unique_indices=True, indices_are_sorted=True,
+                )
                 std = jnp.sqrt(acc2.at[uids].get(mode="clip"))[:, None] + EPS
                 new_emb.append(
                     table.at[uids].add(
-                        (-lr * uvals / std).astype(table.dtype), mode="drop"
+                        (-lr * uvals / std).astype(table.dtype), mode="drop",
+                        unique_indices=True, indices_are_sorted=True,
                     )
                 )
                 new_emb_acc.append(acc2)

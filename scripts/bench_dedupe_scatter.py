@@ -62,17 +62,28 @@ def slope(fn, table, args, n1=16, n2=48):
 
 def host_dedupe(ids_np, n):
     """What the data loader would precompute per table per batch."""
-    uids, inverse = np.unique(ids_np, return_inverse=True)
+    uids, inverse, counts = np.unique(
+        ids_np, return_inverse=True, return_counts=True)
     perm = np.argsort(ids_np, kind="stable")
     seg_sorted = inverse[perm]  # nondecreasing
     cap = len(ids_np)
-    uids_pad = np.full(cap, n, np.int32)  # sentinel = n -> mode="drop"
-    uids_pad[: len(uids)] = uids
+    U = len(uids)
+    # distinct out-of-range padding so the padded list is truly unique+sorted
+    uids_pad = (n + np.arange(cap)).astype(np.int32)
+    uids_pad[:U] = uids
+    # segment boundaries for the cumsum-diff variant: sum of sorted rows
+    # [starts[u], ends[u]] == zcsum[ends[u]+1] - zcsum[starts[u]]
+    ends = np.zeros(cap, np.int32)  # padding: ends+1 == starts -> zero row
+    starts = np.ones(cap, np.int32)
+    ends[:U] = np.cumsum(counts) - 1
+    starts[:U] = ends[:U] - counts + 1
     return (
         jnp.asarray(uids_pad),
         jnp.asarray(perm.astype(np.int32)),
         jnp.asarray(seg_sorted.astype(np.int32)),
-        len(uids),
+        jnp.asarray(starts),
+        jnp.asarray(ends),
+        U,
     )
 
 
@@ -82,7 +93,7 @@ def main():
     rng = np.random.RandomState(0)
     print(f"d={d} zipf_a={zipf_a or 'uniform'}  (ms per table update)")
     print(f"{'n':>9} {'R':>7} {'U':>7} {'A plain':>9} {'B flags':>9} "
-          f"{'C sorted':>9} {'D pipe':>9} {'D/A':>6}")
+          f"{'C sorted':>9} {'D segsum':>9} {'E cumsum':>9} {'A/E':>6}")
 
     def plain(t, ids, vals):
         return t.at[ids].add(vals, mode="drop")
@@ -101,9 +112,17 @@ def main():
         return t.at[uids_pad].add(
             summed, unique_indices=True, indices_are_sorted=True, mode="drop")
 
+    def cumsum_pipe(t, uids_pad, perm, starts, ends, vals):
+        vs = vals[perm]
+        zcsum = jnp.concatenate(
+            [jnp.zeros((1, vs.shape[-1]), vs.dtype), jnp.cumsum(vs, axis=0)])
+        summed = zcsum[ends + 1] - zcsum[starts]
+        return t.at[uids_pad].add(
+            summed, unique_indices=True, indices_are_sorted=True, mode="drop")
+
     jit = lambda f: jax.jit(f, donate_argnums=(0,))
-    f_plain, f_flags, f_sorted, f_pipe = map(
-        jit, (plain, flags, sorted_dup, pipeline))
+    f_plain, f_flags, f_sorted, f_pipe, f_csum = map(
+        jit, (plain, flags, sorted_dup, pipeline, cumsum_pipe))
 
     key = jax.random.PRNGKey(0)
     mk_table = jax.jit(
@@ -117,17 +136,34 @@ def main():
             else:
                 ids_np = rng.randint(0, n, size=R).astype(np.int32)
             vals_np = rng.normal(size=(R, d)).astype(np.float32) * 1e-4
-            uids_pad, perm, seg, U = host_dedupe(ids_np, n)
+            uids_pad, perm, seg, starts, ends, U = host_dedupe(ids_np, n)
             ids = jnp.asarray(ids_np)
             sids = jnp.asarray(np.sort(ids_np))
             vals = jnp.asarray(vals_np)
 
-            ms_a = slope(f_plain, mk_table(key, n), (ids, vals))
-            ms_b = slope(f_flags, mk_table(key, n), (uids_pad, vals))
-            ms_c = slope(f_sorted, mk_table(key, n), (sids, vals))
-            ms_d = slope(f_pipe, mk_table(key, n), (uids_pad, perm, seg, vals))
+            # correctness of the two dedupe pipelines vs the plain scatter
+            t0 = jnp.zeros((n, d), jnp.float32)
+            want = np.zeros((n, d), np.float32)
+            np.add.at(want, ids_np, vals_np)
+            got_d = np.asarray(pipeline(t0, uids_pad, perm, seg, vals))
+            got_e = np.asarray(
+                cumsum_pipe(t0, uids_pad, perm, starts, ends, vals))
+            err_d = float(np.abs(got_d - want).max())
+            err_e = float(np.abs(got_e - want).max())
+            assert err_d < 1e-6, err_d
+
+            n1, n2 = (64, 192) if R <= 8192 else (8, 24)
+            ms_a = slope(f_plain, mk_table(key, n), (ids, vals), n1, n2)
+            ms_b = slope(f_flags, mk_table(key, n), (uids_pad, vals), n1, n2)
+            ms_c = slope(f_sorted, mk_table(key, n), (sids, vals), n1, n2)
+            ms_d = slope(
+                f_pipe, mk_table(key, n), (uids_pad, perm, seg, vals), n1, n2)
+            ms_e = slope(
+                f_csum, mk_table(key, n),
+                (uids_pad, perm, starts, ends, vals), n1, n2)
             print(f"{n:>9} {R:>7} {U:>7} {ms_a:>9.4f} {ms_b:>9.4f} "
-                  f"{ms_c:>9.4f} {ms_d:>9.4f} {ms_a/ms_d:>5.2f}x", flush=True)
+                  f"{ms_c:>9.4f} {ms_d:>9.4f} {ms_e:>9.4f} "
+                  f"{ms_a/ms_e:>5.2f}x  cerr={err_e:.2e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -528,8 +528,13 @@ class TestCoalescedExchange:
         dense_co = np.zeros((6, 2), np.float32)  # row 5 catches the padding
         np.add.at(dense_co, np.minimum(np.asarray(uids), 5), np.asarray(uvals))
         np.testing.assert_allclose(dense_co[:5], dense_raw)
-        # 3 unique ids -> 2 padded slots pointing at num_rows (dropped)
-        assert int(np.sum(np.asarray(uids) == 5)) == 2
+        # 3 unique ids -> 2 padded slots with DISTINCT out-of-range ids
+        u = np.asarray(uids)
+        assert int(np.sum(u >= 5)) == 2 and len(np.unique(u[u >= 5])) == 2
+        # the whole padded list is strictly ascending and duplicate-free,
+        # the invariant that legalizes unique_indices/indices_are_sorted
+        # scatter hints downstream (train_step.py sparse optimizer paths)
+        assert np.all(np.diff(u) > 0)
 
     def test_sum_then_quantize_recovers_underflowing_duplicates(self):
         """Duplicated tiny gradients that individually round to 0 on the int
