@@ -10,8 +10,10 @@ the production default for --onehot-lookup-max-rows/--onehot-update-max-rows.
 
 Methodology: chain-slope + forced readback (see bench.py docstring).
 
-Usage:  python scripts/bench_onehot_megastep.py [B] [K] [lk:up,lk:up,...]
-(third arg overrides the default threshold sweep list)
+Usage:  python scripts/bench_onehot_megastep.py [B] [K] [lk:up,lk:up,...] [arch]
+(third arg overrides the default threshold sweep list; arch = kaggle |
+terabyte — terabyte runs bf16 tables with pinned row-major layout, the
+production Terabyte path)
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ from deep_quantized_recommendation_model_dqrm_tpu.config import (  # noqa: E402
     QuantConfig,
     TrainConfig,
     kaggle_config,
+    terabyte_config,
 )
 from deep_quantized_recommendation_model_dqrm_tpu.data.synthetic import (  # noqa: E402
     random_batch,
@@ -43,11 +46,17 @@ from deep_quantized_recommendation_model_dqrm_tpu.train_step import (  # noqa: E
 def main() -> None:
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    arch = sys.argv[4] if len(sys.argv) > 4 else "kaggle"
 
-    base_cfg = kaggle_config(
-        QuantConfig(enabled=True, embedding_bit=4, weight_bit=4,
+    q = QuantConfig(enabled=True, embedding_bit=4, weight_bit=4,
                     scale_update_period=200)
-    )
+    if arch == "terabyte":
+        # the production Terabyte single-chip path: bf16 master tables,
+        # pinned row-major layout (see train_step.pin_params_layout)
+        base_cfg = dataclasses.replace(terabyte_config(q),
+                                       table_dtype="bfloat16")
+    else:
+        base_cfg = kaggle_config(q)
     rng = np.random.RandomState(0)
     batches = [jax.device_put(random_batch(base_cfg, B, rng)) for _ in range(K)]
 
@@ -68,11 +77,24 @@ def main() -> None:
         cfg = dataclasses.replace(base_cfg, onehot_lookup_max_rows=lk)
         tc = TrainConfig(batch_size=B, learning_rate=0.1,
                          onehot_update_max_rows=up)
-        step = make_multi_train_step(cfg, tc, K, sparse_emb_grad=True)
         # fresh params per sweep: the megastep donates its state buffers
-        state = TrainState(params=_fast_device_init(cfg),
-                           opt_state=None,
-                           qstate=dlrm.init_quant_state(cfg))
+        params = _fast_device_init(cfg)
+        if arch == "terabyte":
+            from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+                jit_with_pinned_tables,
+                pin_params_layout,
+            )
+
+            params = pin_params_layout(params)
+            state = TrainState(params=params, opt_state=None,
+                               qstate=dlrm.init_quant_state(cfg))
+            body = make_multi_train_step(cfg, tc, K, sparse_emb_grad=True,
+                                         _jit=False)
+            step = jit_with_pinned_tables(body, state)
+        else:
+            step = make_multi_train_step(cfg, tc, K, sparse_emb_grad=True)
+            state = TrainState(params=params, opt_state=None,
+                               qstate=dlrm.init_quant_state(cfg))
         best = float("inf")
         for _ in range(2):
             ms, state = sustained_ms_per_it(step, state, batches, K)
