@@ -48,10 +48,15 @@ K = 16  # steps per dispatch (train.py --steps-per-dispatch)
 N1, N2 = 25, 75  # chain lengths for the slope
 
 
-def _fast_device_init(cfg):
+def _fast_device_init(cfg, table_format=None):
     """Device-side parameter init for benchmarking: identical distributions
     to models.dlrm.init_params but generated on-chip (saves minutes of host
-    numpy generation + 2.16 GB of transfer for the full Kaggle model)."""
+    numpy generation + 2.16 GB of transfer for the full Kaggle model).
+
+    `table_format`: optional jax Format to pin each embedding table to AS IT
+    IS CREATED (one at a time, compact original freed immediately) — pinning
+    a fully-materialized model afterwards transiently holds compact + padded
+    copies of every table and OOMs the Terabyte arch."""
     import jax.numpy as jnp
 
     key = jax.random.PRNGKey(0)
@@ -70,13 +75,18 @@ def _fast_device_init(cfg):
         return layers
 
     t_dtype = jnp.bfloat16 if cfg.table_dtype == "bfloat16" else jnp.float32
-    emb = [
-        jax.random.uniform(
+    emb = []
+    for n in cfg.table_sizes:
+        t = jax.random.uniform(
             ks[next(ki)], (n, cfg.embedding_dim), jnp.float32,
             -(1.0 / n) ** 0.5, (1.0 / n) ** 0.5,
         ).astype(t_dtype)
-        for n in cfg.table_sizes
-    ]
+        if table_format is not None:
+            tp = jax.device_put(t, table_format)
+            tp.block_until_ready()
+            t.delete()
+            t = tp
+        emb.append(t)
     return {"bot": mlp(cfg.mlp_bot), "top": mlp(cfg.mlp_top), "emb": emb}
 
 

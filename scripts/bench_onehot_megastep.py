@@ -78,14 +78,15 @@ def main() -> None:
         tc = TrainConfig(batch_size=B, learning_rate=0.1,
                          onehot_update_max_rows=up)
         # fresh params per sweep: the megastep donates its state buffers
-        params = _fast_device_init(cfg)
         if arch == "terabyte":
             from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+                _rowmajor_format,
                 jit_with_pinned_tables,
-                pin_params_layout,
             )
 
-            params = pin_params_layout(params)
+            # pin each table at creation — pinning afterwards transiently
+            # doubles the model in HBM and OOMs (see _fast_device_init)
+            params = _fast_device_init(cfg, table_format=_rowmajor_format())
             state = TrainState(params=params, opt_state=None,
                                qstate=dlrm.init_quant_state(cfg))
             body = make_multi_train_step(cfg, tc, K, sparse_emb_grad=True,
@@ -93,12 +94,18 @@ def main() -> None:
             step = jit_with_pinned_tables(body, state)
         else:
             step = make_multi_train_step(cfg, tc, K, sparse_emb_grad=True)
-            state = TrainState(params=params, opt_state=None,
+            state = TrainState(params=_fast_device_init(cfg), opt_state=None,
                                qstate=dlrm.init_quant_state(cfg))
         best = float("inf")
         for _ in range(2):
             ms, state = sustained_ms_per_it(step, state, batches, K)
             best = min(best, ms)
+        # free this sweep's model before the next init (the Terabyte arch
+        # cannot hold two copies in HBM)
+        for leaf in jax.tree_util.tree_leaves(state):
+            if hasattr(leaf, "delete"):
+                leaf.delete()
+        del state
         n_lk = sum(1 for n in cfg.table_sizes if 0 < n <= lk)
         n_up = sum(1 for n in cfg.table_sizes if 0 < n <= up)
         print(f"lookup<= {lk:>7} ({n_lk:>2} tables)  update<= {up:>7} "
