@@ -2,6 +2,9 @@
 method: count the bytes each collective moves, divide by ICI bandwidth,
 compare against the measured per-chip step time).
 
+NOTE: `--markdown` emits ONLY the tables — SCALING.md = hand-written
+preamble + these tables; regenerate with the preamble preserved.
+
 Multi-chip hardware is not attachable in this environment, so this model
 is the quantitative design artifact behind the sharding choices: it uses
 (a) EXACT per-step wire-byte counts (the same math as
@@ -113,9 +116,9 @@ def main():
     args = ap.parse_args()
     chip = Chip()
     kaggle = Workload("Kaggle INT4 QAT (B=128/chip)", kaggle_config(), 128,
-                      measured_step_ms=0.416)
+                      measured_step_ms=0.332)
     tb = Workload("Terabyte INT4 QAT bf16 (B=2048/chip, pinned layout)",
-                  terabyte_config(), 2048, measured_step_ms=9.29)
+                  terabyte_config(), 2048, measured_step_ms=3.49)
     out = []
     for w, engine, kw in (
         (kaggle, "dp", dict(grad_bits=8)),
