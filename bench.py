@@ -147,11 +147,49 @@ def main() -> None:
         ms_it, state = sustained_ms_per_it(multi, state, batches, K)
         best = min(best, ms_it)
 
+    # Secondary driver-captured metric: the dp comm-grad ENGINE on a
+    # 1-device mesh (INT8-quantized sparse/dense gradient exchange code
+    # path — the collectives are degenerate but every quantize/coalesce/
+    # pack stage executes), so regressions in the compressed-exchange path
+    # show up in BENCH even though the headline measures parallelism=none.
+    from deep_quantized_recommendation_model_dqrm_tpu.parallel import (
+        comm_grad,
+        make_mesh,
+    )
+
+    mesh1 = make_mesh(1)
+    dstep = comm_grad.make_dp_train_step(
+        cfg, tc, mesh1, steps_per_dispatch=K
+    )
+    dstate = comm_grad.DPState(
+        params=_fast_device_init(cfg),
+        qstate=dlrm.init_quant_state(cfg),
+        ec={"bot": [], "top": []},  # error_compensation off: unused zeros
+    )
+    # ec must match the pytree the step expects even when disabled
+    dstate = comm_grad.DPState(
+        params=dstate.params,
+        qstate=dstate.qstate,
+        ec={
+            part: [
+                {"w": jax.numpy.zeros_like(l["w"]),
+                 "b": jax.numpy.zeros_like(l["b"])}
+                for l in dstate.params[part]
+            ]
+            for part in ("bot", "top")
+        },
+    )
+    dp_best = float("inf")
+    for _ in range(2):
+        dp_ms, dstate = sustained_ms_per_it(dstep, dstate, batches, K)
+        dp_best = min(dp_best, dp_ms)
+
     print(json.dumps({
         "metric": "qat_train_step_ms",
         "value": round(best, 4),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / best, 2),
+        "dp_commgrad_ms": round(dp_best, 4),
     }))
 
 

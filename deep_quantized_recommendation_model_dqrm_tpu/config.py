@@ -367,6 +367,13 @@ class TrainConfig:
     # accumulates in fp32 and rounds ONCE on apply (the scatter path
     # accumulates in bf16) — a slightly more accurate, not identical, update.
     onehot_update_max_rows: int = 0
+    # Gradient accumulation loss scale (`--mlperf-grad-accum-iter`,
+    # dlrm_s_pytorch.py:1595-1601): the reference backwards each of the k
+    # micro-batches WITHOUT zeroing grads, so the applied gradient is the
+    # SUM of per-batch mean-loss grads. One step over the k-batch concat
+    # yields the MEAN; multiplying the concat loss by k (= this scale)
+    # reproduces the reference's sum-of-means trajectory exactly.
+    loss_scale: float = 1.0
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

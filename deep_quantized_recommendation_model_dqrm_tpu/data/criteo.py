@@ -674,16 +674,20 @@ class CriteoDataset:
         return self._cache
 
     def _split_range(self) -> List[Tuple[int, int, int]]:
-        """List of (day, start, stop) covering this split."""
+        """List of (day, start, stop) covering this split.
+
+        Last-day halving matches the reference's memory-map mode exactly
+        (dlrm_data_pytorch.py:144-145, :289-292): test = the FIRST
+        ceil(n/2) rows of the last day, val = the remaining floor(n/2)."""
         n = len(self.day_paths)
         if self.split == "train":
             return [(d, 0, self.day_lens[d]) for d in range(n - 1)]
         last = n - 1
-        half = self.day_lens[last] // 2
-        if self.split == "val":
-            return [(last, 0, half)]
+        test_size = -(-self.day_lens[last] // 2)  # ceil, reference :144
         if self.split == "test":
-            return [(last, half, self.day_lens[last])]
+            return [(last, 0, test_size)]
+        if self.split == "val":
+            return [(last, test_size, self.day_lens[last])]
         raise ValueError(f"unknown split {self.split!r}")
 
     def __len__(self) -> int:

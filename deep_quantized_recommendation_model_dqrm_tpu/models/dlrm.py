@@ -444,6 +444,42 @@ def trick_pooled_lookup(
     return tricks.md_pooled_lookup(table, indices, mask)
 
 
+def splice_trick_pooled(
+    config: DLRMConfig,
+    emb_trick: Dict[str, dict],  # {str(k): trick-table params} differentiable
+    vw,  # list of per-table pooling weights (stop-gradded as desired) or None
+    indices: jax.Array,  # [T, B, P]
+    mask: Optional[jax.Array],
+    pooled: jax.Array,  # [T, B, D] stop-grad pooled stack (lookup_all output)
+    trick_ks,
+) -> jax.Array:
+    """Recompute QR/MD pooled outputs from DIFFERENTIABLE trick params and
+    splice them into the stop-grad pooled stack.
+
+    This is how every engine keeps embedding gradients sparse while QR/MD
+    tables (whose gradients are dense and tiny by construction) ride the
+    dense-autodiff channel: autodiff is cut at `pooled`, and the trick
+    entries are recomputed here from `emb_trick` so their grads flow; the
+    stop-grad copies inside `pooled` are spliced out and dead-code
+    eliminated by XLA. Shared by parallel/comm_grad.py and the single-chip
+    sparse step (train_step._build_sparse_step_fn)."""
+    parts = []
+    for k in range(config.num_tables):
+        if k in trick_ks:
+            m = mask[k] if mask is not None else None
+            if config.weighted_pooling is not None:
+                w_rows = jnp.take(vw[k], indices[k], axis=0)
+                m = w_rows if m is None else m * w_rows
+            parts.append(
+                trick_pooled_lookup(
+                    config, emb_trick[str(k)], indices[k], m
+                ).astype(jnp.float32)
+            )
+        else:
+            parts.append(pooled[k])
+    return jnp.stack(parts)
+
+
 def lookup_all(
     config: DLRMConfig,
     params: Params,
@@ -502,6 +538,7 @@ def emb_postprocess(
     pooled: jax.Array,  # [T, B, D] raw pooled lookups
     qstate: QuantState,
     full_precision: bool,
+    lsq_numel_scale: float = 1.0,
 ) -> jax.Array:
     """Pooled-output fake-quant per table.
 
@@ -525,7 +562,10 @@ def emb_postprocess(
             outs.append(pooled[k])  # QR/MD tables stay full-precision
         elif qc.quant_scheme == "lsq":
             outs.append(
-                q.fake_quant_lsq(pooled[k], params["lsq_emb"][k], qc.embedding_bit)
+                q.fake_quant_lsq(
+                    pooled[k], params["lsq_emb"][k], qc.embedding_bit,
+                    numel_scale=lsq_numel_scale,
+                )
             )
         else:  # hawq (DQRM default)
             outs.append(q.fake_quant(pooled[k], qstate.emb_scales[k], qc.embedding_bit))
@@ -561,6 +601,7 @@ def forward(
     train: bool = True,
     full_precision: bool = False,
     raw_pooled: Optional[jax.Array] = None,
+    lsq_numel_scale: float = 1.0,
 ) -> Tuple[jax.Array, QuantState]:
     """Full DLRM forward pass. Returns (logits [B], new QuantState).
 
@@ -588,7 +629,10 @@ def forward(
             pooled = lookup_all(
                 config, params, batch.indices, batch.mask, full_precision_emb
             )
-        return emb_postprocess(config, params, pooled, qstate, full_precision_emb)
+        return emb_postprocess(
+            config, params, pooled, qstate, full_precision_emb,
+            lsq_numel_scale=lsq_numel_scale,
+        )
 
     new_act_min = qstate.act_min
     new_act_max = qstate.act_max

@@ -237,16 +237,25 @@ def _grad_scale(x: jax.Array, scale: jax.Array) -> jax.Array:
 
 
 def fake_quant_lsq(
-    x: jax.Array, step_size: jax.Array, bits: int, per_channel: bool = False
+    x: jax.Array,
+    step_size: jax.Array,
+    bits: int,
+    per_channel: bool = False,
+    numel_scale: float = 1.0,
 ) -> jax.Array:
     """LSQ learned-step-size fake-quant (quantizer/lsq.py:18-58).
 
     `step_size` is a trainable parameter; its gradient is scaled by
-    1/sqrt(numel * Qp) and the round uses STE.
-    """
+    1/sqrt(numel * Qp) and the round uses STE. `numel_scale` multiplies the
+    numel inside the grad scale: data-parallel engines pass the device
+    count so the scale reflects the GLOBAL batch (each shard sees only
+    x.size = numel/N elements) — combined with a psum of the step grads
+    this makes distributed LSQ exactly batch-size-invariant (the torch-DDP
+    baseline instead uses the local numel and pmean, which only TRACKS the
+    single-process trajectory)."""
     qn = 2 ** (bits - 1)
     qp = 2 ** (bits - 1) - 1
-    g = 1.0 / jnp.sqrt(jnp.asarray(x.size, x.dtype) * qp)
+    g = 1.0 / jnp.sqrt(jnp.asarray(x.size * numel_scale, x.dtype) * qp)
     s = _grad_scale(step_size, g)
     s = _broadcast_scale(s, x) if per_channel else s
     xq = jnp.clip(x / s, -qn, qp)

@@ -223,34 +223,21 @@ def make_dp_train_step(
         def loss_fn(mlp_p, pooled):
             if trick_ks:
                 # Recompute trick-table pooled outputs from the
-                # differentiable params (the stop-grad copies in `pooled`
-                # are spliced out, so XLA dead-code-eliminates them).
-                parts = []
-                for k in range(config.num_tables):
-                    if k in trick_ks:
-                        m = batch.mask[k] if batch.mask is not None else None
-                        if config.weighted_pooling is not None:
-                            # learned pooling weights differentiate through
-                            # this recompute (their grads ride the dense
-                            # pmean channel); "fixed" ones are buffers.
-                            vw_k = (
-                                mlp_p["v_W"][k]
-                                if learned_vw
-                                else jax.lax.stop_gradient(params["v_W"][k])
-                            )
-                            w_rows = jnp.take(vw_k, batch.indices[k], axis=0)
-                            m = w_rows if m is None else m * w_rows
-                        parts.append(
-                            dlrm.trick_pooled_lookup(
-                                config,
-                                mlp_p["emb_trick"][str(k)],
-                                batch.indices[k],
-                                m,
-                            ).astype(jnp.float32)
-                        )
-                    else:
-                        parts.append(pooled[k])
-                pooled = jnp.stack(parts)
+                # differentiable params (learned pooling weights ride the
+                # recompute too; "fixed" ones are stop-gradded buffers).
+                vw = None
+                if config.weighted_pooling is not None:
+                    vw = (
+                        mlp_p["v_W"]
+                        if learned_vw
+                        else [
+                            jax.lax.stop_gradient(v) for v in params["v_W"]
+                        ]
+                    )
+                pooled = dlrm.splice_trick_pooled(
+                    config, mlp_p["emb_trick"], vw, batch.indices,
+                    batch.mask, pooled, trick_ks,
+                )
             fwd_p = {kk: v for kk, v in mlp_p.items() if kk != "emb_trick"}
             logits, new_qs = dlrm.forward(
                 config,
@@ -259,6 +246,10 @@ def make_dp_train_step(
                 qstate,
                 train=True,
                 raw_pooled=pooled,
+                # LSQ grad scales see the GLOBAL batch numel so the pmean'd
+                # step grads equal the single-chip ones exactly
+                # (quant.fake_quant_lsq docstring)
+                lsq_numel_scale=float(mesh.shape[axis]),
             )
             return dlrm.training_loss(config, logits, batch.labels), new_qs
 

@@ -474,6 +474,9 @@ def make_hybrid_train_step(
                 qstate,
                 train=True,
                 raw_pooled=raw_pooled,
+                # LSQ step grads: global-batch numel makes the DDP pmean
+                # exactly batch-size-invariant (quant.fake_quant_lsq)
+                lsq_numel_scale=float(mesh.shape[axis]),
             )
             return dlrm.training_loss(config, logits, batch.labels), new_qs
 

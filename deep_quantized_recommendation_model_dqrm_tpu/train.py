@@ -81,7 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--md-round-dims", action="store_true")
     # data (dlrm_s_pytorch.py:940-975)
     p.add_argument("--data-generation", type=str, default="random",
-                   choices=["random", "dataset", "binary"])
+                   choices=["random", "learnable", "dataset", "binary"],
+                   help="'learnable' = synthetic CTR stream WITH signal "
+                        "(hidden factorization model, data/synthetic."
+                        "LearnableSyntheticLoader) — the accuracy-gate "
+                        "stand-in when real Criteo is unavailable; train "
+                        "and test share the ground-truth model")
     p.add_argument("--data-set", type=str, default="kaggle",
                    choices=["kaggle", "terabyte"])
     p.add_argument("--processed-data-dir", type=str, default="")
@@ -130,17 +135,36 @@ def build_parser() -> argparse.ArgumentParser:
                         "(the reference default — only meaningful with "
                         "--loss-function=mse)")
     p.add_argument("--data-trace-file", type=str, default="",
-                   help="non-empty: draw sparse indices from the LRU stack-"
-                        "distance locality model (trace_generate_lru, "
-                        "dlrm_data_pytorch.py:1235-1320; generated, not "
-                        "replayed from a file — no trace files exist here)")
+                   help="non-empty: draw sparse indices from per-table LRU "
+                        "stack-distance profile files ('j' in the path is "
+                        "replaced by the table index; "
+                        "generate_synthetic_input_batch, dlrm_data_pytorch."
+                        "py:1161-1233). If the table-0 file does not exist, "
+                        "falls back to a GENERATED locality model "
+                        "(data/synthetic.TraceSyntheticLoader). Build dist "
+                        "files from a raw trace with data/trace."
+                        "profile_trace_to_dist")
+    p.add_argument("--data-trace-enable-padding", action="store_true",
+                   help="pad the sampled stack-distance distribution once "
+                        "all unique lines have been seen "
+                        "(dlrm_data_pytorch.py:1241-1244)")
     p.add_argument("--mlperf-bin-shuffle", action="store_true",
                    help="batch-level shuffle of the mlperf binary train "
                         "split (RandomSampler, dlrm_data_pytorch.py:452)")
     p.add_argument("--mlperf-grad-accum-iter", type=int, default=1,
                    help="accumulate N batches into one optimizer step "
-                        "(dlrm_s_pytorch.py:1595-1601; implemented as a "
-                        "batch concat — mean-gradient semantics)")
+                        "(dlrm_s_pytorch.py:1595-1604); see "
+                        "--grad-accum-semantics for the exact math")
+    p.add_argument("--grad-accum-semantics", type=str, default="reference",
+                   choices=["reference", "sum", "mean"],
+                   help="'reference' reproduces the reference EXACTLY: its "
+                        "zero_grad shares the step's (j+1)%%k==0 condition "
+                        "(dlrm_s_pytorch.py:1596-1600), discarding the "
+                        "first k-1 micro-grads — only the k-th batch's own "
+                        "gradient is ever applied (A/B-verified). 'sum' = "
+                        "sum of per-batch mean grads (concat + loss*k, the "
+                        "accumulation the reference code apparently "
+                        "intended); 'mean' = plain large-batch mean (concat)")
     p.add_argument("--documenting-table-weight", action="store_true",
                    help="dump embedding tables to <log-dir>/table_weights_"
                         "{0,1}.npz before/after training "
@@ -400,6 +424,31 @@ def make_loaders(args, cfg, tc):
                     "--no-round-targets/--no-num-indices-per-lookup-fixed "
                     "(the trace generator defines its own index distribution)"
                 )
+            import os as _os
+
+            from deep_quantized_recommendation_model_dqrm_tpu.data.trace import (
+                TraceFileLoader,
+                table_dist_path,
+            )
+
+            if _os.path.exists(table_dist_path(args.data_trace_file, 0)):
+                # real per-table stack-distance profile files on disk:
+                # replay them (generate_synthetic_input_batch,
+                # dlrm_data_pytorch.py:1161-1233)
+                train = TraceFileLoader(
+                    cfg, tc.batch_size, nb, args.data_trace_file,
+                    seed=tc.seed,
+                    num_indices_per_lookup=args.num_indices_per_lookup,
+                    enable_padding=args.data_trace_enable_padding,
+                )
+                test = TraceFileLoader(
+                    cfg, tc.test_batch_size, max(1, nb // 8),
+                    args.data_trace_file, seed=tc.seed + 1,
+                    num_indices_per_lookup=args.num_indices_per_lookup,
+                    enable_padding=args.data_trace_enable_padding,
+                )
+                return cfg, train, test, None
+            # no such file: fall back to the generated LRU locality model
             from deep_quantized_recommendation_model_dqrm_tpu.data.synthetic import (
                 TraceSyntheticLoader,
             )
@@ -408,7 +457,7 @@ def make_loaders(args, cfg, tc):
             test = TraceSyntheticLoader(
                 cfg, tc.test_batch_size, max(1, nb // 8), seed=tc.seed + 1
             )
-            return cfg, train, test
+            return cfg, train, test, None
         gen = dict(
             variable_pooling=not args.num_indices_per_lookup_fixed,
             rand_data_dist=args.rand_data_dist,
@@ -422,7 +471,20 @@ def make_loaders(args, cfg, tc):
         test = RandomBatchLoader(
             cfg, tc.test_batch_size, max(1, nb // 8), seed=tc.seed + 1, **gen
         )
-        return cfg, train, test
+        return cfg, train, test, None
+    if args.data_generation == "learnable":
+        from deep_quantized_recommendation_model_dqrm_tpu.data.synthetic import (
+            LearnableSyntheticLoader,
+        )
+
+        nb = args.num_batches or (
+            -(-args.data_size // tc.batch_size) if args.data_size > 0 else 128
+        )
+        train = LearnableSyntheticLoader(cfg, tc.batch_size, nb, seed=tc.seed)
+        test = LearnableSyntheticLoader(
+            cfg, tc.test_batch_size, max(1, nb // 8), seed=tc.seed + 7919
+        )
+        return cfg, train, test, None
     if args.data_generation == "dataset":
         import os
 
@@ -499,9 +561,13 @@ def make_loaders(args, cfg, tc):
                     seed=self.seed,
                 )
 
+        # val = the second half of the last day (reference
+        # dlrm_data_pytorch.py:144-145); exposed for early-stopping flows
+        # even though the canonical drivers only consume train/test
+        val_ds = CriteoDataset(args.processed_data_dir, "val", args.max_ind_range)
         return cfg, _Iter(
             train_ds, tc.batch_size, args.data_randomize, args.numpy_rand_seed
-        ), _Iter(test_ds, tc.test_batch_size)
+        ), _Iter(test_ds, tc.test_batch_size), _Iter(val_ds, tc.test_batch_size)
     # binary (mlperf format). The reference ships train/test as separate bin
     # files (dlrm_data_pytorch.py:441-461); with a single file we carve a
     # disjoint 7/8-1/8 record split so eval never sees training data.
@@ -528,7 +594,7 @@ def make_loaders(args, cfg, tc):
             args.binary_data_file, tc.test_batch_size, args.max_ind_range,
             start_record=n_train,
         )
-    return cfg, train, test
+    return cfg, train, test, None
 
 
 def pad_eval(fn, ndev: int):
@@ -634,7 +700,7 @@ def run(argv=None) -> dict:
             20000 if args.parallelism in ("none", "dp") else 0
         )
     cfg, tc = make_configs(args)
-    cfg, train_loader, test_loader = make_loaders(args, cfg, tc)
+    cfg, train_loader, test_loader, val_loader = make_loaders(args, cfg, tc)
     cfg.validate_top()
     rank = jax.process_index()
     logger = ScalarLogger(args.log_dir or None)
@@ -831,7 +897,11 @@ def run(argv=None) -> dict:
                 "--mlperf-grad-accum-iter requires --parallelism=none "
                 "(the reference accumulates only in its single-process loop)"
             )
-        multi_k = 1  # accumulation concatenates batches; megastep disabled
+        multi_k = 1  # accumulation buffers batches; megastep disabled
+        if args.grad_accum_semantics == "sum":
+            # Sum-of-means: one step over the k-batch concat with the loss
+            # scaled by k (see TrainConfig.loss_scale).
+            tc = tc.replace(loss_scale=float(accum_n))
     if step_mode == "dp" and args.weight_sync_period > 0 and multi_k > 1:
         # align dispatches with weight_syncc boundaries: a megastep cannot
         # sync mid-dispatch, so clamp k to the largest divisor of the sync
@@ -855,26 +925,37 @@ def run(argv=None) -> dict:
 
     def _sparse_ok(eff):
         # explicit-sparse embedding updates guarantee O(touched rows)
-        # update cost (see train_step._build_sparse_step_fn); the
-        # dense-autodiff body is required when table gradients are
-        # not pure gathers (learned pooling weights, QR/MD). All three
+        # update cost (see train_step._build_sparse_step_fn). All three
         # quant schemes qualify: hawq/lsq quantize the pooled OUTPUT and
         # pact's DoReFa STE is identity over the whole weight transform,
         # so d loss/d table == scatter(g_pooled) exactly
         # (tests/test_model.py::test_sparse_step_matches_dense_for_schemes).
-        return (
-            tc.optimizer in ("sgd", "adagrad", "rwsadagrad")
-            and eff.weighted_pooling != "learned"
-            and not (eff.qr_flag or eff.md_flag)
-        )
+        # QR/MD trick tables and learned pooling no longer force the dense
+        # body: the sparse step differentiates trick recomputes and applies
+        # analytic sparse v_W grads (exact-equivalence tests in
+        # tests/test_model.py::TestSparseStepTricks).
+        return tc.optimizer in ("sgd", "adagrad", "rwsadagrad")
 
     # any P>1 synthetic batch ships a [T, B, P] mask (variable pooling
-    # lengths and/or in-bag dedupe — random_batch); the sharded steps need
-    # it in their shard_map specs
+    # lengths and/or in-bag dedupe — random_batch; trace-REPLAY bags are
+    # np.unique'd so they are masked too); the generated locality model
+    # (TraceSyntheticLoader) is the one mask-free P>1 source
+    if args.data_trace_file:
+        import os as _os
+
+        from deep_quantized_recommendation_model_dqrm_tpu.data.trace import (
+            table_dist_path,
+        )
+
+        _trace_replay = _os.path.exists(
+            table_dist_path(args.data_trace_file, 0)
+        )
+    else:
+        _trace_replay = False
     has_mask = (
         args.data_generation == "random"
         and args.num_indices_per_lookup > 1
-        and not args.data_trace_file
+        and (not args.data_trace_file or _trace_replay)
     )
 
     def get_step(epoch: int, k: Optional[int] = None):
@@ -1089,15 +1170,21 @@ def run(argv=None) -> dict:
             batch = globalize_batch(batch)
             if accum_n > 1:
                 # gradient accumulation: one optimizer step per accum_n
-                # batches via concatenation (mean-gradient semantics)
+                # batches (--grad-accum-semantics)
                 _abuf.append(batch)
                 if len(_abuf) < accum_n:
                     continue
-                from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
-                    concat_batches,
-                )
+                if args.grad_accum_semantics == "reference":
+                    # the reference's zero_grad placement discards the
+                    # first k-1 micro-grads (dlrm_s_pytorch.py:1596-1600):
+                    # the applied update is the k-th batch's gradient alone
+                    batch, _abuf = _abuf[-1], []
+                else:
+                    from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+                        concat_batches,
+                    )
 
-                batch, _abuf = concat_batches(_abuf), []
+                    batch, _abuf = concat_batches(_abuf), []
             it_prev = it
             if multi_k > 1:
                 # K-batch megastep: buffer then dispatch once
@@ -1229,16 +1316,36 @@ def run(argv=None) -> dict:
                 it += 1
             _buf = []
         if _abuf:
-            # flush a partial accumulation buffer (fewer than accum_n
-            # batches left in the epoch) as one smaller concat step —
-            # dropping it would silently skip training data
-            from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
-                concat_batches,
-            )
+            if args.grad_accum_semantics == "reference":
+                # the reference never fires a step for a partial window (its
+                # buffer carries across epochs; our epoch boundary drops the
+                # j<k discarded-anyway micro-grads, which is trajectory-
+                # identical because only the k-th batch's grad ever applies)
+                _abuf = []
+            else:
+                # flush a partial accumulation buffer (fewer than accum_n
+                # batches left in the epoch) as one smaller concat step —
+                # dropping it would silently skip training data. 'sum'
+                # scales by the ACTUAL buffered count (one-off compile).
+                from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+                    concat_batches,
+                    make_train_step,
+                )
 
-            state, loss = get_step(epoch, k=1)(state, concat_batches(_abuf))
-            it += 1
-            _abuf = []
+                eff_f = config_for_epoch(cfg, tc, epoch)
+                scale = (
+                    float(len(_abuf))
+                    if args.grad_accum_semantics == "sum"
+                    else 1.0
+                )
+                flush_step = make_train_step(
+                    eff_f,
+                    tc.replace(loss_scale=scale),
+                    sparse_emb_grad=_sparse_ok(eff_f),
+                )
+                state, loss = flush_step(state, concat_batches(_abuf))
+                it += 1
+                _abuf = []
         mll.end("epoch", {"num": epoch})
     mll.end("run")
     if prof_ctx is not None:

@@ -99,6 +99,10 @@ def _build_step_fn(
             return dlrm.training_loss(config, logits, batch.labels), new_qs
 
         (loss, new_qs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if tc.loss_scale != 1.0:
+            # Grad-accumulation sum-of-means semantics (TrainConfig.loss_scale
+            # docstring): scale the gradient, keep the reported loss a mean.
+            grads = jax.tree_util.tree_map(lambda g: g * tc.loss_scale, grads)
 
         # 1-based step count matches LRPolicyScheduler._step_count semantics.
         lr = lr_policy(
@@ -137,8 +141,19 @@ def _build_sparse_step_fn(
     (sgd_quantized_gradients_parallel_comm.py:601-685) — so update cost is
     O(touched rows) by construction. SGD and RWSAdagrad (row-wise state on
     touched rows, optim/rwsadagrad.py) are supported.
+
+    QR/MD trick tables and learned pooling weights do NOT force the dense
+    body: exactly as in parallel/comm_grad.py, trick tables (small by
+    construction, dense tiny grads) are differentiated through a recompute
+    (dlrm.splice_trick_pooled) while dense tables keep sparse (ids, rows)
+    updates; learned v_W gets analytic per-occurrence scalar grads
+    (g_pooled . E[row]) applied as a sparse scatter. The reference runs
+    QR/MD only under full autograd (dlrm_s_pytorch.py:239-286) — this split
+    keeps them at sparse-step cost instead.
     """
+    from deep_quantized_recommendation_model_dqrm_tpu.ops import quant as q
     from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import (
+        coalesce_sparse_grad,
         rows_grad_from_pooled,
     )
     from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.onehot_update import (
@@ -148,18 +163,11 @@ def _build_sparse_step_fn(
 
     if tc.optimizer not in ("sgd", "adagrad", "rwsadagrad"):
         raise ValueError("sparse step supports sgd / adagrad / rwsadagrad")
-    if config.weighted_pooling == "learned":
-        raise NotImplementedError(
-            "learned pooling weights need the dense-autodiff step "
-            "(sparse_emb_grad=False): the pooled-lookup cut severs v_W"
-        )
-    if any(config.table_kind(k) != "dense" for k in range(config.num_tables)):
-        raise NotImplementedError(
-            "QR/MD embeddings are not pure gathers; use the dense step "
-            "(sparse_emb_grad=False), matching the reference where QR/MD "
-            "run only under autograd (dlrm_s_pytorch.py:239-286)"
-        )
     qc = config.quant
+    learned_vw = config.weighted_pooling == "learned"
+    trick_ks = frozenset(
+        k for k in range(config.num_tables) if config.table_kind(k) != "dense"
+    )
 
     def step_fn(state: TrainState, batch: dlrm.Batch) -> Tuple[TrainState, jax.Array]:
         params, qstate = state.params, state.qstate
@@ -167,18 +175,42 @@ def _build_sparse_step_fn(
             qstate = dlrm.update_emb_scales(config, params, qstate)
 
         mlp_params = {k: v for k, v in params.items() if k != "emb"}
+        if trick_ks:
+            mlp_params["emb_trick"] = {
+                str(k): params["emb"][k] for k in sorted(trick_ks)
+            }
         raw_pooled = dlrm.lookup_all(
             config,
-            {**params, "emb": [jax.lax.stop_gradient(t) for t in params["emb"]]},
+            {
+                **params,
+                "emb": jax.tree_util.tree_map(
+                    jax.lax.stop_gradient, params["emb"]
+                ),
+            },
             batch.indices,
             batch.mask,
             full_precision=not qc.enabled,
         )
 
         def loss_fn(mlp_p, pooled):
+            if trick_ks:
+                vw = None
+                if config.weighted_pooling is not None:
+                    vw = (
+                        mlp_p["v_W"]
+                        if learned_vw
+                        else [
+                            jax.lax.stop_gradient(v) for v in params["v_W"]
+                        ]
+                    )
+                pooled = dlrm.splice_trick_pooled(
+                    config, mlp_p["emb_trick"], vw, batch.indices,
+                    batch.mask, pooled, trick_ks,
+                )
+            fwd_p = {kk: v for kk, v in mlp_p.items() if kk != "emb_trick"}
             logits, new_qs = dlrm.forward(
                 config,
-                {**mlp_p, "emb": params["emb"]},
+                {**fwd_p, "emb": params["emb"]},
                 batch,
                 qstate,
                 train=True,
@@ -189,6 +221,13 @@ def _build_sparse_step_fn(
         (loss, new_qs), (mlp_grads, g_pooled) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(mlp_params, raw_pooled)
+        if tc.loss_scale != 1.0:
+            # Grad-accumulation sum-of-means semantics (TrainConfig.loss_scale
+            # docstring); g_pooled feeds every sparse update downstream.
+            mlp_grads = jax.tree_util.tree_map(
+                lambda g: g * tc.loss_scale, mlp_grads
+            )
+            g_pooled = g_pooled * tc.loss_scale
 
         lr = lr_policy(
             tc.learning_rate,
@@ -202,12 +241,16 @@ def _build_sparse_step_fn(
         new_opt = state.opt_state
         if tc.optimizer == "sgd":
             for k, sub in mlp_grads.items():
+                if k == "emb_trick":
+                    continue  # handled with the tables below
                 new_params[k] = jax.tree_util.tree_map(
                     lambda p, g: p - lr * g, params[k], sub
                 )
         else:  # adagrad / rwsadagrad dense part (classic Adagrad)
             new_opt = dict(state.opt_state)
             for k, sub in mlp_grads.items():
+                if k == "emb_trick":
+                    continue  # handled with the tables below
                 acc = jax.tree_util.tree_map(
                     lambda s, g: s + g * g, state.opt_state[k], sub
                 )
@@ -220,6 +263,52 @@ def _build_sparse_step_fn(
         new_emb = []
         new_emb_acc = [] if tc.optimizer in ("adagrad", "rwsadagrad") else None
         for k, table in enumerate(params["emb"]):
+            if k in trick_ks:
+                # QR/MD: dense tiny grads from the trick recompute; apply
+                # the optimizer per leaf exactly as the dense-autodiff body
+                # would (optim/sgd.py semantics: rwsadagrad gives q/r/table
+                # leaves row-wise accumulators, MD proj stays classic).
+                g_trick = mlp_grads["emb_trick"][str(k)]
+                if tc.optimizer == "sgd":
+                    new_emb.append(
+                        jax.tree_util.tree_map(
+                            lambda p, g: (p - lr * g).astype(p.dtype),
+                            table, g_trick,
+                        )
+                    )
+                elif tc.optimizer == "adagrad":
+                    acc = state.opt_state["emb"][k]
+                    acc2 = jax.tree_util.tree_map(
+                        lambda s, g: s + g * g, acc, g_trick
+                    )
+                    new_emb.append(
+                        jax.tree_util.tree_map(
+                            lambda p, g, s: (
+                                p - lr * g / (jnp.sqrt(s) + EPS)
+                            ).astype(p.dtype),
+                            table, g_trick, acc2,
+                        )
+                    )
+                    new_emb_acc.append(acc2)
+                else:  # rwsadagrad dict branch (optim/sgd.py:94-106)
+                    acc = state.opt_state["emb"][k]
+                    upd, st = {}, {}
+                    for kk in table:
+                        g = g_trick[kk]
+                        if kk in ("q", "r", "table"):
+                            st[kk] = acc[kk] + jnp.mean(g * g, axis=1)
+                            upd[kk] = (
+                                table[kk]
+                                - lr * g / (jnp.sqrt(st[kk])[:, None] + EPS)
+                            ).astype(table[kk].dtype)
+                        else:  # MD projection: classic Adagrad
+                            st[kk] = acc[kk] + g * g
+                            upd[kk] = (
+                                table[kk] - lr * g / (jnp.sqrt(st[kk]) + EPS)
+                            ).astype(table[kk].dtype)
+                    new_emb.append(upd)
+                    new_emb_acc.append(st)
+                continue
             eff_m = batch.mask[k] if batch.mask is not None else None
             if config.weighted_pooling is not None:
                 # d pooled / d row = v_W[row] (per_sample_weights,
@@ -269,10 +358,6 @@ def _build_sparse_step_fn(
             elif tc.optimizer == "adagrad":
                 # per-element Adagrad on touched rows only (torch sparse
                 # Adagrad semantics): coalesce, acc += g^2, w -= lr g/sqrt
-                from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import (
-                    coalesce_sparse_grad,
-                )
-
                 uids, uvals = coalesce_sparse_grad(
                     ids, vals, table.shape[0], max_unique=ids.shape[0]
                 )
@@ -297,10 +382,6 @@ def _build_sparse_step_fn(
                 # (optim/rwsadagrad.py:74-118). Duplicate ids must be
                 # coalesced first (torch sparse .coalesce() semantics) so
                 # acc += mean(summed_row_grad^2) matches the dense update.
-                from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import (
-                    coalesce_sparse_grad,
-                )
-
                 uids, uvals = coalesce_sparse_grad(
                     ids, vals, table.shape[0], max_unique=ids.shape[0]
                 )
@@ -322,6 +403,68 @@ def _build_sparse_step_fn(
         new_params["emb"] = new_emb
         if tc.optimizer in ("adagrad", "rwsadagrad"):
             new_opt["emb"] = new_emb_acc
+
+        if learned_vw:
+            # Learned pooling weights for DENSE tables: the autodiff cut
+            # severed v_W (mlp_grads["v_W"][k] is zero there — the dense
+            # part above was a no-op on them), so apply the analytic
+            # per-occurrence scalar grads d pooled[b]/d v_W[idx[b,p]] =
+            # base_mask * E[idx] . g_pooled[b] as a coalesced sparse
+            # scatter — the same math as parallel/comm_grad.py's learned-vw
+            # exchange, minus the all_gather. Trick tables' v_W grads came
+            # through the recompute and were applied densely above.
+            pact = qc.enabled and qc.quantize_emb and qc.quant_scheme == "pact"
+            new_vw = list(new_params["v_W"])
+            vw_acc = (
+                list(new_opt["v_W"])
+                if tc.optimizer in ("adagrad", "rwsadagrad")
+                else None
+            )
+            for k in range(config.num_tables):
+                if k in trick_ks:
+                    continue
+                tbl = params["emb"][k]
+                if pact:
+                    tbl = q.fake_quant_pact(tbl, qc.embedding_bit)
+                rows_e = jnp.take(tbl, batch.indices[k], axis=0)  # [B,P,D]
+                contrib = jnp.einsum(
+                    "bd,bpd->bp",
+                    g_pooled[k].astype(jnp.float32),
+                    rows_e.astype(jnp.float32),
+                )
+                base_m = batch.mask[k] if batch.mask is not None else None
+                if base_m is not None:
+                    contrib = contrib * base_m
+                B, Pp = batch.indices[k].shape
+                n = new_vw[k].shape[0]
+                uids, uvals = coalesce_sparse_grad(
+                    batch.indices[k].reshape(-1),
+                    contrib.reshape(-1, 1),
+                    n,
+                    min(B * Pp, n),
+                )
+                g1 = uvals[:, 0]
+                if tc.optimizer == "sgd":
+                    new_vw[k] = new_vw[k].at[uids].add(
+                        -lr * g1, mode="drop",
+                        unique_indices=True, indices_are_sorted=True,
+                    )
+                else:
+                    # v_W is a flat [n] vector: element-wise Adagrad ==
+                    # row-wise Adagrad at D=1 (both optimizers agree).
+                    acc2 = vw_acc[k].at[uids].add(
+                        g1 * g1, mode="drop",
+                        unique_indices=True, indices_are_sorted=True,
+                    )
+                    denom = jnp.sqrt(acc2.at[uids].get(mode="clip")) + EPS
+                    new_vw[k] = new_vw[k].at[uids].add(
+                        -lr * g1 / denom, mode="drop",
+                        unique_indices=True, indices_are_sorted=True,
+                    )
+                    vw_acc[k] = acc2
+            new_params["v_W"] = new_vw
+            if vw_acc is not None:
+                new_opt["v_W"] = vw_acc
 
         new_qs = new_qs._replace(step=qstate.step + 1)
         return TrainState(new_params, new_opt, new_qs), loss
@@ -485,9 +628,11 @@ def concat_batches(batches) -> dlrm.Batch:
 
     Gradient accumulation (`--mlperf-grad-accum-iter`,
     dlrm_s_pytorch.py:1595-1601): the gradient of the mean loss over the
-    concatenation equals the mean of the per-batch gradients, so one step
-    over the concat IS the accumulated step (mean semantics; the reference
-    sums the per-batch mean losses instead, an effective lr scale of k)."""
+    concatenation equals the mean of the per-batch gradients; the reference
+    sums the per-batch mean grads instead (backward without zero_grad), so
+    callers set TrainConfig.loss_scale=k to recover the reference's
+    sum-of-means trajectory exactly (A/B'd in
+    tests/test_reference_parity.py::test_grad_accum_matches_reference)."""
     import numpy as np
 
     return dlrm.Batch(

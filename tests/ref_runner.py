@@ -148,6 +148,7 @@ def run_reference(
     lr_schedule=None,
     loss_function: str = "bce",
     loss_weights=(1.0, 1.0),
+    grad_accum: int = 1,
 ) -> Dict:
     """Train the reference model and return its trajectory.
 
@@ -223,7 +224,7 @@ def run_reference(
 
     losses: List[float] = []
     probs = None
-    for b in batches:
+    for j, b in enumerate(batches):
         dense = torch.tensor(b["dense"])
         lS_i = [torch.tensor(b["indices"][k]) for k in range(len(b["indices"]))]
         lS_o = [torch.arange(dense.shape[0]) for _ in lS_i]
@@ -257,11 +258,20 @@ def run_reference(
                     num_gpus=1,
                 )
         else:
-            opt.zero_grad()
+            # --mlperf-grad-accum-iter semantics (dlrm_s_pytorch.py:
+            # 1595-1604): zero_grad AND step share the SAME (j+1)%k==0
+            # condition, so the zero_grad right before the step-iteration's
+            # backward DISCARDS the grads accumulated over the previous k-1
+            # batches — the applied update is the k-th batch's own mean
+            # gradient only. grad_accum=1 reproduces the plain loop.
+            do_step = ((j + 1) % grad_accum) == 0
+            if do_step:
+                opt.zero_grad()
             E.backward()
-            opt.step()
-            if scheduler is not None:
-                scheduler.step()
+            if do_step:
+                opt.step()
+                if scheduler is not None:
+                    scheduler.step()
     return {
         "losses": losses,
         "probs_last": probs,

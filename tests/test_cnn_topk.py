@@ -247,6 +247,29 @@ class TestTopKStep:
         state, (loss, mb) = step(state, _batch(rng, 32))
         assert np.isfinite(float(loss))
 
+    def test_trace_weighting_changes_row_selection(self):
+        """The point of `--metric hessian`: rows with small gradients but
+        high curvature outrank flat high-gradient rows. Construct a loss
+        whose grad-norm top-1 row differs from the trace-weighted top-1."""
+        g = jnp.asarray([3.0, 2.0, 1.0, 0.1])  # per-row gradient magnitudes
+        c = jnp.asarray([0.0, 0.0, 50.0, 0.0])  # curvature on row 2 only
+        params = {"w": jnp.zeros((4, 2))}
+
+        def loss_fn(p, batch):
+            rowsum = jnp.sum(p["w"], axis=1)
+            return jnp.sum(g * rowsum) + 0.5 * jnp.sum(c * rowsum**2)
+
+        grads = jax.grad(lambda p: loss_fn(p, None))(params)
+        trace = topk_grad.estimate_row_trace(loss_fn, params, None, n_samples=4)
+        plain = topk_grad._row_scores(grads["w"], None)
+        weighted = topk_grad._row_scores(grads["w"], trace[0])
+        assert int(jnp.argmax(plain)) == 0  # grad-norm picks the steep row
+        assert int(jnp.argmax(weighted)) == 2  # curvature flips the pick
+        # and through lax.top_k, the selected row sets differ
+        _, top_p = jax.lax.top_k(plain, 1)
+        _, top_w = jax.lax.top_k(weighted, 1)
+        assert int(top_p[0]) != int(top_w[0])
+
     def test_get_k_value_schedule(self):
         assert topk_grad.get_k_value(8, 0, 200, "cifar10") == 8
         assert topk_grad.get_k_value(8, 61, 200, "cifar10") == 16
@@ -270,3 +293,20 @@ class TestCNNCLI:
         assert rc == 0
         out = capsys.readouterr().out
         assert "final:" in out and "synced" in out
+
+    def test_cli_hessian_metric(self, capsys):
+        """--metric hessian needs NO external inputs: the per-row trace is
+        estimated on-device each epoch (Hutchinson double-backward,
+        topk_grad.estimate_row_trace; reference precomputes via pyhessian,
+        training_imagenet_speedup.py:474-500)."""
+        from deep_quantized_recommendation_model_dqrm_tpu import train_cnn
+
+        rc = train_cnn.main([
+            "--arch=8-16", "--image-size=16", "--num-classes=4",
+            "--batch-size=32", "--steps=4", "--steps-per-epoch=2",
+            "--top-k=8", "--print-freq=2", "--num-devices=4",
+            "--metric=hessian", "--hessian-samples=2",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "final:" in out

@@ -82,9 +82,35 @@ class TestPreprocess:
         test = CriteoDataset(out, "test")
         assert len(train) == 600
         assert len(val) + len(test) == 100
-        assert abs(len(val) - len(test)) <= 1
+        # reference split semantics (dlrm_data_pytorch.py:144-145): test =
+        # the FIRST ceil(n/2) rows of the last day, val = the remainder
+        assert len(test) == -(-100 // 2)
+        assert len(val) == 100 - len(test)
+        t_range = test._split_range()
+        v_range = val._split_range()
+        assert t_range == [(6, 0, len(test))]
+        assert v_range == [(6, len(test), 100)]
         sizes = train.table_sizes
         assert len(sizes) == 26 and all(s >= 1 for s in sizes)
+
+    def test_val_split_disjoint_and_covering(self, tmp_path):
+        """val + test cover the last day with no overlap, odd length."""
+        raw = write_raw(str(tmp_path / "raw.txt"), 150, seed=7)
+        out = str(tmp_path / "proc")
+        preprocess_criteo(raw, out, num_days=3, use_native=False)
+        val = CriteoDataset(out, "val")
+        test = CriteoDataset(out, "test")
+        day_len = test.day_lens[-1]
+        assert len(test) == -(-day_len // 2)  # ceil half first
+        assert len(val) == day_len - len(test)
+        tb = list(test.iter_batches(1, drop_last=False))
+        vb = list(val.iter_batches(1, drop_last=False))
+        assert len(tb) == len(test) and len(vb) == len(val)
+        # disjoint: dense rows of val never appear among test rows (seeded
+        # 13-dim float rows are unique with prob ~1)
+        t_rows = {tuple(np.asarray(b.dense[0]).tolist()) for b in tb}
+        v_rows = {tuple(np.asarray(b.dense[0]).tolist()) for b in vb}
+        assert not (t_rows & v_rows)
 
     def test_batch_layout_and_log1p(self, tmp_path):
         raw = write_raw(str(tmp_path / "raw.txt"), 300, seed=2)

@@ -624,3 +624,123 @@ class TestQRMDTraining:
         scales = np.asarray(m.compute_emb_scales(cfg, params))
         assert scales[0] == 1.0  # placeholder for the QR slot
         assert scales[1] != 1.0  # real scale for the dense table
+
+
+class TestSparseStepTricks:
+    """The sparse step's trick/dense gradient split (ported from
+    parallel/comm_grad.py): QR/MD tables differentiate through the
+    splice_trick_pooled recompute, learned v_W gets analytic sparse scalar
+    grads — both must match the dense-autodiff body EXACTLY so train.py's
+    _sparse_ok can always take the sparse path."""
+
+    QR = DLRMConfig(
+        table_sizes=(400, 150, 50),
+        embedding_dim=8,
+        mlp_bot=(4, 16, 8),
+        mlp_top=(14, 8, 1),
+        qr_flag=True,
+        qr_threshold=100,
+        qr_collisions=4,
+    )
+
+    def _run_pair(self, cfg, tc, nsteps=3, seed=7):
+        s1 = init_train_state(cfg, tc)
+        s2 = init_train_state(cfg, tc)
+        dense = make_train_step(cfg, tc)
+        sparse = make_train_step(cfg, tc, sparse_emb_grad=True)
+        rng = np.random.RandomState(seed)
+        for _ in range(nsteps):
+            b = random_batch(cfg, 32, rng)
+            s1, l1 = dense(s1, b)
+            s2, l2 = sparse(s2, b)
+            assert np.isclose(float(l1), float(l2), rtol=1e-5)
+        return s1, s2
+
+    def _assert_emb_match(self, s1, s2, atol=1e-6):
+        for a, b_ in zip(s1.params["emb"], s2.params["emb"]):
+            if isinstance(a, dict):
+                for kk in a:
+                    np.testing.assert_allclose(
+                        np.asarray(a[kk], np.float32),
+                        np.asarray(b_[kk], np.float32),
+                        atol=atol, err_msg=f"trick leaf {kk}",
+                    )
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b_), atol=atol
+                )
+        for da, sa in zip(s1.params["top"], s2.params["top"]):
+            np.testing.assert_allclose(
+                np.asarray(da["w"]), np.asarray(sa["w"]), atol=atol
+            )
+
+    @pytest.mark.parametrize("opt", ["sgd", "adagrad", "rwsadagrad"])
+    def test_qr_sparse_matches_dense(self, opt):
+        tc = TrainConfig(batch_size=32, learning_rate=0.1, optimizer=opt)
+        s1, s2 = self._run_pair(self.QR, tc)
+        self._assert_emb_match(s1, s2, atol=2e-6)
+
+    def test_md_sparse_matches_dense(self):
+        cfg = DLRMConfig(
+            table_sizes=(400, 150, 50),
+            embedding_dim=8,
+            mlp_bot=(4, 16, 8),
+            mlp_top=(14, 8, 1),
+            md_flag=True,
+            md_threshold=100,
+            md_temperature=0.4,
+        )
+        tc = TrainConfig(batch_size=32, learning_rate=0.1)
+        s1, s2 = self._run_pair(cfg, tc)
+        self._assert_emb_match(s1, s2)
+
+    @pytest.mark.parametrize("opt", ["sgd", "adagrad", "rwsadagrad"])
+    def test_learned_pooling_sparse_matches_dense(self, opt):
+        import dataclasses
+
+        cfg = dataclasses.replace(TINY, weighted_pooling="learned")
+        tc = TrainConfig(batch_size=32, learning_rate=0.1, optimizer=opt)
+        s1, s2 = self._run_pair(cfg, tc)
+        self._assert_emb_match(s1, s2)
+        moved = 0.0
+        for a, b_ in zip(s1.params["v_W"], s2.params["v_W"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-6
+            )
+            moved += float(np.sum(np.abs(np.asarray(a) - 1.0)))
+        assert moved > 0.0  # learned weights actually trained
+
+    def test_qr_learned_pooling_qat_combo(self):
+        """QR + learned pooling + INT4 QAT together on the sparse path."""
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            self.QR,
+            weighted_pooling="learned",
+            quant=QuantConfig(enabled=True, scale_update_period=2),
+        )
+        tc = TrainConfig(batch_size=32, learning_rate=0.1)
+        s1, s2 = self._run_pair(cfg, tc)
+        self._assert_emb_match(s1, s2, atol=2e-6)
+        for a, b_ in zip(s1.params["v_W"], s2.params["v_W"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-6)
+
+    def test_qr_sparse_megastep_scan(self):
+        """Trick tables survive the lax.scan megastep dispatch."""
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            make_multi_train_step,
+            stack_batches,
+        )
+
+        tc = TrainConfig(batch_size=16, learning_rate=0.1)
+        s1 = init_train_state(self.QR, tc)
+        s2 = init_train_state(self.QR, tc)
+        single = make_train_step(self.QR, tc, sparse_emb_grad=True)
+        multi = make_multi_train_step(self.QR, tc, 4, sparse_emb_grad=True)
+        rng = np.random.RandomState(3)
+        batches = [random_batch(self.QR, 16, rng) for _ in range(4)]
+        for b in batches:
+            s1, l1 = single(s1, b)
+        s2, l2 = multi(s2, stack_batches(batches))
+        assert np.isclose(float(l1), float(l2), rtol=1e-5)
+        self._assert_emb_match(s1, s2)

@@ -261,12 +261,14 @@ class TestSchemeEngines:
 
     PACT through dp (uncompressed) must reproduce single-chip trajectories
     EXACTLY (identity STE: row grads are pure scatters, weight grads plain).
-    LSQ through dp/hybrid TRACKS single-chip but is not bit-equal: the
-    learned-step gradient scale is 1/sqrt(x.numel()*Qp) (quantizer/lsq.py:
-    49-53) and the pooled output is batch-sharded, so each replica uses its
-    LOCAL numel — the same semantics torch DDP of LsqQuan produces. The
-    row-sharded engines must REJECT PACT (weight-side emb quant happens
-    before the gather the mega-table engines bypass)."""
+    LSQ through dp/hybrid is ALSO exactly batch-size-invariant since round
+    3: the engines pass lsq_numel_scale=n_dev so each shard's learned-step
+    gradient scale is 1/sqrt(GLOBAL_numel*Qp) (quant.fake_quant_lsq), and
+    the pmean of per-shard grads then equals the single-chip grad by
+    linearity of the loss mean. (torch DDP of LsqQuan uses the LOCAL numel
+    and only TRACKS — documented in PARITY.md.) The row-sharded engines
+    must REJECT PACT (weight-side emb quant happens before the gather the
+    mega-table engines bypass)."""
 
     def _run_pair(self, cfg, make_dist_state, make_dist_step, loss_rtol,
                   n_steps=3):
@@ -298,23 +300,28 @@ class TestSchemeEngines:
         for a, b_ in zip(dstate.params["emb"], sstate.params["emb"]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
 
-    def test_lsq_dp_tracks_single_chip(self):
+    def test_lsq_dp_matches_single_chip_exactly(self):
         cfg = qcfg(enabled=True, quant_scheme="lsq", scale_update_period=2)
         mesh = make_mesh(8)
         dstate, sstate = self._run_pair(
             cfg,
             comm_grad.init_dp_state,
             lambda c, t: comm_grad.make_dp_train_step(c, t, mesh),
-            loss_rtol=3e-3,
+            loss_rtol=1e-5,
         )
-        # tables follow the same trajectory up to the step-size drift
         for a, b_ in zip(dstate.params["emb"], sstate.params["emb"]):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3)
-        # steps are finite, positive, and actually moved from init
-        for s in dstate.params["lsq_emb"]:
-            assert np.isfinite(float(s)) and float(s) > 0
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+        # learned steps land on the single-chip trajectory exactly
+        for a, b_ in zip(dstate.params["lsq_emb"], sstate.params["lsq_emb"]):
+            np.testing.assert_allclose(float(a), float(b_), atol=1e-7)
+        for pa, pb in zip(
+            dstate.params["lsq_mlp"]["top"], sstate.params["lsq_mlp"]["top"]
+        ):
+            np.testing.assert_allclose(
+                np.asarray(pa["w"]), np.asarray(pb["w"]), atol=1e-6
+            )
 
-    def test_lsq_hybrid_tracks_single_chip(self):
+    def test_lsq_hybrid_matches_single_chip_exactly(self):
         cfg = qcfg(enabled=True, quant_scheme="lsq", scale_update_period=2)
         mesh = make_mesh(8)
         plan = hybrid.plan_table_sharding(cfg.table_sizes, 8)
@@ -322,11 +329,13 @@ class TestSchemeEngines:
             cfg,
             lambda c, t: hybrid.init_hybrid_state(c, t, mesh, plan),
             lambda c, t: hybrid.make_hybrid_train_step(c, t, mesh, plan),
-            loss_rtol=3e-3,
+            loss_rtol=1e-4,
         )
         back = hybrid.unpack_tables(dstate.mega, plan, cfg.table_sizes)
         for a, b_ in zip(back, sstate.params["emb"]):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+        for a, b_ in zip(dstate.mlp["lsq_emb"], sstate.params["lsq_emb"]):
+            np.testing.assert_allclose(float(a), float(b_), atol=5e-7)
 
     def test_pact_rejected_by_rowsharded_engines(self):
         from deep_quantized_recommendation_model_dqrm_tpu.parallel import (
@@ -950,7 +959,10 @@ class TestWeightedPooling:
         with pytest.raises(NotImplementedError):
             hybrid.init_hybrid_state(cfg, TC, mesh, plan)
 
-    def test_sparse_single_chip_step_rejects_learned(self):
+    def test_sparse_single_chip_step_supports_learned(self):
+        # round 3: the sparse step carries analytic sparse v_W grads (no
+        # dense-autodiff fallback); exact-equivalence coverage lives in
+        # tests/test_model.py::TestSparseStepTricks
         cfg = dataclasses.replace(CFG, weighted_pooling="learned")
-        with pytest.raises(NotImplementedError):
-            make_train_step(cfg, TC, sparse_emb_grad=True)
+        step = make_train_step(cfg, TC, sparse_emb_grad=True)
+        assert step is not None

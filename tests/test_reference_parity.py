@@ -368,3 +368,70 @@ class TestReferenceParity:
             ),
         )
         self._ab("act4", cfg, loss_rtol=1e-4, param_atol=1e-4)
+
+
+class TestGradAccumParity:
+    def test_grad_accum_matches_reference(self):
+        """--mlperf-grad-accum-iter semantics, A/B vs the actual torch
+        reference: its zero_grad shares the step's (j+1)%k==0 condition
+        (dlrm_s_pytorch.py:1596-1604), so the first k-1 micro-batch grads
+        are computed and then DISCARDED — the applied update is the k-th
+        batch's own mean gradient. Our 'reference' semantics (step on every
+        k-th batch only) must land on the identical trajectory."""
+        k = 3
+        batches = _make_batches(N_STEPS)
+        params0 = dlrm.init_params(CFG_BASE, TC.seed)
+        ref = run_reference(
+            _weights_numpy(params0), batches, LR, mode="fp32", grad_accum=k
+        )
+        state = init_train_state(CFG_BASE, TC)
+        step = make_train_step(CFG_BASE, TC, sparse_emb_grad=True)
+        for j, b in enumerate(batches):
+            if (j + 1) % k == 0:
+                state, _ = step(state, _to_batch(b))
+        _assert_params_close(state.params, ref["params"], atol=1e-5)
+
+    def test_grad_accum_sum_semantics(self):
+        """'sum' semantics (the accumulation the reference code apparently
+        intended): one step over the k-batch concat with loss_scale=k must
+        equal applying the SUM of the k per-batch mean gradients once."""
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            concat_batches,
+        )
+        import jax
+
+        k = 3
+        batches = [_to_batch(b) for b in _make_batches(k, seed=11)]
+        tc_sum = dataclasses.replace(TC, loss_scale=float(k))
+        state = init_train_state(CFG_BASE, TC)
+
+        def mean_loss(params, b):
+            logits, _ = dlrm.forward(CFG_BASE, params, b, state.qstate)
+            return dlrm.training_loss(CFG_BASE, logits, b.labels)
+
+        gsum = None
+        for b in batches:
+            g = jax.grad(mean_loss)(state.params, b)
+            gsum = g if gsum is None else jax.tree_util.tree_map(
+                lambda a, c: a + c, gsum, g
+            )
+        import jax.numpy as jnp
+
+        manual = jax.tree_util.tree_map(
+            lambda p, g: p - LR * g, state.params, gsum
+        )
+
+        step = make_train_step(CFG_BASE, tc_sum, sparse_emb_grad=True)
+        s2, _ = step(state, dlrm.Batch(
+            dense=np.concatenate([b.dense for b in batches], axis=0),
+            indices=np.concatenate([b.indices for b in batches], axis=1),
+            labels=np.concatenate([b.labels for b in batches], axis=0),
+        ))
+        for a, b_ in zip(manual["emb"], s2.params["emb"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-6
+            )
+        for la, lb in zip(manual["top"], s2.params["top"]):
+            np.testing.assert_allclose(
+                np.asarray(la["w"]), np.asarray(lb["w"]), atol=1e-6
+            )
