@@ -106,9 +106,15 @@ def sustained_ms_per_it(step_fn, state, arg, steps_per_call, n1=N1, n2=N2):
 
     state, loss = step_fn(state, arg)  # compile + warm
     float(loss)
+    _, state = run(3, state)  # drain first-dispatch / cache-sync stalls
     t1, state = run(n1, state)
     t2, state = run(n2, state)
-    return (t2 - t1) / ((n2 - n1) * steps_per_call) * 1e3, state
+    ms = (t2 - t1) / ((n2 - n1) * steps_per_call) * 1e3
+    if ms <= 0:  # a transient stall landed inside the SHORT chain; retry
+        t1, state = run(n1, state)
+        t2, state = run(n2, state)
+        ms = (t2 - t1) / ((n2 - n1) * steps_per_call) * 1e3
+    return ms, state
 
 
 def main() -> None:
@@ -158,8 +164,13 @@ def main() -> None:
     )
 
     mesh1 = make_mesh(1)
+    # k=4 (not 16): the dp multi-dispatch UNROLLS k steps (shard_map has no
+    # scan wrapper), and the 16x-unrolled full-Kaggle program costs minutes
+    # of cold compile — k=4 keeps the whole bench inside the driver budget
+    # while still amortizing dispatch overhead 4x.
+    KDP = 4
     dstep = comm_grad.make_dp_train_step(
-        cfg, tc, mesh1, steps_per_dispatch=K
+        cfg, tc, mesh1, steps_per_dispatch=KDP
     )
     dstate = comm_grad.DPState(
         params=_fast_device_init(cfg),
@@ -181,7 +192,9 @@ def main() -> None:
     )
     dp_best = float("inf")
     for _ in range(2):
-        dp_ms, dstate = sustained_ms_per_it(dstep, dstate, batches, K)
+        dp_ms, dstate = sustained_ms_per_it(
+            dstep, dstate, batches[:KDP], KDP, n1=10, n2=30
+        )
         dp_best = min(dp_best, dp_ms)
 
     print(json.dumps({
