@@ -1,0 +1,185 @@
+"""Tile-streaming scatter-add + per-row DMA update kernels
+(ops/pallas/stream_update.py) — equivalence vs the XLA scatter.
+
+Both run in Pallas interpreter mode on the CPU CI (the real-TPU timings
+live in scripts/bench_stream_update.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import (
+    coalesce_sparse_grad,
+)
+from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.stream_update import (
+    dma_row_update,
+    sort_sparse_grad,
+    stream_scatter_add,
+    stream_update_auto,
+)
+
+
+def _ref(table, ids, vals):
+    return jnp.asarray(table).at[jnp.asarray(ids)].add(
+        jnp.asarray(vals).astype(table.dtype), mode="drop"
+    )
+
+
+class TestStreamScatterAdd:
+    @pytest.mark.parametrize(
+        "R,U,seed",
+        [(1000, 300, 0), (777, 130, 1), (512, 512, 2), (2048, 64, 3),
+         (130, 700, 4)],
+    )
+    def test_matches_scatter(self, R, U, seed):
+        rng = np.random.default_rng(seed)
+        D = 16
+        table = rng.normal(size=(R, D)).astype(np.float32)
+        ids = rng.integers(0, R, size=U).astype(np.int32)
+        ids[: U // 4] = ids[0]  # heavy duplicates
+        vals = rng.normal(size=(U, D)).astype(np.float32)
+        order = np.argsort(ids, kind="stable")
+        out = stream_scatter_add(
+            jnp.asarray(table),
+            jnp.asarray(ids[order]),
+            jnp.asarray(vals[order]),
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(_ref(table, ids, vals)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_oob_padding_dropped(self):
+        rng = np.random.default_rng(7)
+        R, D, U = 300, 16, 128
+        table = rng.normal(size=(R, D)).astype(np.float32)
+        ids = np.sort(rng.integers(0, R, size=U - 30)).astype(np.int32)
+        pads = R + np.arange(30, dtype=np.int32)  # coalesce-style padding
+        sids = np.concatenate([ids, pads])
+        vals = rng.normal(size=(U, D)).astype(np.float32)
+        out = stream_scatter_add(
+            jnp.asarray(table), jnp.asarray(sids), jnp.asarray(vals),
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(_ref(table, sids, vals)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_bf16_table_f32_accumulation(self):
+        rng = np.random.default_rng(8)
+        R, D, U = 400, 64, 256
+        table = rng.normal(size=(R, D)).astype(jnp.bfloat16)
+        ids = np.sort(rng.integers(0, R, size=U)).astype(np.int32)
+        vals = rng.normal(size=(U, D)).astype(np.float32)
+        out = stream_scatter_add(
+            jnp.asarray(table), jnp.asarray(ids), jnp.asarray(vals),
+            interpret=True,
+        )
+        # Kernel accumulates in f32 and casts once; the scatter rounds to
+        # bf16 per duplicate — agree to bf16 resolution.
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32),
+            np.asarray(_ref(table, ids, vals), np.float32),
+            rtol=0.05, atol=0.1,
+        )
+
+    def test_empty_updates(self):
+        table = jnp.ones((100, 16), jnp.float32)
+        sids = jnp.full((32,), 100, jnp.int32)  # all padding
+        svals = jnp.ones((32, 16), jnp.float32)
+        out = stream_scatter_add(table, sids, svals, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(table))
+
+    def test_sort_sparse_grad_sorts_with_payload(self):
+        rng = np.random.default_rng(9)
+        ids = rng.integers(0, 50, size=200).astype(np.int32)
+        vals = rng.normal(size=(200, 16)).astype(np.float32)
+        sids, svals = jax.jit(sort_sparse_grad)(
+            jnp.asarray(ids), jnp.asarray(vals)
+        )
+        sids, svals = np.asarray(sids), np.asarray(svals)
+        assert (np.diff(sids) >= 0).all()
+        # Multiset of (id, row) pairs preserved: compare summed scatter.
+        np.testing.assert_allclose(
+            np.asarray(_ref(np.zeros((50, 16), np.float32), sids, svals)),
+            np.asarray(_ref(np.zeros((50, 16), np.float32), ids, vals)),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_auto_unsorted_entry_point(self):
+        rng = np.random.default_rng(10)
+        R, D, U = 600, 16, 300
+        table = rng.normal(size=(R, D)).astype(np.float32)
+        ids = rng.integers(0, R, size=U).astype(np.int32)
+        vals = rng.normal(size=(U, D)).astype(np.float32)
+        out = stream_update_auto(
+            jnp.asarray(table), jnp.asarray(ids), jnp.asarray(vals),
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(_ref(table, ids, vals)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+class TestDmaRowUpdate:
+    @pytest.mark.parametrize("R,D,U,cap,seed", [
+        (1024, 128, 200, 256, 0), (640, 128, 600, 640, 1),
+        (800, 128, 50, 64, 2),
+        (1024, 16, 300, 512, 3),  # packed vrow: 8 rows per 128-lane DMA
+        (4096, 16, 900, 1024, 4), (640, 64, 600, 640, 5),
+        (512, 256, 60, 64, 6),  # wide rows: rpv=1
+    ])
+    def test_matches_scatter(self, R, D, U, cap, seed):
+        rng = np.random.default_rng(seed)
+        table = rng.normal(size=(R, D)).astype(np.float32)
+        ids = np.unique(rng.integers(0, R, size=U).astype(np.int32))[:cap]
+        uids = np.concatenate(
+            [ids, R + np.arange(cap - ids.shape[0])]
+        ).astype(np.int32)
+        uvals = rng.normal(size=(cap, D)).astype(np.float32)
+        out = dma_row_update(
+            jnp.asarray(table), jnp.asarray(uids), jnp.asarray(uvals),
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(_ref(table, uids, uvals)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_dense_runs_exercise_slot_recycling(self):
+        # Consecutive ids make maximal same-vrow runs: exactly the case
+        # where a lookahead read could clobber the active accumulation
+        # buffer if slots were position-assigned.
+        rng = np.random.default_rng(4)
+        R, D = 512, 16
+        table = rng.normal(size=(R, D)).astype(np.float32)
+        ids = np.arange(0, 400, dtype=np.int32)
+        uids = np.concatenate([ids, R + np.arange(112)]).astype(np.int32)
+        uvals = rng.normal(size=(512, D)).astype(np.float32)
+        out = dma_row_update(
+            jnp.asarray(table), jnp.asarray(uids), jnp.asarray(uvals),
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(_ref(table, uids, uvals)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_with_coalesce_output(self):
+        rng = np.random.default_rng(5)
+        R, D, B = 960, 128, 300
+        table = rng.normal(size=(R, D)).astype(np.float32)
+        ids = rng.integers(0, R, size=B).astype(np.int32)
+        vals = rng.normal(size=(B, D)).astype(np.float32)
+        uids, uvals = coalesce_sparse_grad(
+            jnp.asarray(ids), jnp.asarray(vals), R, max_unique=B
+        )
+        out = dma_row_update(jnp.asarray(table), uids, uvals, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(_ref(table, ids, vals)),
+            rtol=1e-4, atol=1e-4,
+        )
