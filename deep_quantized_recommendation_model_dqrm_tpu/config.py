@@ -367,6 +367,16 @@ class TrainConfig:
     # accumulates in fp32 and rounds ONCE on apply (the scatter path
     # accumulates in bf16) — a slightly more accurate, not identical, update.
     onehot_update_max_rows: int = 0
+    # TPU-native optimization (no reference counterpart): tables with
+    # onehot_update_max_rows < rows <= stream_update_max_rows apply their
+    # sparse SGD update with the tile-streaming scatter-add kernel
+    # (ops/pallas/stream_update.py): sequential full-table HBM traffic +
+    # per-tile one-hot MXU matmuls instead of the ~34 ns/row serial
+    # scatter. Wins when the table is small relative to the batch (cost
+    # model: rows < ~250 * batch for fp32 d=16); the CLI auto rule sets it
+    # from the batch size. 0 disables. Identical up to fp32 summation
+    # order of duplicate ids (kernel accumulates in fp32).
+    stream_update_max_rows: int = 0
     # Gradient accumulation loss scale (`--mlperf-grad-accum-iter`,
     # dlrm_s_pytorch.py:1595-1601): the reference backwards each of the k
     # micro-batches WITHOUT zeroing grads, so the applied gradient is the

@@ -383,3 +383,21 @@ def dma_row_update(
         interpret=interpret,
     )(n_real, uids.astype(jnp.int32), uvals.astype(table.dtype), tv)
     return out.reshape(R, D)
+
+
+def sort_sparse_grads_batched(ids_list, vals_list):
+    """Sort K same-shaped sparse gradients by row id in ONE fused sort.
+
+    The per-table `sort_sparse_grad` calls are separate XLA sorts that each
+    pay the sort-network latency; stacking the K tables' [U] ids (plus the
+    D payload columns) into [K, U] operands and sorting along dimension 1
+    amortizes it across tables. Returns ([K, U] sorted ids, [K, U, D]
+    matching values)."""
+    ids_all = jnp.stack(ids_list)  # [K, U]
+    vals_all = jnp.stack(vals_list)  # [K, U, D]
+    D = vals_all.shape[-1]
+    cols = [vals_all[:, :, j] for j in range(D)]
+    out = jax.lax.sort(
+        (ids_all,) + tuple(cols), dimension=1, num_keys=1
+    )
+    return out[0], jnp.stack(out[1:], axis=2)

@@ -37,6 +37,13 @@ from typing import Optional
 
 import numpy as np
 
+# --stream-update-max-rows auto rule (measured on v5e,
+# scripts/bench_stream_update.py): full-table streaming beats the serial
+# scatter when rows < ~this multiple of the batch; below the min batch the
+# scatter is already cheap and the sort overhead dominates.
+_STREAM_AUTO_ROWS_PER_BATCH = 48
+_STREAM_AUTO_MIN_BATCH = 1024
+
 from deep_quantized_recommendation_model_dqrm_tpu.config import (
     DLRMConfig,
     QuantConfig,
@@ -258,6 +265,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "Kaggle INT4 QAT, scripts/bench_onehot_megastep.py; "
                         "the next-larger Kaggle table, 93k rows, already "
                         "loses to the serial scatter), 0 elsewhere")
+    p.add_argument("--stream-update-max-rows", type=int, default=-1,
+                   help="SGD tables with onehot-update-max-rows < rows <= "
+                        "this stream their sparse update through the "
+                        "tile-streaming scatter-add kernel (sequential "
+                        "full-table HBM traffic + per-tile MXU one-hot "
+                        "matmuls) instead of the ~34 ns/row serial scatter "
+                        "(TPU-native optimization; 0 disables). Default -1 "
+                        "= auto: scales with the batch (the full-table "
+                        "traffic amortizes over touched rows; see "
+                        "scripts/bench_stream_update.py)")
     p.add_argument("--pin-table-layout", action="store_true",
                    help="pin embedding tables to row-major device layouts "
                         "(single-chip megastep): removes XLA's per-dispatch "
@@ -396,6 +413,7 @@ def make_configs(args) -> tuple:
         shift_bit_width_at_epoch=3 if args.linear_shift_down_bit_width else -1,
         shift_bit_width_to=args.shift_bit_width_to,
         onehot_update_max_rows=args.onehot_update_max_rows,
+        stream_update_max_rows=args.stream_update_max_rows,
     )
     return cfg, tc
 
@@ -699,6 +717,18 @@ def run(argv=None) -> dict:
         args.onehot_update_max_rows = (
             20000 if args.parallelism in ("none", "dp") else 0
         )
+    if args.stream_update_max_rows < 0:
+        # auto: streaming pays full-table traffic, so it only wins when the
+        # batch touches a decent fraction of the table (cost model ~250 *
+        # batch rows for fp32 d=16; measured crossover in
+        # scripts/bench_stream_update.py). Single-chip SGD only.
+        bsz = args.mini_batch_size
+        args.stream_update_max_rows = (
+            _STREAM_AUTO_ROWS_PER_BATCH * bsz
+            if (args.parallelism == "none" and args.optimizer == "sgd"
+                and bsz >= _STREAM_AUTO_MIN_BATCH)
+            else 0
+        )
     cfg, tc = make_configs(args)
     cfg, train_loader, test_loader, val_loader = make_loaders(args, cfg, tc)
     cfg.validate_top()
@@ -712,6 +742,7 @@ def run(argv=None) -> dict:
 
     if args.parallelism in ("hybrid", "rowshard", "pseudo") and (
         args.onehot_update_max_rows > 0 or args.onehot_lookup_max_rows > 0
+        or args.stream_update_max_rows > 0
     ):
         # the mega-table engines (and the pseudo simulator) manage their own
         # gather/scatter layouts; the one-hot swaps apply to the single-chip
@@ -721,6 +752,12 @@ def run(argv=None) -> dict:
             "parallelism none / dp / dp-nosync (dp-nosync: lookup flag "
             "only); the hybrid/rowshard mega-table scatter and the pseudo "
             "simulator do not take the one-hot path"
+        )
+    if args.parallelism in ("dp", "dp-nosync") and args.stream_update_max_rows > 0:
+        raise SystemExit(
+            "--stream-update-max-rows applies to the single-chip sparse "
+            "step (parallelism=none, sgd); the dp engines exchange "
+            "coalesced compressed grads with their own apply path"
         )
     if args.parallelism == "dp-nosync" and args.onehot_update_max_rows > 0:
         raise SystemExit(

@@ -159,6 +159,10 @@ def _build_sparse_step_fn(
     from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.onehot_update import (
         dense_grad_auto,
     )
+    from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.stream_update import (
+        sort_sparse_grads_batched,
+        stream_update_auto,
+    )
     from deep_quantized_recommendation_model_dqrm_tpu.optim.sgd import EPS
 
     if tc.optimizer not in ("sgd", "adagrad", "rwsadagrad"):
@@ -260,6 +264,39 @@ def _build_sparse_step_fn(
                 )
                 new_opt[k] = acc
 
+        def _ids_vals(k):
+            eff_m = batch.mask[k] if batch.mask is not None else None
+            if config.weighted_pooling is not None:
+                # d pooled / d row = v_W[row] (per_sample_weights,
+                # dlrm_s_pytorch.py:417-418). "fixed" weights stay ones in
+                # practice, but imported checkpoints may carry other values.
+                w_rows = jnp.take(params["v_W"][k], batch.indices[k], axis=0)
+                eff_m = w_rows if eff_m is None else eff_m * w_rows
+            return rows_grad_from_pooled(g_pooled[k], batch.indices[k], eff_m)
+
+        # Mid-size tables under SGD: tile-streaming scatter-add
+        # (ops/pallas/stream_update.py). Sort all eligible tables' sparse
+        # grads in ONE fused payload sort, then each table streams.
+        stream_sorted = {}
+        if tc.optimizer == "sgd" and tc.stream_update_max_rows > 0:
+            stream_ks = [
+                k
+                for k in range(config.num_tables)
+                if k not in trick_ks
+                and tc.onehot_update_max_rows
+                < params["emb"][k].shape[0]
+                <= tc.stream_update_max_rows
+            ]
+            if stream_ks:
+                pairs = [_ids_vals(k) for k in stream_ks]
+                sids_all, svals_all = sort_sparse_grads_batched(
+                    [p[0] for p in pairs], [p[1] for p in pairs]
+                )
+                stream_sorted = {
+                    k: (sids_all[i], svals_all[i])
+                    for i, k in enumerate(stream_ks)
+                }
+
         new_emb = []
         new_emb_acc = [] if tc.optimizer in ("adagrad", "rwsadagrad") else None
         for k, table in enumerate(params["emb"]):
@@ -309,16 +346,15 @@ def _build_sparse_step_fn(
                     new_emb.append(upd)
                     new_emb_acc.append(st)
                 continue
-            eff_m = batch.mask[k] if batch.mask is not None else None
-            if config.weighted_pooling is not None:
-                # d pooled / d row = v_W[row] (per_sample_weights,
-                # dlrm_s_pytorch.py:417-418). "fixed" weights stay ones in
-                # practice, but imported checkpoints may carry other values.
-                w_rows = jnp.take(params["v_W"][k], batch.indices[k], axis=0)
-                eff_m = w_rows if eff_m is None else eff_m * w_rows
-            ids, vals = rows_grad_from_pooled(
-                g_pooled[k], batch.indices[k], eff_m
-            )
+            if k in stream_sorted:
+                sids, svals = stream_sorted[k]
+                new_emb.append(
+                    stream_update_auto(
+                        table, sids, -lr * svals, presorted=True
+                    )
+                )
+                continue
+            ids, vals = _ids_vals(k)
             n_rows = table.shape[0]
             if 0 < n_rows <= tc.onehot_update_max_rows:
                 # Small table: the coalesced dense gradient via the MXU

@@ -183,3 +183,133 @@ class TestDmaRowUpdate:
             np.asarray(out), np.asarray(_ref(table, ids, vals)),
             rtol=1e-4, atol=1e-4,
         )
+
+
+class TestSparseStepStream:
+    """TrainConfig.stream_update_max_rows wiring in the sparse SGD step:
+    trajectory-identical to the scatter path (same dispatch pattern as
+    tests/test_onehot_update.py::TestSparseStepOnehot)."""
+
+    TINY = None  # built lazily to avoid import-order cost
+
+    def _cfg(self):
+        from deep_quantized_recommendation_model_dqrm_tpu.config import (
+            DLRMConfig,
+        )
+
+        return DLRMConfig(
+            table_sizes=(100, 50, 10),
+            embedding_dim=8,
+            mlp_bot=(4, 16, 8),
+            mlp_top=(14, 8, 1),
+        )
+
+    def test_trajectory_matches_scatter_path(self, monkeypatch):
+        import dataclasses
+
+        from deep_quantized_recommendation_model_dqrm_tpu.config import (
+            TrainConfig,
+        )
+        from deep_quantized_recommendation_model_dqrm_tpu.data.synthetic import (
+            random_batch,
+        )
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            init_train_state,
+            make_train_step,
+        )
+
+        monkeypatch.setenv("DQRM_STREAM_INTERPRET", "1")
+        cfg = self._cfg()
+        tc0 = TrainConfig(batch_size=32, learning_rate=0.1)
+        # table 10 goes one-hot, 50 and 100 stream
+        tc1 = tc0.replace(onehot_update_max_rows=16,
+                          stream_update_max_rows=1000)
+        s0 = init_train_state(cfg, tc0)
+        s1 = init_train_state(cfg, tc1)
+        step0 = make_train_step(cfg, tc0, sparse_emb_grad=True)
+        step1 = make_train_step(cfg, tc1, sparse_emb_grad=True)
+        rng = np.random.RandomState(0)
+        for _ in range(4):
+            b = random_batch(cfg, 32, rng)
+            s0, l0 = step0(s0, b)
+            s1, l1 = step1(s1, b)
+            assert np.isclose(float(l0), float(l1), rtol=1e-5)
+        for a, c in zip(s0.params["emb"], s1.params["emb"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-6
+            )
+
+    def test_qat_variable_pooling_masked(self, monkeypatch):
+        import dataclasses
+
+        from deep_quantized_recommendation_model_dqrm_tpu.config import (
+            QuantConfig, TrainConfig,
+        )
+        from deep_quantized_recommendation_model_dqrm_tpu.data.synthetic import (
+            random_batch,
+        )
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            init_train_state,
+            make_train_step,
+        )
+
+        monkeypatch.setenv("DQRM_STREAM_INTERPRET", "1")
+        cfg = dataclasses.replace(
+            self._cfg(),
+            pooling_size=3,
+            quant=QuantConfig(enabled=True, scale_update_period=2),
+        )
+        tc0 = TrainConfig(batch_size=16, learning_rate=0.05)
+        tc1 = tc0.replace(stream_update_max_rows=1000)  # all tables stream
+        s0 = init_train_state(cfg, tc0)
+        s1 = init_train_state(cfg, tc1)
+        step0 = make_train_step(cfg, tc0, sparse_emb_grad=True)
+        step1 = make_train_step(cfg, tc1, sparse_emb_grad=True)
+        rng = np.random.RandomState(7)
+        for _ in range(3):
+            b = random_batch(cfg, 16, rng)  # P=3 carries a dedupe mask
+            assert b.mask is not None
+            s0, _ = step0(s0, b)
+            s1, _ = step1(s1, b)
+        for a, c in zip(s0.params["emb"], s1.params["emb"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-6
+            )
+
+    def test_learned_pooling_streams(self, monkeypatch):
+        import dataclasses
+
+        from deep_quantized_recommendation_model_dqrm_tpu.config import (
+            TrainConfig,
+        )
+        from deep_quantized_recommendation_model_dqrm_tpu.data.synthetic import (
+            random_batch,
+        )
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            init_train_state,
+            make_train_step,
+        )
+
+        monkeypatch.setenv("DQRM_STREAM_INTERPRET", "1")
+        cfg = dataclasses.replace(
+            self._cfg(), weighted_pooling="learned", pooling_size=2
+        )
+        tc0 = TrainConfig(batch_size=16, learning_rate=0.05)
+        tc1 = tc0.replace(stream_update_max_rows=1000)
+        s0 = init_train_state(cfg, tc0)
+        s1 = init_train_state(cfg, tc1)
+        step0 = make_train_step(cfg, tc0, sparse_emb_grad=True)
+        step1 = make_train_step(cfg, tc1, sparse_emb_grad=True)
+        rng = np.random.RandomState(3)
+        for _ in range(3):
+            b = random_batch(cfg, 16, rng)
+            s0, _ = step0(s0, b)
+            s1, _ = step1(s1, b)
+        for a, c in zip(s0.params["emb"], s1.params["emb"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-6
+            )
+        for a, c in zip(s0.params["v_W"], s1.params["v_W"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-6
+            )
