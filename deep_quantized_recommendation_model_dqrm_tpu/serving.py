@@ -35,6 +35,10 @@ from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.packed_embedding im
     pack_table,
     packed_pooled_lookup,
     packed_pooled_lookup_pallas,
+    unpack_table,
+)
+from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.onehot_update import (
+    pooled_lookup_onehot_auto,
 )
 from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.quant_matmul import (
     QuantLinearWeights,
@@ -231,20 +235,30 @@ def _rebuild_serving_model(arrays, meta) -> ServingModel:
 
 
 def make_serving_fn(sm: ServingModel, use_pallas_lookup: bool = False,
-                    use_pallas_mlp: bool = False, mlp_impl: str = None):
+                    use_pallas_mlp: bool = False, mlp_impl: str = None,
+                    onehot_lookup_max_rows: int = 0):
     """Jitted inference: Batch -> click probabilities [B]. Weights are jit
     ARGUMENTS (device-resident), not inlined constants.
 
     mlp_impl: "xla" (dequant fused by XLA, default) | "pallas" (VMEM fused
     dequant kernel) | "int8" (dynamic activation quant + INT8 MXU GEMM,
     torch quantize_dynamic semantics — fastest on v5e, small extra
-    activation-quant error)."""
+    activation-quant error).
+
+    onehot_lookup_max_rows: packed tables with at most this many rows are
+    unpacked (tiny, recomputed per dispatch) and looked up via the MXU
+    one-hot matmul kernel instead of the ~5.5 ns/row serial gather — the
+    serving analogue of the training-side onehot_lookup_max_rows. The
+    gather is the dominant serving cost at large batch (VERDICT round-2
+    #6); measured sweep: tools/bench_serving.py."""
     cfg = sm.config
     if mlp_impl is None:
         mlp_impl = "pallas" if use_pallas_mlp else "xla"
     arrays, meta = _serving_arrays(sm)
 
     def lookup(pt: PackedTable, ids, msk):
+        if 0 < pt.rows <= onehot_lookup_max_rows:
+            return pooled_lookup_onehot_auto(unpack_table(pt), ids, msk)
         if use_pallas_lookup and pt.bias is None and msk is None:
             return packed_pooled_lookup_pallas(pt, ids)
         return packed_pooled_lookup(pt, ids, msk)
@@ -354,10 +368,15 @@ class ServingEngine:
         sm: ServingModel,
         buckets: Sequence[int] = (128, 1024, 4096, 16384),
         use_pallas_lookup: bool = False,
+        mlp_impl: str = None,
+        onehot_lookup_max_rows: int = 0,
     ):
         self.sm = sm
         self.buckets = sorted(buckets)
-        self.fn = make_serving_fn(sm, use_pallas_lookup=use_pallas_lookup)
+        self.fn = make_serving_fn(
+            sm, use_pallas_lookup=use_pallas_lookup, mlp_impl=mlp_impl,
+            onehot_lookup_max_rows=onehot_lookup_max_rows,
+        )
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:

@@ -50,6 +50,9 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16384)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--emb-bits", type=int, default=4)
+    ap.add_argument("--onehot-sweep", type=str, default="",
+                    help="comma list of onehot_lookup_max_rows thresholds "
+                         "to sweep (e.g. 0,1500,6000,15000,100000)")
     args = ap.parse_args()
 
     import jax
@@ -101,21 +104,29 @@ def main() -> None:
         mask=None,
     )
     n1, n2 = max(args.iters // 3, 5), args.iters
+    onehot_sweep = (
+        [int(x) for x in args.onehot_sweep.split(",")]
+        if args.onehot_sweep
+        else [0]
+    )
     for impl in ("xla", "int8"):
-        f = make_serving_fn(sm, mlp_impl=impl)
-        dt = _sustained_latency_s(f, batch, n1, n2)
-        print(
-            json.dumps(
-                {
-                    "metric": f"serving_qps_per_chip_{impl}",
-                    "value": round(B / dt),
-                    "unit": f"predictions/s (batch {B}, INT{args.emb_bits} "
-                            f"emb, mlp_impl={impl})",
-                    "latency_ms": round(dt * 1e3, 3),
-                }
-            ),
-            flush=True,
-        )
+        for oh in onehot_sweep:
+            f = make_serving_fn(sm, mlp_impl=impl,
+                                onehot_lookup_max_rows=oh)
+            dt = _sustained_latency_s(f, batch, n1, n2)
+            print(
+                json.dumps(
+                    {
+                        "metric": f"serving_qps_per_chip_{impl}_oh{oh}",
+                        "value": round(B / dt),
+                        "unit": f"predictions/s (batch {B}, "
+                                f"INT{args.emb_bits} emb, mlp_impl={impl}, "
+                                f"onehot_lookup_max_rows={oh})",
+                        "latency_ms": round(dt * 1e3, 3),
+                    }
+                ),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
