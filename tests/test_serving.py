@@ -322,3 +322,38 @@ class TestTrickServing:
         sm_dense = ptq_export(dense_cfg, dlrm.init_params(dense_cfg, 0), 4, 8)
         sm_qr = ptq_export(qr_cfg, dlrm.init_params(qr_cfg, 0), 4, 8)
         assert serving_model_bytes(sm_qr) < serving_model_bytes(sm_dense) / 3
+
+
+class TestOnehotServingLookup:
+    def test_onehot_lookup_exact_vs_gather(self, trained, monkeypatch):
+        """onehot_lookup_max_rows swaps small-table packed gathers for the
+        MXU one-hot kernel — predictions identical (the unpacked table the
+        kernel consumes is the same dequantized values the gather path
+        produces)."""
+        monkeypatch.setenv("DQRM_ONEHOT_INTERPRET", "1")
+        b = random_batch(CFG, 32, np.random.RandomState(5))
+        for bits in (4, 8):
+            sm = ptq_export(CFG, trained, emb_bits=bits, mlp_bits=8)
+            p0 = np.asarray(make_serving_fn(sm)(b))
+            p1 = np.asarray(
+                make_serving_fn(sm, onehot_lookup_max_rows=600)(b)
+            )
+            np.testing.assert_allclose(p1, p0, rtol=1e-5, atol=1e-6)
+
+    def test_partial_threshold_only_converts_small_tables(self, trained,
+                                                          monkeypatch):
+        monkeypatch.setenv("DQRM_ONEHOT_INTERPRET", "1")
+        b = random_batch(CFG, 16, np.random.RandomState(6))
+        sm = ptq_export(CFG, trained, emb_bits=8, mlp_bits=8)
+        p0 = np.asarray(make_serving_fn(sm)(b))
+        # threshold 128 covers tables 128 and 64 but not 512
+        p1 = np.asarray(make_serving_fn(sm, onehot_lookup_max_rows=128)(b))
+        np.testing.assert_allclose(p1, p0, rtol=1e-5, atol=1e-6)
+
+    def test_rowwise_tables_take_onehot_path_too(self, trained, monkeypatch):
+        monkeypatch.setenv("DQRM_ONEHOT_INTERPRET", "1")
+        b = random_batch(CFG, 16, np.random.RandomState(7))
+        sm = ptq_export(CFG, trained, emb_bits=4, mlp_bits=8, rowwise=True)
+        p0 = np.asarray(make_serving_fn(sm)(b))
+        p1 = np.asarray(make_serving_fn(sm, onehot_lookup_max_rows=600)(b))
+        np.testing.assert_allclose(p1, p0, rtol=1e-5, atol=1e-6)
