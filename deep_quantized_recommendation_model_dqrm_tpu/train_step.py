@@ -274,11 +274,14 @@ def _build_sparse_step_fn(
                 eff_m = w_rows if eff_m is None else eff_m * w_rows
             return rows_grad_from_pooled(g_pooled[k], batch.indices[k], eff_m)
 
-        # Mid-size tables under SGD: tile-streaming scatter-add
+        # Mid-size tables: tile-streaming scatter-add
         # (ops/pallas/stream_update.py). Sort all eligible tables' sparse
-        # grads in ONE fused payload sort, then each table streams.
+        # grads in ONE fused payload sort; SGD streams straight into the
+        # table, Adagrad/RWSAdagrad stream a dense gradient and reuse the
+        # dense-optimizer math of the one-hot branch (untouched rows see
+        # dense == 0, preserving touched-rows-only semantics exactly).
         stream_sorted = {}
-        if tc.optimizer == "sgd" and tc.stream_update_max_rows > 0:
+        if tc.stream_update_max_rows > 0:
             stream_ks = [
                 k
                 for k in range(config.num_tables)
@@ -346,7 +349,8 @@ def _build_sparse_step_fn(
                     new_emb.append(upd)
                     new_emb_acc.append(st)
                 continue
-            if k in stream_sorted:
+            n_rows = table.shape[0]
+            if k in stream_sorted and tc.optimizer == "sgd":
                 sids, svals = stream_sorted[k]
                 new_emb.append(
                     stream_update_auto(
@@ -354,16 +358,27 @@ def _build_sparse_step_fn(
                     )
                 )
                 continue
-            ids, vals = _ids_vals(k)
-            n_rows = table.shape[0]
-            if 0 < n_rows <= tc.onehot_update_max_rows:
-                # Small table: the coalesced dense gradient via the MXU
-                # one-hot kernel replaces the serial scatter (34 ns/row
-                # latency-bound); the optimizer update becomes dense
-                # elementwise math. Untouched rows have dense == 0, so the
-                # touched-rows-only optimizer semantics are preserved
-                # exactly (see ops/pallas/onehot_update.py).
-                dense = dense_grad_auto(ids, vals, n_rows)
+            dense = None
+            if k in stream_sorted:
+                # Adagrad/RWSAdagrad need per-row coalesced sums before the
+                # square; stream the sorted grad into a dense array and fall
+                # through to the dense-optimizer math below.
+                sids, svals = stream_sorted[k]
+                dense = stream_update_auto(
+                    jnp.zeros((n_rows, svals.shape[-1]), jnp.float32),
+                    sids, svals, presorted=True,
+                )
+            else:
+                ids, vals = _ids_vals(k)
+                if 0 < n_rows <= tc.onehot_update_max_rows:
+                    # Small table: the coalesced dense gradient via the MXU
+                    # one-hot kernel replaces the serial scatter (34 ns/row
+                    # latency-bound); the optimizer update becomes dense
+                    # elementwise math. Untouched rows have dense == 0, so
+                    # the touched-rows-only optimizer semantics are
+                    # preserved exactly (see ops/pallas/onehot_update.py).
+                    dense = dense_grad_auto(ids, vals, n_rows)
+            if dense is not None:
                 if tc.optimizer == "sgd":
                     new_emb.append(
                         table + (-lr * dense).astype(table.dtype)

@@ -204,9 +204,8 @@ class TestSparseStepStream:
             mlp_top=(14, 8, 1),
         )
 
-    def test_trajectory_matches_scatter_path(self, monkeypatch):
-        import dataclasses
-
+    @pytest.mark.parametrize("opt", ["sgd", "adagrad", "rwsadagrad"])
+    def test_trajectory_matches_scatter_path(self, monkeypatch, opt):
         from deep_quantized_recommendation_model_dqrm_tpu.config import (
             TrainConfig,
         )
@@ -220,7 +219,7 @@ class TestSparseStepStream:
 
         monkeypatch.setenv("DQRM_STREAM_INTERPRET", "1")
         cfg = self._cfg()
-        tc0 = TrainConfig(batch_size=32, learning_rate=0.1)
+        tc0 = TrainConfig(batch_size=32, learning_rate=0.1, optimizer=opt)
         # table 10 goes one-hot, 50 and 100 stream
         tc1 = tc0.replace(onehot_update_max_rows=16,
                           stream_update_max_rows=1000)
@@ -238,6 +237,11 @@ class TestSparseStepStream:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-6
             )
+        if opt != "sgd":
+            for a, c in zip(s0.opt_state["emb"], s1.opt_state["emb"]):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-7
+                )
 
     def test_qat_variable_pooling_masked(self, monkeypatch):
         import dataclasses
