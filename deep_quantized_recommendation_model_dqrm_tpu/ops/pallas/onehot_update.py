@@ -73,11 +73,17 @@ def _kernel(ids_ref, vt_ref, out_ref):
     # [1, r_chunk] and broadcast over the sublane (row-id) axis for free.
     rowids = jax.lax.broadcasted_iota(jnp.int32, (n_tile, r_chunk), 0) + base
     mask_t = (rowids == ids_ref[:]).astype(jnp.float32)
+    # HIGHEST precision: at DEFAULT the MXU truncates the f32 vals operand
+    # to bf16 (the {0,1} mask side is exact either way), quantizing every
+    # gradient to ~3 decimal digits before accumulation — measured 1e-2
+    # absolute error on chip. The f32 multi-pass emulation keeps the
+    # "exact up to summation order" contract of the module docstring.
     contrib = jax.lax.dot_general(
         vt_ref[:],
         mask_t,
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [d, n_tile]
 
     @pl.when(j == 0)
@@ -153,11 +159,16 @@ def _lookup_kernel(idsT_ref, w_ref, tT_ref, out_ref):
         counts += jnp.where(
             rowids == idsT_ref[p, :], w_ref[p, :], 0.0
         )
+    # HIGHEST precision: keeps dequantized f32 table values exact through
+    # the MXU (DEFAULT truncates them to bf16 — an extra ~0.4% activation
+    # error on top of the quantization noise; the serving path promises
+    # bit-parity with the gather).
     contrib = jax.lax.dot_general(
         tT_ref[:].astype(jnp.float32),
         counts,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [d, b_tile]
 
     @pl.when(j == 0)

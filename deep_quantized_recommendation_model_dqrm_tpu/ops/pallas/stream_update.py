@@ -79,11 +79,15 @@ def _stream_kernel(bounds_ref, idsw_ref, vals_ref, tile_ref, out_ref, *,
         ids_c = idsw_ref[pl.ds(c, 1), :]  # [1, W] ids in this window
         sel = (rowids == ids_c - base).astype(jnp.float32)  # [T, W]
         vals_c = vals_ref[pl.ds(c * chunk, chunk), :]  # [W, D]
+        # HIGHEST precision: the TPU MXU truncates f32 operands to bf16 at
+        # DEFAULT precision (measured 1e-2 update error on chip); the
+        # multi-pass f32 emulation is noise next to the HBM streaming cost.
         return acc + jax.lax.dot_general(
             sel,
             vals_c,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     c0 = jax.lax.div(lo, chunk)
