@@ -48,6 +48,10 @@ from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import (
 from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.onehot_update import (
     dense_grad_auto,
 )
+from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.stream_update import (
+    sort_sparse_grad,
+    stream_update_auto,
+)
 from deep_quantized_recommendation_model_dqrm_tpu.optim import lr_policy
 from deep_quantized_recommendation_model_dqrm_tpu.parallel import ranking_range
 
@@ -425,13 +429,25 @@ def make_dp_train_step(
                 delta = q.dequantize(all_vals, s)
             # Mean over replicas; scatter-add applies every touched row.
             # Small tables take the MXU one-hot dense grad instead of the
-            # latency-bound serial scatter (ops/pallas/onehot_update.py).
+            # latency-bound serial scatter (ops/pallas/onehot_update.py);
+            # mid tables stream (ops/pallas/stream_update.py — the gathered
+            # id list is a concat of per-shard sorted segments, so it
+            # re-sorts with the payload sort first).
             if 0 < table.shape[0] <= tc.onehot_update_max_rows:
                 dense = dense_grad_auto(
                     all_ids, delta.astype(jnp.float32), table.shape[0]
                 )
                 new_emb.append(
                     table + (-(lr / n_dev) * dense).astype(table.dtype)
+                )
+            elif 0 < table.shape[0] <= tc.stream_update_max_rows:
+                sids, svals = sort_sparse_grad(
+                    all_ids, delta.astype(jnp.float32)
+                )
+                new_emb.append(
+                    stream_update_auto(
+                        table, sids, -(lr / n_dev) * svals, presorted=True
+                    )
                 )
             else:
                 new_emb.append(

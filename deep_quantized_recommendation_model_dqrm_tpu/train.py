@@ -725,7 +725,8 @@ def run(argv=None) -> dict:
         bsz = args.mini_batch_size
         args.stream_update_max_rows = (
             _STREAM_AUTO_ROWS_PER_BATCH * bsz
-            if (args.parallelism == "none" and args.optimizer == "sgd"
+            if (args.parallelism in ("none", "dp")
+                and args.optimizer == "sgd"
                 and bsz >= _STREAM_AUTO_MIN_BATCH)
             else 0
         )
@@ -753,11 +754,10 @@ def run(argv=None) -> dict:
             "only); the hybrid/rowshard mega-table scatter and the pseudo "
             "simulator do not take the one-hot path"
         )
-    if args.parallelism in ("dp", "dp-nosync") and args.stream_update_max_rows > 0:
+    if args.parallelism == "dp-nosync" and args.stream_update_max_rows > 0:
         raise SystemExit(
-            "--stream-update-max-rows applies to the single-chip sparse "
-            "step (parallelism=none, sgd); the dp engines exchange "
-            "coalesced compressed grads with their own apply path"
+            "--stream-update-max-rows: dp-nosync updates via dense "
+            "autodiff; use parallelism none/dp for the streaming apply"
         )
     if args.parallelism == "dp-nosync" and args.onehot_update_max_rows > 0:
         raise SystemExit(

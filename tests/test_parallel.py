@@ -107,6 +107,21 @@ class TestDPCommGrad:
                 np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-6
             )
 
+    def test_stream_update_matches_scatter_path(self, monkeypatch):
+        """TrainConfig.stream_update_max_rows swaps the dp apply scatter for
+        the tile-streaming kernel (re-sorting the gathered concat of
+        per-shard segments) — trajectory-identical."""
+        monkeypatch.setenv("DQRM_STREAM_INTERPRET", "1")
+        s0, l0 = self._run(CFG, TC, grad_bits=8)
+        s1, l1 = self._run(
+            CFG, TC.replace(stream_update_max_rows=10**6), grad_bits=8
+        )
+        np.testing.assert_allclose(l0, l1, rtol=1e-5)
+        for a, b_ in zip(s0.params["emb"], s1.params["emb"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-6
+            )
+
     def test_int8_compressed_close_to_fp32(self):
         _, l8 = self._run(CFG, TC, grad_bits=8)
         _, l32 = self._run(CFG, TC, grad_bits=32)
