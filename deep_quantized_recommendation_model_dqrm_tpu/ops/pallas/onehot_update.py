@@ -72,19 +72,31 @@ def _kernel(ids_ref, vt_ref, out_ref):
     # maskT[c, r] = 1.0 iff ids[r] == base + c. ids arrive lane-oriented
     # [1, r_chunk] and broadcast over the sublane (row-id) axis for free.
     rowids = jax.lax.broadcasted_iota(jnp.int32, (n_tile, r_chunk), 0) + base
-    mask_t = (rowids == ids_ref[:]).astype(jnp.float32)
-    # HIGHEST precision: at DEFAULT the MXU truncates the f32 vals operand
-    # to bf16 (the {0,1} mask side is exact either way), quantizing every
-    # gradient to ~3 decimal digits before accumulation — measured 1e-2
-    # absolute error on chip. The f32 multi-pass emulation keeps the
-    # "exact up to summation order" contract of the module docstring.
-    contrib = jax.lax.dot_general(
-        vt_ref[:],
-        mask_t,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [d, n_tile]
+    mask_t = (rowids == ids_ref[:]).astype(jnp.bfloat16)
+    # Exact-f32 matmul in THREE native bf16 MXU passes: at DEFAULT
+    # precision the MXU truncates the f32 vals operand to bf16, quantizing
+    # every gradient to ~3 decimal digits before accumulation (measured
+    # 1e-2 absolute error on chip); Precision.HIGHEST fixes that but runs
+    # the generic 6-pass f32 emulation on BOTH operands — measured
+    # +1.4 ms/it at B=8192. The {0,1} mask side is exactly bf16, so only
+    # the vals need splitting: vals = hi + mid + lo with each term
+    # bf16-representable, each pass exact, f32 accumulation; the
+    # decomposition residual (~2^-27 relative) sits below f32 resolution —
+    # the "exact up to summation order" contract at half HIGHEST's cost.
+    vt = vt_ref[:]
+    hi = vt.astype(jnp.bfloat16)
+    mid = (vt - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    lo = (
+        vt - hi.astype(jnp.float32) - mid.astype(jnp.float32)
+    ).astype(jnp.bfloat16)
+    dims = (((1,), (1,)), ((), ()))
+
+    def _pass(a):
+        return jax.lax.dot_general(
+            a, mask_t, dims, preferred_element_type=jnp.float32
+        )
+
+    contrib = _pass(hi) + _pass(mid) + _pass(lo)  # [d, n_tile]
 
     @pl.when(j == 0)
     def _():

@@ -26,6 +26,14 @@ from deep_quantized_recommendation_model_dqrm_tpu.optim import (
 )
 
 
+# SGD sparse updates pre-coalesce so the scatter can claim unique+sorted
+# hints — measured 2.3x at 93k rows / 8k updates on v5e, but a slight LOSS
+# at 2.2M rows where the sort/segment work stops paying for itself
+# (scripts/bench_stream_update.py, 2026-08-21). Tables above the cap keep
+# the plain duplicate scatter.
+_SORTED_SCATTER_MAX_ROWS = 1_000_000
+
+
 class TrainState(NamedTuple):
     params: Any
     opt_state: Any  # None for plain SGD
@@ -403,9 +411,28 @@ def _build_sparse_step_fn(
                     new_emb_acc.append(acc2)
                 continue
             if tc.optimizer == "sgd":
-                new_emb.append(
-                    table.at[ids].add((-lr * vals).astype(table.dtype), mode="drop")
-                )
+                if n_rows <= _SORTED_SCATTER_MAX_ROWS:
+                    # Pre-coalescing (sort + segment-sum) lets the scatter
+                    # claim unique+sorted hints: measured 0.329 vs 0.756 ms
+                    # at 93k rows / 8k updates on v5e (scripts/
+                    # bench_stream_update.py). Above ~1M rows the win
+                    # inverts (1.41 vs 1.28 ms at 2.2M) — the plain
+                    # duplicate scatter stays for the multi-M tables.
+                    uids, uvals = coalesce_sparse_grad(
+                        ids, vals, n_rows, max_unique=ids.shape[0]
+                    )
+                    new_emb.append(
+                        table.at[uids].add(
+                            (-lr * uvals).astype(table.dtype), mode="drop",
+                            unique_indices=True, indices_are_sorted=True,
+                        )
+                    )
+                else:
+                    new_emb.append(
+                        table.at[ids].add(
+                            (-lr * vals).astype(table.dtype), mode="drop"
+                        )
+                    )
             elif tc.optimizer == "adagrad":
                 # per-element Adagrad on touched rows only (torch sparse
                 # Adagrad semantics): coalesce, acc += g^2, w -= lr g/sqrt

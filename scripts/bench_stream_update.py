@@ -19,7 +19,10 @@ Usage: python scripts/bench_stream_update.py [--dim 16] [--quick]
 from __future__ import annotations
 
 import argparse
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
