@@ -37,11 +37,16 @@ from typing import Optional
 
 import numpy as np
 
-# --stream-update-max-rows auto rule (measured on v5e,
-# scripts/bench_stream_update.py): full-table streaming beats the serial
-# scatter when rows < ~this multiple of the batch; below the min batch the
-# scatter is already cheap and the sort overhead dominates.
-_STREAM_AUTO_ROWS_PER_BATCH = 48
+# --stream-update-max-rows auto rule: OFF. Measured on v5e (2026-08-21,
+# scripts/bench_stream_update.py + the tile sweep): the tile-streaming
+# kernel moves ~4.2 ns per table row INDEPENDENT of tile size (~0.03 TB/s
+# effective through the narrow-lane Pallas block pipeline — the (T, d=16)
+# f32 blocks use 16 of 128 lanes at every stage), so it only edges out the
+# coalesce+hints scatter in a narrow band (~7% at 93k rows, B=8192) and
+# loses everywhere else. The always-on win is the pre-coalesced
+# unique+sorted scatter (train_step._SORTED_SCATTER_MAX_ROWS). The flag
+# stays for explicit experimentation.
+_STREAM_AUTO_ROWS_PER_BATCH = 0
 _STREAM_AUTO_MIN_BATCH = 1024
 
 from deep_quantized_recommendation_model_dqrm_tpu.config import (
@@ -718,10 +723,8 @@ def run(argv=None) -> dict:
             20000 if args.parallelism in ("none", "dp") else 0
         )
     if args.stream_update_max_rows < 0:
-        # auto: streaming pays full-table traffic, so it only wins when the
-        # batch touches a decent fraction of the table (cost model ~250 *
-        # batch rows for fp32 d=16; measured crossover in
-        # scripts/bench_stream_update.py). Single-chip SGD only.
+        # auto: off — the measured v5e characterization rejects streaming
+        # as a default (see _STREAM_AUTO_ROWS_PER_BATCH above).
         bsz = args.mini_batch_size
         args.stream_update_max_rows = (
             _STREAM_AUTO_ROWS_PER_BATCH * bsz
