@@ -29,9 +29,13 @@ from deep_quantized_recommendation_model_dqrm_tpu.optim import (
 # SGD sparse updates pre-coalesce so the scatter can claim unique+sorted
 # hints — measured 2.3x at 93k rows / 8k updates on v5e, but a slight LOSS
 # at 2.2M rows where the sort/segment work stops paying for itself
-# (scripts/bench_stream_update.py, 2026-08-21). Tables above the cap keep
-# the plain duplicate scatter.
+# (scripts/bench_stream_update.py, 2026-08-21). Tables above the row cap
+# keep the plain duplicate scatter — and so do SMALL batches: at 128
+# updates the coalesce's sort/cumsum/slot chain is pure op-latency
+# overhead (measured +0.75 ms/it on the B=128 megastep, bench.py
+# 2026-08-21) while the scatter itself costs microseconds.
 _SORTED_SCATTER_MAX_ROWS = 1_000_000
+_SORTED_SCATTER_MIN_UPDATES = 2048
 
 
 class TrainState(NamedTuple):
@@ -411,7 +415,8 @@ def _build_sparse_step_fn(
                     new_emb_acc.append(acc2)
                 continue
             if tc.optimizer == "sgd":
-                if n_rows <= _SORTED_SCATTER_MAX_ROWS:
+                if (n_rows <= _SORTED_SCATTER_MAX_ROWS
+                        and ids.shape[0] >= _SORTED_SCATTER_MIN_UPDATES):
                     # Pre-coalescing (sort + segment-sum) lets the scatter
                     # claim unique+sorted hints: measured 0.329 vs 0.756 ms
                     # at 93k rows / 8k updates on v5e (scripts/

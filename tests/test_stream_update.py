@@ -317,3 +317,46 @@ class TestSparseStepStream:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-6
             )
+
+
+class TestSortedScatterSGD:
+    def test_coalesced_sgd_branch_matches_plain(self, monkeypatch):
+        """The batch-gated coalesce+hints SGD scatter (train_step.
+        _SORTED_SCATTER_*) is trajectory-identical to the plain duplicate
+        scatter; the gate constants are lowered so the B=32 test batch
+        exercises the coalesced branch."""
+        import deep_quantized_recommendation_model_dqrm_tpu.train_step as ts
+        from deep_quantized_recommendation_model_dqrm_tpu.config import (
+            TrainConfig,
+        )
+        from deep_quantized_recommendation_model_dqrm_tpu.data.synthetic import (
+            random_batch,
+        )
+
+        cfg = None
+        from deep_quantized_recommendation_model_dqrm_tpu.config import (
+            DLRMConfig,
+        )
+
+        cfg = DLRMConfig(
+            table_sizes=(100, 50, 10),
+            embedding_dim=8,
+            mlp_bot=(4, 16, 8),
+            mlp_top=(14, 8, 1),
+        )
+        tc = TrainConfig(batch_size=32, learning_rate=0.1)
+        s0 = ts.init_train_state(cfg, tc)
+        s1 = ts.init_train_state(cfg, tc)
+        step_plain = ts.make_train_step(cfg, tc, sparse_emb_grad=True)
+        monkeypatch.setattr(ts, "_SORTED_SCATTER_MIN_UPDATES", 8)
+        step_coal = ts.make_train_step(cfg, tc, sparse_emb_grad=True)
+        rng = np.random.RandomState(0)
+        for _ in range(4):
+            b = random_batch(cfg, 32, rng)
+            s0, l0 = step_plain(s0, b)
+            s1, l1 = step_coal(s1, b)
+            assert np.isclose(float(l0), float(l1), rtol=1e-5)
+        for a, c in zip(s0.params["emb"], s1.params["emb"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-6
+            )
