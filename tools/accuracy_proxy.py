@@ -170,7 +170,8 @@ def _device_init(cfg):
     return _with_lsq_steps({**base, "emb": emb})
 
 
-def run_mode(mode: str, steps: int, batch: int, lr: float, seed: int) -> dict:
+def run_mode(mode: str, steps: int, batch: int, lr: float, seed: int,
+             serving_eval: bool = False) -> dict:
     cfg = mode_config(mode)
     tc = TrainConfig(batch_size=batch, learning_rate=lr, seed=seed)
     # device-side init: host-side numpy generation + tunnel transfer of the
@@ -207,17 +208,40 @@ def run_mode(mode: str, steps: int, batch: int, lr: float, seed: int) -> dict:
             it += 1
     ev = make_eval_step(cfg)
     scores, ys = [], []
-    for b in LearnableSyntheticLoader(cfg, 16384, 8, seed=seed + 99_999):
+    eval_batches = list(
+        LearnableSyntheticLoader(cfg, 16384, 8, seed=seed + 99_999)
+    )
+    for b in eval_batches:
         scores.append(np.asarray(ev(state, b)))
         ys.append(np.asarray(b.labels))
     auc = roc_auc(np.concatenate(scores), np.concatenate(ys))
-    return {
+    out = {
         "mode": mode,
         "steps": it,
         "auc": round(float(auc), 4),
         "final_loss": round(float(loss), 4),
         "wall_s": round(time.perf_counter() - t0, 1),
     }
+    if serving_eval:
+        # PTQ-export the trained model and score the SERVING path per MLP
+        # impl: validates the int8 dynamic-activation MXU GEMM's quant
+        # error at the AUC level (VERDICT round-2 #6 gate for defaulting
+        # mlp_impl="int8") and the one-hot small-table lookup.
+        from deep_quantized_recommendation_model_dqrm_tpu.serving import (
+            make_serving_fn,
+            ptq_export,
+        )
+
+        sm = ptq_export(cfg, state.params, emb_bits=4, mlp_bits=8)
+        y = np.concatenate(ys)
+        for impl, oh in (("xla", 0), ("int8", 0), ("int8", 15000)):
+            fn = make_serving_fn(sm, mlp_impl=impl,
+                                 onehot_lookup_max_rows=oh)
+            sc = np.concatenate([np.asarray(fn(b)) for b in eval_batches])
+            out[f"serving_auc_{impl}_oh{oh}"] = round(
+                float(roc_auc(sc, y)), 4
+            )
+    return out
 
 
 def run_overfit(
@@ -280,6 +304,10 @@ def main():
                    help="> 0: finite-data multi-epoch overfit regime "
                         "(--dataset-batches batches looped per epoch)")
     p.add_argument("--dataset-batches", type=int, default=256)
+    p.add_argument("--serving-eval", action="store_true",
+                   help="after training, PTQ-export and report serving-path "
+                        "AUC per MLP impl (xla vs int8 MXU) and one-hot "
+                        "lookup threshold")
     args = p.parse_args()
     for mode in args.modes.split(","):
         if args.epochs > 0:
@@ -287,7 +315,7 @@ def main():
                             args.batch, args.learning_rate, args.seed)
         else:
             r = run_mode(mode, args.steps, args.batch, args.learning_rate,
-                         args.seed)
+                         args.seed, serving_eval=args.serving_eval)
         print(json.dumps(r), flush=True)
 
 
