@@ -30,12 +30,13 @@ from deep_quantized_recommendation_model_dqrm_tpu.optim import (
 # hints — measured 2.3x at 93k rows / 8k updates on v5e, but a slight LOSS
 # at 2.2M rows where the sort/segment work stops paying for itself
 # (scripts/bench_stream_update.py, 2026-08-21). Tables above the row cap
-# keep the plain duplicate scatter — and so do SMALL batches: at 128
-# updates the coalesce's sort/cumsum/slot chain is pure op-latency
-# overhead (measured +0.75 ms/it on the B=128 megastep, bench.py
-# 2026-08-21) while the scatter itself costs microseconds.
+# keep the plain duplicate scatter — and so do SMALL batches: the
+# coalesce's sort/cumsum/slot chain is op-latency overhead that only
+# amortizes at large update counts (measured: +0.75 ms/it at 128 updates
+# on the B=128 Kaggle megastep; +6 ms/it at 2048 updates on the B=2048
+# Terabyte megastep; 2.3x WIN at 8192 updates). Gate at 4096.
 _SORTED_SCATTER_MAX_ROWS = 1_000_000
-_SORTED_SCATTER_MIN_UPDATES = 2048
+_SORTED_SCATTER_MIN_UPDATES = 4096
 
 
 class TrainState(NamedTuple):
