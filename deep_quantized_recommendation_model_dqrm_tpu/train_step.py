@@ -33,8 +33,8 @@ from deep_quantized_recommendation_model_dqrm_tpu.optim import (
 # keep the plain duplicate scatter — and so do SMALL batches: the
 # coalesce's sort/cumsum/slot chain is op-latency overhead that only
 # amortizes at large update counts (measured: +0.75 ms/it at 128 updates
-# on the B=128 Kaggle megastep; +6 ms/it at 2048 updates on the B=2048
-# Terabyte megastep; 2.3x WIN at 8192 updates). Gate at 4096.
+# on the B=128 Kaggle megastep; +0.4 ms/it at 2048 updates on the
+# B=2048 Terabyte megastep; 2.3x WIN at 8192 updates). Gate at 4096.
 _SORTED_SCATTER_MAX_ROWS = 1_000_000
 _SORTED_SCATTER_MIN_UPDATES = 4096
 
