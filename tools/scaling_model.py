@@ -116,9 +116,9 @@ def main():
     args = ap.parse_args()
     chip = Chip()
     kaggle = Workload("Kaggle INT4 QAT (B=128/chip)", kaggle_config(), 128,
-                      measured_step_ms=0.332)
+                      measured_step_ms=0.3446)
     tb = Workload("Terabyte INT4 QAT bf16 (B=2048/chip, pinned layout)",
-                  terabyte_config(), 2048, measured_step_ms=3.49)
+                  terabyte_config(), 2048, measured_step_ms=9.25)
     out = []
     for w, engine, kw in (
         (kaggle, "dp", dict(grad_bits=8)),
