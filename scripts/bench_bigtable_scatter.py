@@ -49,6 +49,11 @@ def main():
                     default=[2202608, 10131227])
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--dim", type=int, default=16)
+    ap.add_argument("--zipf", type=float, default=0.0,
+                    help="> 0: draw ids from a Zipf(a) over the table "
+                         "(real Criteo ids are heavily skewed; uniform is "
+                         "the scatter's worst case — no duplicates to "
+                         "coalesce away)")
     args = ap.parse_args()
     B, D = args.batch, args.dim
 
@@ -61,16 +66,33 @@ def main():
 
     for R in args.rows:
         table0 = jax.random.normal(jax.random.PRNGKey(0), (R, D), jnp.float32)
-        ids0 = jax.random.randint(jax.random.PRNGKey(1), (B,), 0, R, jnp.int32)
+        if args.zipf > 0:
+            rng = np.random.default_rng(1)
+            raw = rng.zipf(args.zipf, size=B)
+            ids0 = jnp.asarray(((raw - 1) % R).astype(np.int32))
+            uniq = len(np.unique(np.asarray(ids0)))
+            print(f"zipf a={args.zipf}: {uniq} unique of {B} draws")
+        else:
+            ids0 = jax.random.randint(
+                jax.random.PRNGKey(1), (B,), 0, R, jnp.int32
+            )
         vals0 = (
             jax.random.normal(jax.random.PRNGKey(2), (B, D), jnp.float32)
             * 1e-4
         )
         jax.block_until_ready((table0, ids0, vals0))
 
-        def next_ids(table, ids):
-            salt = (table[0, 0] * 1e6).astype(jnp.int32)
-            return (ids * 1103515245 + 12345 + salt) % R
+        if args.zipf > 0:
+            # preserve the skewed id MULTISET across chain iterations (the
+            # rehash below would flatten it to uniform): rotate positions
+            # by a table-dependent amount.
+            def next_ids(table, ids):
+                salt = (table[0, 0] * 1e6).astype(jnp.int32)
+                return jnp.roll(ids, 1 + jax.lax.rem(salt, 7))
+        else:
+            def next_ids(table, ids):
+                salt = (table[0, 0] * 1e6).astype(jnp.int32)
+                return (ids * 1103515245 + 12345 + salt) % R
 
         res = {}
 
