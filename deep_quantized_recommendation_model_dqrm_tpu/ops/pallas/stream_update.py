@@ -31,11 +31,19 @@ ids >= num_rows) map outside [0, T) and match no row of `sel` — exactly
 legal: two window columns select the same tile row and the matmul sums
 them (torch `coalesce()` semantics without a separate coalesce pass).
 
-Cost model (fp32 d=16): full-table traversal reads+writes 128 B/row at
-~0.93 TB/s HBM => the crossover vs the 34 ns/row scatter of U = B*P
-updates sits at rows ~= 250 * U — at B=8192 every Kaggle table up to
-~2M rows streams faster than it scatters. Measured numbers:
-scripts/bench_stream_update.py.
+MEASURED STATUS (2026-08-21, scripts/bench_stream_update.py + the tile
+sweep; full strategy map in PARITY.md "The scatter wall"): the kernel is
+exact and works, but the traversal moves ~4.2 ns per TABLE row
+independent of tile size — the (T, d=16) fp32 blocks use 16 of 128
+lanes at every pipeline stage, capping effective traffic ~30x under the
+HBM-bandwidth cost model below, and >= 4096-row tiles exceed VMEM (lane
+padding is 8x). It therefore edges the coalesce+hints scatter only in a
+narrow ~50-150k-row band at B=8192 (~7%) and is OFF by default
+(--stream-update-max-rows). The naive cost model, kept for the record:
+full-table traversal reads+writes 128 B/row at ~0.93 TB/s HBM => a
+crossover vs the scatter at rows ~= 250 * B*P — a full-lane
+formulation would need an rpv-packed table view that XLA's [R, 16]
+parameter layout cannot alias without a divisibility-padding copy.
 
 Replaces (for this size class): the serial scatter in the reference's
 manual sparse SGD (sgd_quantized_gradients_parallel_comm.py:601-685);
