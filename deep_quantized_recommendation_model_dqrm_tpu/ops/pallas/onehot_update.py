@@ -30,9 +30,12 @@ immediately in an MXU pass, and never spills it:
     n up to ~20k rows at any R (measured crossover: scripts/
     bench_onehot_scatter.py).
 
-Numerics: the mask is exact {0.0, 1.0} fp32 and every product mask*val is
-exact, so the result equals the coalesced scatter-add up to fp32 summation
-ORDER of duplicate ids only. Out-of-range ids (including the -1 padding this
+Numerics: the mask is exact {0, 1} (bf16) and the f32 vals operand is
+split hi/mid/lo into three bf16-exact MXU passes (see _kernel — at the
+MXU's DEFAULT precision f32 operands silently truncate to bf16, and
+Precision.HIGHEST costs twice the passes), so every product is exact and
+the result equals the coalesced scatter-add up to f32 summation ORDER of
+duplicate ids only. Out-of-range ids (including the -1 padding this
 wrapper adds) match no one-hot column — the same semantics as
 `.at[].add(mode="drop")`.
 
