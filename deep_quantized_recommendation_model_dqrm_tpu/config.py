@@ -372,10 +372,12 @@ class TrainConfig:
     # sparse SGD update with the tile-streaming scatter-add kernel
     # (ops/pallas/stream_update.py): sequential full-table HBM traffic +
     # per-tile one-hot MXU matmuls instead of the ~34 ns/row serial
-    # scatter. Wins when the table is small relative to the batch (cost
-    # model: rows < ~250 * batch for fp32 d=16); the CLI auto rule sets it
-    # from the batch size. 0 disables. Identical up to fp32 summation
-    # order of duplicate ids (kernel accumulates in fp32).
+    # scatter. EXPERIMENTAL flag, measured-off by default: the kernel's
+    # narrow-lane pipeline moves ~4.2 ns/table-row regardless of tile size
+    # (~30x under the naive HBM cost model), so it wins only a narrow
+    # ~50-150k-row band at B=8192 (~7%) — see stream_update.py's measured
+    # status. The CLI auto rule resolves to 0 (off). 0 disables. Identical
+    # up to fp32 summation order of duplicate ids (accumulates in fp32).
     stream_update_max_rows: int = 0
     # Gradient accumulation loss scale (`--mlperf-grad-accum-iter`,
     # dlrm_s_pytorch.py:1595-1601): the reference backwards each of the k

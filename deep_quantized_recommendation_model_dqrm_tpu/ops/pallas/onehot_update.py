@@ -176,8 +176,10 @@ def _lookup_kernel(idsT_ref, w_ref, tT_ref, out_ref):
         )
     # HIGHEST precision: keeps dequantized f32 table values exact through
     # the MXU (DEFAULT truncates them to bf16 — an extra ~0.4% activation
-    # error on top of the quantization noise; the serving path promises
-    # bit-parity with the gather).
+    # error on top of the quantization noise). The counts-then-matmul
+    # formulation still reorders f32 summation vs the sequential
+    # gather+pool, so the serving path matches the gather to f32
+    # summation order (tests assert 1e-5), not bit-parity.
     contrib = jax.lax.dot_general(
         tT_ref[:].astype(jnp.float32),
         counts,

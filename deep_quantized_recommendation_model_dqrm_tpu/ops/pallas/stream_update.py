@@ -31,6 +31,14 @@ ids >= num_rows) map outside [0, T) and match no row of `sel` — exactly
 legal: two window columns select the same tile row and the matmul sums
 them (torch `coalesce()` semantics without a separate coalesce pass).
 
+OOB-padding contract: when R % tile_rows != 0, coalesce-style padding ids
+(num_rows + slot) fall inside [0, tile_rows) RELATIVE TO the last partial
+tile, so they select block-PADDING rows of that tile. Correctness relies on
+Pallas masking writes to out-of-bounds rows of a partial block (documented
+Pallas blockspec semantics; regression-guarded by test_oob_padding_dropped,
+interpret mode). If that masking behavior ever changes, pad R up to a
+multiple of tile_rows before the call instead.
+
 MEASURED STATUS (2026-08-21, scripts/bench_stream_update.py + the tile
 sweep; full strategy map in PARITY.md "The scatter wall"): the kernel is
 exact and works, but the traversal moves ~4.2 ns per TABLE row

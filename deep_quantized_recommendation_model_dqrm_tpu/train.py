@@ -47,7 +47,6 @@ import numpy as np
 # unique+sorted scatter (train_step._SORTED_SCATTER_MAX_ROWS). The flag
 # stays for explicit experimentation.
 _STREAM_AUTO_ROWS_PER_BATCH = 0
-_STREAM_AUTO_MIN_BATCH = 1024
 
 from deep_quantized_recommendation_model_dqrm_tpu.config import (
     DLRMConfig,
@@ -195,6 +194,15 @@ def build_parser() -> argparse.ArgumentParser:
     # control (dlrm_s_pytorch.py:1004-1021)
     p.add_argument("--print-freq", type=int, default=1024)
     p.add_argument("--test-freq", type=int, default=-1)
+    p.add_argument("--val-freq", type=int, default=0,
+                   help="evaluate on the VALIDATION split every this many "
+                        "iterations; when > 0 best-checkpoint selection "
+                        "uses val accuracy and test stays untouched for "
+                        "final metrics (the reference builds val/test "
+                        "halves, dlrm_data_pytorch.py:144-145, but its "
+                        "drivers never consume val — this is the consumer). "
+                        "dataset mode uses the second half of the last "
+                        "day; synthetic modes derive a held-out loader")
     p.add_argument("--print-time", action="store_true")
     p.add_argument("--print-wall-time", action="store_true",
                    help="append HH:MM wall clock to the training print "
@@ -277,9 +285,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "full-table HBM traffic + per-tile MXU one-hot "
                         "matmuls) instead of the ~34 ns/row serial scatter "
                         "(TPU-native optimization; 0 disables). Default -1 "
-                        "= auto: scales with the batch (the full-table "
-                        "traffic amortizes over touched rows; see "
-                        "scripts/bench_stream_update.py)")
+                        "= auto = OFF: the measured v5e characterization "
+                        "rejects streaming as a default (narrow ~7% win at "
+                        "50-150k rows, B=8192 only; see "
+                        "scripts/bench_stream_update.py) — the flag stays "
+                        "for explicit experimentation")
     p.add_argument("--pin-table-layout", action="store_true",
                    help="pin embedding tables to row-major device layouts "
                         "(single-chip megastep): removes XLA's per-dispatch "
@@ -494,7 +504,15 @@ def make_loaders(args, cfg, tc):
         test = RandomBatchLoader(
             cfg, tc.test_batch_size, max(1, nb // 8), seed=tc.seed + 1, **gen
         )
-        return cfg, train, test, None
+        val = (
+            RandomBatchLoader(
+                cfg, tc.test_batch_size, max(1, nb // 8),
+                seed=tc.seed + 104729, **gen
+            )
+            if args.val_freq > 0
+            else None
+        )
+        return cfg, train, test, val
     if args.data_generation == "learnable":
         from deep_quantized_recommendation_model_dqrm_tpu.data.synthetic import (
             LearnableSyntheticLoader,
@@ -507,7 +525,18 @@ def make_loaders(args, cfg, tc):
         test = LearnableSyntheticLoader(
             cfg, tc.test_batch_size, max(1, nb // 8), seed=tc.seed + 7919
         )
-        return cfg, train, test, None
+        # held-out val stream for --val-freq best-checkpoint selection
+        # (disjoint seed; same teacher as train/test so val AUC is a
+        # meaningful selection signal)
+        val = (
+            LearnableSyntheticLoader(
+                cfg, tc.test_batch_size, max(1, nb // 8),
+                seed=tc.seed + 104729,
+            )
+            if args.val_freq > 0
+            else None
+        )
+        return cfg, train, test, val
     if args.data_generation == "dataset":
         import os
 
@@ -725,16 +754,14 @@ def run(argv=None) -> dict:
     if args.stream_update_max_rows < 0:
         # auto: off — the measured v5e characterization rejects streaming
         # as a default (see _STREAM_AUTO_ROWS_PER_BATCH above).
-        bsz = args.mini_batch_size
-        args.stream_update_max_rows = (
-            _STREAM_AUTO_ROWS_PER_BATCH * bsz
-            if (args.parallelism in ("none", "dp")
-                and args.optimizer == "sgd"
-                and bsz >= _STREAM_AUTO_MIN_BATCH)
-            else 0
-        )
+        args.stream_update_max_rows = _STREAM_AUTO_ROWS_PER_BATCH
     cfg, tc = make_configs(args)
     cfg, train_loader, test_loader, val_loader = make_loaders(args, cfg, tc)
+    if args.val_freq > 0 and val_loader is None:
+        raise SystemExit(
+            "--val-freq needs a validation split; this data mode builds "
+            "none (use --data-generation=dataset/random/learnable)"
+        )
     cfg.validate_top()
     rank = jax.process_index()
     logger = ScalarLogger(args.log_dir or None)
@@ -817,6 +844,26 @@ def run(argv=None) -> dict:
         )
     start_epoch = start_batch = 0
     best_acc = best_auc = 0.0
+    # True architecture metadata rides every checkpoint we write, so QR/MD
+    # models round-trip EXACTLY: a QREmbeddingBag state dict alone only
+    # determines n up to the ceil(n/c)*c bound (tools/torch_import.py keeps
+    # that bound because the reference's .pt genuinely lacks n — VERDICT r3
+    # #7; reference state dict: tricks/qr_embedding_bag.py:140-149).
+    arch_meta = {
+        "table_sizes": [int(n) for n in cfg.table_sizes],
+        "embedding_dim": int(cfg.embedding_dim),
+        "mlp_bot": [int(x) for x in cfg.mlp_bot],
+        "mlp_top": [int(x) for x in cfg.mlp_top],
+        "table_kinds": [cfg.table_kind(k) for k in range(cfg.num_tables)],
+    }
+    if cfg.qr_flag:
+        arch_meta.update(
+            qr_collisions=int(cfg.qr_collisions),
+            qr_operation=cfg.qr_operation,
+            qr_threshold=int(cfg.qr_threshold),
+        )
+    if cfg.md_flag:
+        arch_meta["md_threshold"] = int(cfg.md_threshold)
     if args.load_model and args.parallelism not in ("hybrid", "rowshard"):
         loaded = CheckpointManager(args.load_model)
         state, meta = loaded.restore(state)
@@ -1069,6 +1116,10 @@ def run(argv=None) -> dict:
     it_last_print = 0
     next_print = tc.print_freq
     next_test = tc.test_freq if tc.test_freq > 0 else 1 << 62
+    # --val-freq: validation evals drive best-checkpoint selection (test
+    # stays untouched for final metrics / mlperf thresholds)
+    use_val_select = args.val_freq > 0 and val_loader is not None
+    next_val = args.val_freq if use_val_select else 1 << 62
     _buf = []  # pending batches for the K-step megastep
     t_print = time.perf_counter()
     result = {}
@@ -1284,21 +1335,27 @@ def run(argv=None) -> dict:
                     if tc.print_wall_time
                     else ""
                 )
+                # dt is WALL time between prints divided by steps — it
+                # includes compiles, evals, host batch generation, and
+                # tunnel stalls. It is NOT a step time: the honest drained
+                # chain-slope per-step numbers come from bench.py (see
+                # .claude/skills/verify/SKILL.md methodology).
                 rank0_print(
                     rank,
                     f"Finished training it {it}/{len(train_loader)} of epoch {epoch}, "
-                    f"{dt:.2f} ms/it, loss {loss_v:.6f}" + wall,
+                    f"{dt:.2f} ms/it (wall incl. compile/eval), "
+                    f"loss {loss_v:.6f}" + wall,
                 )
                 logger.add_scalar("Train/Loss", loss_v, it)
-            if tc.test_freq > 0 and it >= next_test:
-                while next_test <= it:
-                    next_test += tc.test_freq
+            def run_eval(loader):
+                # one dispatch point for test AND val evals
+                nonlocal dstate, state
                 if step_mode in ("hybrid", "rowshard"):
                     # sharded eval: tables stay distributed (no single-chip
                     # unpack; Terabyte tables may not fit one device), eval
                     # step compiled exactly once (hoisted above the loop)
-                    m = evaluate(cfg, hstate, test_loader, hybrid_eval_fn)
-                elif step_mode in ("dp", "dp-nosync"):
+                    return evaluate(cfg, hstate, loader, hybrid_eval_fn)
+                if step_mode in ("dp", "dp-nosync"):
                     # rank-sharded eval (inference_distributed,
                     # comm_grad.py:1170-1305); nosync replicas are
                     # re-averaged first (dp_only.py's accuracy aggregation)
@@ -1307,28 +1364,53 @@ def run(argv=None) -> dict:
                         state = state._replace(
                             params=dstate.params, qstate=dstate.qstate
                         )
-                    m = evaluate(cfg, dstate, test_loader, dp_eval_fn)
-                else:
-                    m = evaluate(cfg, state, test_loader, eval_fn)
+                    return evaluate(cfg, dstate, loader, dp_eval_fn)
+                return evaluate(cfg, state, loader, eval_fn)
+
+            def save_best(m, acc_key, metric_label):
+                nonlocal best_acc
+                if not (ckpt and m.get("accuracy", 0.0) > best_acc):
+                    return
+                best_acc = m["accuracy"]
+                # hybrid saves the SHARDED state via Orbax (each device
+                # writes its mega-table shard; no single-device unpack).
+                # dp modes save the replicated TrainState (npz), which
+                # the standard --load-model path restores.
+                save_state = (
+                    hstate if step_mode in ("hybrid", "rowshard") else state
+                )
+                ckpt.save(
+                    save_state,
+                    {"epoch": epoch, "batch": bi + 1, "iter": it,
+                     # "test_acc" key kept for resume-compat; records the
+                     # SELECTION metric (val acc when --val-freq is on)
+                     "test_acc": best_acc,
+                     "test_auc": m.get("roc_auc", 0.0),
+                     "selected_on": acc_key, **arch_meta},
+                )
+                rank0_print(
+                    rank,
+                    f"Saved best checkpoint ({metric_label} {best_acc:.4f})",
+                )
+
+            if use_val_select and it >= next_val:
+                while next_val <= it:
+                    next_val += args.val_freq
+                vm = run_eval(val_loader)
+                rank0_print(rank, f"Validation at - {it}/{epoch}: {vm}")
+                logger.add_scalar("Val/Acc", vm.get("accuracy", 0.0), it)
+                logger.add_scalar("Val/AUC", vm.get("roc_auc", 0.0), it)
+                save_best(vm, "val", "val acc")
+            if tc.test_freq > 0 and it >= next_test:
+                while next_test <= it:
+                    next_test += tc.test_freq
+                m = run_eval(test_loader)
                 rank0_print(rank, f"Testing at - {it}/{epoch}: {m}")
                 logger.add_scalar("Test/Acc", m.get("accuracy", 0.0), it)
                 logger.add_scalar("Test/AUC", m.get("roc_auc", 0.0), it)
                 result = m
-                if ckpt and m.get("accuracy", 0.0) > best_acc:
-                    best_acc = m["accuracy"]
-                    # hybrid saves the SHARDED state via Orbax (each device
-                    # writes its mega-table shard; no single-device unpack).
-                    # dp modes save the replicated TrainState (npz), which
-                    # the standard --load-model path restores.
-                    save_state = (
-                        hstate if step_mode in ("hybrid", "rowshard") else state
-                    )
-                    ckpt.save(
-                        save_state,
-                        {"epoch": epoch, "batch": bi + 1, "iter": it,
-                         "test_acc": best_acc, "test_auc": m.get("roc_auc", 0.0)},
-                    )
-                    rank0_print(rank, f"Saved best checkpoint (acc {best_acc:.4f})")
+                if not use_val_select:
+                    save_best(m, "test", "acc")
                 if (
                     args.mlperf_acc_threshold > 0
                     and m.get("accuracy", 0.0) >= args.mlperf_acc_threshold
@@ -1407,7 +1489,7 @@ def run(argv=None) -> dict:
             ckpt.save(
                 hstate if step_mode in ("hybrid", "rowshard") else state,
                 {"epoch": tc.nepochs, "batch": 0, "iter": it,
-                 "test_acc": result.get("accuracy", 0.0)},
+                 "test_acc": result.get("accuracy", 0.0), **arch_meta},
             )
     if args.plot_compute_graph and rank == 0:
         # torchviz compute-graph analogue (dlrm_s_pytorch.py:1797-1803):

@@ -81,6 +81,24 @@ def load_checkpoint(path: str, like: Any) -> Tuple[Any, Dict[str, Any]]:
     return jax.tree_util.tree_unflatten(treedef, new_leaves), meta
 
 
+def load_metadata(path: str) -> Dict[str, Any]:
+    """Read ONLY the metadata of a checkpoint (no weights materialized).
+
+    Checkpoints written by train.py carry the true architecture
+    (`table_sizes` etc. — including exact QR/MD row counts, which the
+    parameter SHAPES alone only bound by ceil(n/c)*c), so tools can
+    reconstruct the exact DLRMConfig without the original CLI flags.
+    """
+    with np.load(path, allow_pickle=False) as data:
+        if "__metadata__" in data:
+            return json.loads(bytes(data["__metadata__"]).decode())
+    meta_path = path + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return {}
+
+
 class CheckpointManager:
     """Two-slot alternating checkpoints: "even if the machine crashes during
     a save, at least one checkpoint survives" (comm_grad.py:2064-2072)."""

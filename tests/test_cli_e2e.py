@@ -51,6 +51,53 @@ class TestCLIE2E:
         m2 = run(argv2)
         assert np.isfinite(m2["roc_auc"])
 
+    def test_val_freq_drives_selection(self, tmp_path, capsys):
+        """--val-freq: validation evals drive best-checkpoint selection;
+        test evals keep running but never save (VERDICT r3 #5)."""
+        import glob
+        import json
+
+        ck = str(tmp_path / "ckv")
+        argv, _ = _common(
+            tmp_path,
+            ["--val-freq=4", "--test-freq=8", f"--save-model={ck}"],
+        )
+        m = run(argv)
+        out = capsys.readouterr().out
+        assert "Validation at -" in out
+        assert "Testing at -" in out  # test still evaluated for metrics
+        assert "Saved best checkpoint (val acc" in out
+        assert "Saved best checkpoint (acc " not in out
+        paths = sorted(glob.glob(ck + "/*.npz"))
+        assert paths
+        meta = json.loads(
+            bytes(np.load(paths[0])["__metadata__"]).decode()
+        )
+        assert meta.get("selected_on") == "val"
+        assert np.isfinite(m["roc_auc"])
+
+    def test_val_freq_rejected_without_split(self, tmp_path):
+        import pytest
+
+        raw = write_raw(str(tmp_path / "raw.txt"), 400, seed=1)
+        out = str(tmp_path / "proc")
+        paths = preprocess_criteo(raw, out, num_days=2, use_native=False)
+        bin_path = str(tmp_path / "train.bin")
+        numpy_to_binary(paths, bin_path)
+        counts = np.load(out + "/counts.npz")["counts"]
+        sizes = "-".join(str(int(c)) for c in counts)
+        with pytest.raises(SystemExit, match="val"):
+            run([
+                "--data-generation=binary",
+                f"--binary-data-file={bin_path}",
+                f"--arch-embedding-size={sizes}",
+                "--arch-sparse-feature-size=8",
+                "--arch-mlp-bot=13-32-8",
+                "--arch-mlp-top=16-1",
+                "--mini-batch-size=40",
+                "--val-freq=4",
+            ])
+
     def test_ptq_inference_int4(self, tmp_path):
         argv, _ = _common(
             tmp_path,
@@ -83,6 +130,65 @@ class TestCLIE2E:
             "--print-freq=4",
         ])
         assert np.isfinite(m["roc_auc"])
+
+
+class TestArchMetadata:
+    """Checkpoints carry TRUE architecture metadata (VERDICT r3 #7): a QR
+    state dict's shapes only bound n by ceil(n/c)*c, but our own npz records
+    the exact table sizes, so round-tripped QR models reconstruct exactly."""
+
+    def test_qr_true_row_counts_roundtrip(self, tmp_path):
+        from deep_quantized_recommendation_model_dqrm_tpu.config import (
+            DLRMConfig,
+            TrainConfig,
+        )
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            init_train_state,
+        )
+        from deep_quantized_recommendation_model_dqrm_tpu.utils.checkpoint import (
+            CheckpointManager,
+            load_checkpoint,
+            load_metadata,
+        )
+
+        # 10007 % 4 == 3 and 3001 % 4 == 1: both QR tables have row counts
+        # NOT divisible by collisions, so the ceil bound would be wrong
+        sizes = (1461, 583, 10007, 3001, 305, 27)
+        ck = str(tmp_path / "ckqr")
+        run([
+            "--data-generation=random", "--num-batches=8",
+            "--arch-embedding-size=" + "-".join(map(str, sizes)),
+            "--arch-sparse-feature-size=8",
+            "--arch-mlp-bot=13-32-8", "--arch-mlp-top=16-1",
+            "--mini-batch-size=32", "--test-mini-batch-size=32",
+            "--print-freq=4", "--test-freq=4",
+            "--qr-flag", "--qr-threshold=3000", "--qr-collisions=4",
+            "--qr-operation=mult",
+            f"--save-model={ck}",
+        ])
+        path = CheckpointManager(ck).latest()
+        assert path is not None
+        meta = load_metadata(path)
+        assert meta["table_sizes"] == list(sizes)  # TRUE n, not ceil(n/c)*c
+        assert meta["qr_collisions"] == 4
+        assert meta["qr_operation"] == "mult"
+        assert meta["table_kinds"] == [
+            "dense", "dense", "qr", "qr", "dense", "dense"
+        ]
+        # reconstruct the EXACT config from metadata alone and load
+        cfg = DLRMConfig(
+            table_sizes=tuple(meta["table_sizes"]),
+            embedding_dim=meta["embedding_dim"],
+            mlp_bot=tuple(meta["mlp_bot"]),
+            mlp_top=tuple(meta["mlp_top"]),
+            qr_flag=True,
+            qr_collisions=meta["qr_collisions"],
+            qr_threshold=meta["qr_threshold"],
+            qr_operation=meta["qr_operation"],
+        )
+        state = init_train_state(cfg, TrainConfig(batch_size=2))
+        st, _ = load_checkpoint(path, state)  # shape-checked load
+        assert st.params["emb"][2]["q"].shape[0] == -(-10007 // 4)
 
 
 class TestNewFlagWiring:
