@@ -164,11 +164,10 @@ def main() -> None:
     )
 
     mesh1 = make_mesh(1)
-    # k=4 (not 16): the dp multi-dispatch UNROLLS k steps (shard_map has no
-    # scan wrapper), and the 16x-unrolled full-Kaggle program costs minutes
-    # of cold compile — k=4 keeps the whole bench inside the driver budget
-    # while still amortizing dispatch overhead 4x.
-    KDP = 4
+    # k=16 scan megastep (round 4): the dp multi-dispatch now rides
+    # lax.scan inside the shard_map, so compile time is O(1) in k —
+    # same k and chain lengths as the headline metric.
+    KDP = K
     dstep = comm_grad.make_dp_train_step(
         cfg, tc, mesh1, steps_per_dispatch=KDP
     )
@@ -190,11 +189,18 @@ def main() -> None:
             for part in ("bot", "top")
         },
     )
+    # pre-stack ONCE host-side: the scan megastep takes a leading-[k]
+    # Batch; re-stacking device arrays per call would round-trip the
+    # tunnel (pathological readbacks — see SKILL.md)
+    from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+        stack_batches,
+    )
+
+    host_batches = [random_batch(cfg, BATCH, rng) for _ in range(KDP)]
+    dp_arg = jax.device_put(stack_batches(host_batches))
     dp_best = float("inf")
     for _ in range(2):
-        dp_ms, dstate = sustained_ms_per_it(
-            dstep, dstate, batches[:KDP], KDP, n1=10, n2=30
-        )
+        dp_ms, dstate = sustained_ms_per_it(dstep, dstate, dp_arg, KDP)
         dp_best = min(dp_best, dp_ms)
 
     print(json.dumps({

@@ -122,3 +122,58 @@ def coalesce_sparse_grad(
     pad = num_rows + jnp.arange(max_unique, dtype=sids.dtype)
     uniq_ids = pad.at[slot].set(sids)
     return uniq_ids, uniq_vals
+
+
+def coalesce_sparse_grads_batched(
+    ids: jax.Array,  # [T, K] per-table occurrence ids
+    values: jax.Array,  # [T, K, D] per-table occurrence values
+    num_rows: jax.Array,  # [T] rows per table (int)
+    max_unique: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Coalesce T tables' sparse gradients in ONE fused pass.
+
+    Identical per-table semantics to `coalesce_sparse_grad` with
+    `max_unique` slots each (same sums, same strictly-ascending
+    duplicate-free id invariant, padding = num_rows[t] + slot), but the
+    argsort, permutation gather, segment cumsum, and both scatters are each
+    ONE batched op instead of T separate ops. Motivation: per-table sorts
+    and scatters are latency-bound serial kernels on TPU — the round-3
+    measurement found one batched payload sort ~15x cheaper than per-table
+    sorts (PARITY.md "The scatter wall"); the dp comm-grad engine's 26
+    per-table coalesces were the bulk of its 2.2x overhead over the plain
+    step (round-4 breakdown).
+
+    Note the padding rows carry value 0, which never changes SYMMETRIC
+    quantization scales (max|v| ignores zeros), so using a uniform
+    max_unique = K for small tables is numerics-neutral for the compressed
+    exchange; the extra padded rows quantize to 0 and scatter to dropped
+    out-of-range ids.
+    """
+    T, K = ids.shape
+    order = jnp.argsort(ids, axis=1)  # one batched sort
+    sids = jnp.take_along_axis(ids, order, axis=1)
+    svals = jnp.take_along_axis(values, order[..., None], axis=1)
+    is_new = jnp.concatenate(
+        [
+            jnp.ones((T, 1), jnp.int32),
+            (sids[:, 1:] != sids[:, :-1]).astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    slot = jnp.minimum(jnp.cumsum(is_new, axis=1) - 1, max_unique - 1)
+    # Flatten per-table slots into one global slot space -> ONE 1-D scatter
+    gslot = (jnp.arange(T, dtype=slot.dtype)[:, None] * max_unique + slot).reshape(-1)
+    uniq_vals = (
+        jnp.zeros((T * max_unique, values.shape[-1]), values.dtype)
+        .at[gslot]
+        .add(svals.reshape(T * K, -1))
+        .reshape(T, max_unique, -1)
+    )
+    pad = (
+        jnp.asarray(num_rows, sids.dtype)[:, None]
+        + jnp.arange(max_unique, dtype=sids.dtype)[None, :]
+    )
+    uniq_ids = (
+        pad.reshape(-1).at[gslot].set(sids.reshape(-1)).reshape(T, max_unique)
+    )
+    return uniq_ids, uniq_vals

@@ -42,8 +42,7 @@ from deep_quantized_recommendation_model_dqrm_tpu.config import DLRMConfig, Trai
 from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm
 from deep_quantized_recommendation_model_dqrm_tpu.ops import quant as q
 from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import (
-    coalesce_sparse_grad,
-    rows_grad_from_pooled,
+    coalesce_sparse_grads_batched,
 )
 from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.onehot_update import (
     dense_grad_auto,
@@ -62,6 +61,43 @@ class DPState(NamedTuple):
     # Error-feedback residuals for MLP grads (sgd_quantized_gradients.py:
     # 570-630), zeros when error_compensation is off.
     ec: Any
+
+
+def _pin_format(mesh: Mesh):
+    """Row-major replicated Format for pinning embedding-table layouts
+    (see train_step.pin_params_layout for why: XLA stores [n, d] tables
+    column-major at rest but the scatter wants row-major, so unpinned
+    dispatches pay two full-model conversion copies — fatal at Terabyte
+    scale)."""
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import NamedSharding
+
+    return Format(Layout(major_to_minor=(0, 1)), NamedSharding(mesh, P()))
+
+
+def pin_dp_state_layout(state: DPState, mesh: Mesh) -> DPState:
+    """Relayout the dense embedding tables of a DPState to row-major, one
+    at a time (compact original freed before the next — pinning the whole
+    model at once transiently doubles HBM; round-2 OOM lesson)."""
+    fmt = _pin_format(mesh)
+    emb = list(state.params["emb"])
+    for i, t in enumerate(emb):
+        if isinstance(t, dict):
+            continue  # QR/MD trick tables are small; leave default
+        emb[i] = jax.device_put(t, fmt)
+        emb[i].block_until_ready()
+    return state._replace(params={**state.params, "emb": emb})
+
+
+def _dp_state_layout_spec(pin_state_template: DPState, mesh: Mesh):
+    """in/out-shardings pytree pinning only the dense emb leaves."""
+    fmt = _pin_format(mesh)
+    spec = jax.tree_util.tree_map(lambda x: None, pin_state_template)
+    emb_spec = [
+        None if isinstance(t, dict) else fmt
+        for t in pin_state_template.params["emb"]
+    ]
+    return spec._replace(params={**spec.params, "emb": emb_spec})
 
 
 def init_dp_state(config: DLRMConfig, tc: TrainConfig, seed: Optional[int] = None) -> DPState:
@@ -162,6 +198,7 @@ def make_dp_train_step(
     axis: str = "mp",
     has_mask: bool = False,
     steps_per_dispatch: int = 1,
+    use_scan: bool = True,
 ):
     """Build the jitted DP train step with compressed gradient exchange.
 
@@ -171,10 +208,13 @@ def make_dp_train_step(
     backward -> clear/quantize/communicate grads -> manual SGD -> lr step ->
     periodic weight sync.
 
-    steps_per_dispatch > 1 unrolls k sequential steps inside ONE dispatch
-    (the returned fn then takes a LIST of k batches) — numerically identical
-    to k single dispatches; amortizes host dispatch overhead like
-    train_step.make_multi_train_step.
+    steps_per_dispatch > 1 runs k sequential steps inside ONE dispatch
+    (takes a LIST of k batches or one stacked leading-[k] Batch) —
+    numerically identical to k single dispatches; amortizes host dispatch
+    overhead like train_step.make_multi_train_step. With `use_scan` (the
+    default) the k steps ride `lax.scan` inside the shard_map, so compile
+    time and program size are O(1) in k; use_scan=False restores the
+    k-times-unrolled body (list input only).
     """
     qc = config.quant
     learned_vw = config.weighted_pooling == "learned"
@@ -317,27 +357,49 @@ def make_dp_train_step(
         # Coalesce duplicate rows BEFORE quantizing, matching the
         # reference's `.coalesce()` -> scale -> quantize order
         # (sgd_…_parallel_comm.py:850-866): sum-then-quantize is the
-        # correct numerics, and for small tables (rows < B*P) the unique-
-        # rows bound shrinks the wire payload to min(B*P, rows) rows.
+        # correct numerics. ALL dense tables coalesce in ONE batched pass
+        # (coalesce_sparse_grads_batched) and their scales/quantize/pack/
+        # all_gather stages are batched too — the round-4 breakdown found
+        # the 26 per-table sorts+gathers were the bulk of the dp engine's
+        # 2.2x overhead over the plain step (per-table ops are latency-
+        # bound on TPU; see PARITY.md "dp engine overhead"). Padding rows
+        # are value-0, which never moves a SYMMETRIC scale, so the uniform
+        # K = B*P slot count is numerics-identical to the old per-table
+        # min(B*P, rows) bound.
         pact = qc.enabled and qc.quantize_emb and qc.quant_scheme == "pact"
-        sparse_grads = []
-        vw_sparse_grads = []  # learned pooling: (ids, [K,1] scalar grads)
-        for k in range(len(params["emb"])):
-            if k in trick_ks:
-                sparse_grads.append(None)  # dense grads, handled below
-                vw_sparse_grads.append(None)
-                continue
-            base_m = batch.mask[k] if batch.mask is not None else None
-            eff_m = base_m
+        Td = len(dense_ks)
+        uniq_ids = uniq_vals = None
+        vw_uniq = None
+        if Td:
+            dense_arr = jnp.asarray(dense_ks, jnp.int32)
+            B_, P_ = batch.indices.shape[1], batch.indices.shape[2]
+            KBP = B_ * P_
+            ids_st = batch.indices[dense_arr].reshape(Td, KBP)
+            gp_st = jnp.stack([g_pooled[k] for k in dense_ks])  # [Td,B,D]
+            w_st = None  # effective per-occurrence weight [Td,B,P]
+            if batch.mask is not None:
+                w_st = batch.mask[dense_arr].astype(gp_st.dtype)
             if config.weighted_pooling is not None:
                 # d pooled / d row = v_W[row] (per_sample_weights,
                 # dlrm_s_pytorch.py:417-418); compose into the bag mask.
-                w_rows = jnp.take(params["v_W"][k], batch.indices[k], axis=0)
-                eff_m = w_rows if base_m is None else base_m * w_rows
-            ids, vals = rows_grad_from_pooled(g_pooled[k], batch.indices[k], eff_m)
-            rows = params["emb"][k].shape[0]
-            sparse_grads.append(
-                coalesce_sparse_grad(ids, vals, rows, min(ids.shape[0], rows))
+                vw_rows = jnp.stack(
+                    [
+                        jnp.take(params["v_W"][k], batch.indices[k], axis=0)
+                        for k in dense_ks
+                    ]
+                ).astype(gp_st.dtype)
+                w_st = vw_rows if w_st is None else w_st * vw_rows
+            vals_st = jnp.broadcast_to(
+                gp_st[:, :, None, :], (Td, B_, P_, gp_st.shape[-1])
+            )
+            if w_st is not None:
+                vals_st = vals_st * w_st[..., None]
+            vals_st = vals_st.reshape(Td, KBP, -1)
+            num_rows_arr = jnp.asarray(
+                [params["emb"][k].shape[0] for k in dense_ks], ids_st.dtype
+            )
+            uniq_ids, uniq_vals = coalesce_sparse_grads_batched(
+                ids_st, vals_st, num_rows_arr, KBP
             )
             if learned_vw:
                 # d pooled[b] / d v_W[idx[b,p]] = mask * E[idx[b,p]], so the
@@ -345,35 +407,37 @@ def make_dp_train_step(
                 # the same sparse (ids, values) shape as the row grads, with
                 # D=1. E must be the rows the forward actually used (PACT
                 # fake-quants the table before the gather, lookup_all).
-                tbl = params["emb"][k]
-                if pact:
-                    tbl = q.fake_quant_pact(tbl, qc.embedding_bit)
-                rows_e = jnp.take(tbl, batch.indices[k], axis=0)  # [B,P,D]
+                tbls = []
+                for k in dense_ks:
+                    tbl = params["emb"][k]
+                    if pact:
+                        tbl = q.fake_quant_pact(tbl, qc.embedding_bit)
+                    tbls.append(jnp.take(tbl, batch.indices[k], axis=0))
+                rows_e = jnp.stack(tbls)  # [Td,B,P,D]
                 contrib = jnp.einsum(
-                    "bd,bpd->bp", g_pooled[k].astype(jnp.float32), rows_e
+                    "tbd,tbpd->tbp", gp_st.astype(jnp.float32), rows_e
                 )
-                if base_m is not None:
-                    contrib = contrib * base_m
-                B, Pp = batch.indices[k].shape
-                vw_sparse_grads.append(
-                    coalesce_sparse_grad(
-                        batch.indices[k].reshape(-1),
-                        contrib.reshape(-1, 1),
-                        rows,
-                        min(B * Pp, rows),
-                    )
+                if batch.mask is not None:
+                    contrib = contrib * batch.mask[dense_arr]
+                vw_uniq = coalesce_sparse_grads_batched(
+                    ids_st, contrib.reshape(Td, KBP, 1), num_rows_arr, KBP
                 )
-            else:
-                vw_sparse_grads.append(None)
+
+        def gather_tables(x):
+            """all_gather with per-table shard concat: [Td, K, ...] ->
+            [Td, N*K, ...] (shard-major order — identical layout to the
+            old per-table tiled all_gathers)."""
+            g = jax.lax.all_gather(x, axis)  # [N, Td, K, ...]
+            return jnp.moveaxis(g, 0, 1).reshape(
+                (x.shape[0], -1) + x.shape[2:]
+            )
 
         if tc.ranking_range:
             # Mixed-bit policy (grad_precision_and_scale): all-reduce per-
             # table ranges, normalize by weight scale, sample assignment.
             # Indexed by DENSE ordinal (QR/MD tables are not in the sparse
             # exchange this policy governs).
-            ranges_local = jnp.stack(
-                [jnp.max(jnp.abs(sparse_grads[k][1])) for k in dense_ks]
-            )
+            ranges_local = jnp.max(jnp.abs(uniq_vals), axis=(1, 2))
             ranges = jax.lax.pmax(ranges_local, axis)
             w_scales = (
                 qstate.emb_scales[jnp.asarray(dense_ks)]
@@ -384,6 +448,40 @@ def make_dp_train_step(
                 ranges, w_scales, qstate.step,
                 tc.ranking_frac_hi, tc.ranking_frac_int8,
             )
+
+        # Batched exchange for ALL dense tables: one scale pmean + at most
+        # two all_gathers total (vs 2 gathers + a pmean PER TABLE before
+        # round 4). Shard-major concat order per table is identical to the
+        # old per-table tiled all_gathers.
+        all_ids_st = deltas_st = None
+        if Td and not tc.ranking_range:
+            if grad_bits >= 32:
+                all_ids_st = gather_tables(uniq_ids)
+                deltas_st = gather_tables(uniq_vals)
+            else:
+                s_loc = q.symmetric_quantization_params(
+                    grad_bits,
+                    jnp.min(uniq_vals, axis=(1, 2)),
+                    jnp.max(uniq_vals, axis=(1, 2)),
+                )
+                s_vec = _mean_scale(s_loc, axis)  # [Td]
+                v_int = q.quantize(
+                    uniq_vals, s_vec[:, None, None], grad_bits
+                )
+                all_ids_st = gather_tables(uniq_ids)
+                D_ = uniq_vals.shape[-1]
+                if grad_bits <= 4 and D_ % 2 == 0:
+                    # nibble-pack (two int4 per byte) before the gather —
+                    # see compressed_sparse_allgather for the wire format
+                    u = (v_int.astype(jnp.int32) + 8).astype(jnp.uint8)
+                    packed = u[..., : D_ // 2] | (u[..., D_ // 2 :] << 4)
+                    ap = gather_tables(packed).astype(jnp.int32)
+                    lo = (ap & 0xF) - 8
+                    hi = ((ap >> 4) & 0xF) - 8
+                    all_int = jnp.concatenate([lo, hi], axis=-1)
+                else:
+                    all_int = gather_tables(v_int)
+                deltas_st = q.dequantize(all_int, s_vec[:, None, None])
 
         new_emb = []
         for k, table in enumerate(params["emb"]):
@@ -408,25 +506,21 @@ def make_dp_train_step(
                     )
                 )
                 continue
-            ids, vals = sparse_grads[k]
+            d = dense_ord[k]
             if tc.ranking_range:
-                d = dense_ord[k]
                 s = ranking_range.grad_scale_int16(ranges[d])
-                enc = ranking_range.encode_two_channel(vals, s, modes[d])
-                all_ids = jax.lax.all_gather(ids, axis, tiled=True)
+                enc = ranking_range.encode_two_channel(
+                    uniq_vals[d], s, modes[d]
+                )
+                all_ids = jax.lax.all_gather(uniq_ids[d], axis, tiled=True)
                 all_enc = jax.lax.all_gather(enc, axis, tiled=True)
                 delta = ranking_range.decode_two_channel(all_enc, s, modes[d])
                 # skipped tables: route ids out of range -> dropped scatter
                 all_ids = jnp.where(modes[d] == ranking_range.SKIP,
                                     table.shape[0], all_ids)
-            elif grad_bits >= 32:
-                all_ids = jax.lax.all_gather(ids, axis, tiled=True)
-                delta = jax.lax.all_gather(vals, axis, tiled=True)
             else:
-                all_ids, all_vals, s = compressed_sparse_allgather(
-                    ids, vals, grad_bits, axis
-                )
-                delta = q.dequantize(all_vals, s)
+                all_ids = all_ids_st[d]
+                delta = deltas_st[d]
             # Mean over replicas; scatter-add applies every touched row.
             # Small tables take the MXU one-hot dense grad instead of the
             # latency-bound serial scatter (ops/pallas/onehot_update.py);
@@ -475,21 +569,22 @@ def make_dp_train_step(
             # Learned pooling weights: dense tables' v_W grads are sparse
             # per-row scalars — exchanged like the embedding rows (fp32:
             # they are 1/D of the row-grad bytes, compression would cost
-            # more precision than wire time saved); QR/MD tables' v_W grads
-            # came through autodiff (the trick recompute) and ride pmean.
+            # more precision than wire time saved), in the same batched
+            # two-all_gather form; QR/MD tables' v_W grads came through
+            # autodiff (the trick recompute) and ride pmean.
+            vw_ids_st = gather_tables(vw_uniq[0])
+            vw_vals_st = gather_tables(vw_uniq[1])
             new_vw = []
             for k in range(config.num_tables):
                 if k in trick_ks:
                     g = jax.lax.pmean(mlp_grads["v_W"][k], axis)
                     new_vw.append(params["v_W"][k] - lr * g)
                     continue
-                vw_ids, vw_vals = vw_sparse_grads[k]
-                all_ids = jax.lax.all_gather(vw_ids, axis, tiled=True)
-                all_vals = jax.lax.all_gather(vw_vals, axis, tiled=True)
+                d = dense_ord[k]
                 new_vw.append(
                     params["v_W"][k]
-                    .at[all_ids]
-                    .add(-(lr / n_dev) * all_vals[:, 0], mode="drop")
+                    .at[vw_ids_st[d]]
+                    .add(-(lr / n_dev) * vw_vals_st[d][:, 0], mode="drop")
                 )
             new_params["v_W"] = new_vw
 
@@ -504,6 +599,49 @@ def make_dp_train_step(
     )
 
     if steps_per_dispatch > 1:
+        if use_scan:
+            # lax.scan over the per-step body INSIDE the one shard_map:
+            # the collectives sit in the scan body (all replicas run the
+            # loop in lockstep, so per-iteration collective op-ids match).
+            # Program size is O(1) in k — the k=16 dp megastep compiles in
+            # seconds where the unrolled form costs minutes (round-3
+            # compile-cache discovery); numerics identical to the unrolled
+            # form (equivalence-tested). Takes one stacked Batch with a
+            # leading [k] axis (or a list, stacked host-side by the
+            # wrapper — one upload per field instead of one per batch).
+            stacked_specs = dlrm.Batch(
+                dense=P(None, axis),  # [k, B, nd]
+                indices=P(None, None, axis),  # [k, T, B, P]
+                labels=P(None, axis),
+                mask=P(None, None, axis) if has_mask else None,
+            )
+
+            def device_scan(state: DPState, stacked: dlrm.Batch):
+                state, losses = jax.lax.scan(device_step, state, stacked)
+                return state, losses[-1]
+
+            step = jax.jit(
+                shard_map(
+                    device_scan,
+                    mesh=mesh,
+                    in_specs=(P(), stacked_specs),
+                    out_specs=(P(), P()),
+                    check_vma=False,
+                ),
+                donate_argnums=(0,),
+            )
+
+            def run(state: DPState, batches):
+                from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+                    stack_batches,
+                )
+
+                if not isinstance(batches, dlrm.Batch):
+                    batches = stack_batches(list(batches))
+                return step(state, batches)
+
+            run.lower = step.lower  # AOT inspection (plot-compute-graph)
+            return run
 
         def device_multi(state: DPState, batches):
             loss = None

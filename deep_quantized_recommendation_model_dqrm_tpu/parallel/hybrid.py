@@ -342,11 +342,14 @@ def make_hybrid_train_step(
     axis: str = "mp",
     has_mask: bool = False,
     steps_per_dispatch: int = 1,
+    use_scan: bool = True,
 ):
     """Build the jitted hybrid-parallel train step.
 
-    steps_per_dispatch > 1 unrolls k steps in one dispatch (takes a LIST of
-    k batches) — see comm_grad.make_dp_train_step.
+    steps_per_dispatch > 1 runs k steps in one dispatch (takes a LIST of
+    k batches or one stacked leading-[k] Batch); with `use_scan` (default)
+    they ride `lax.scan` inside the shard_map so compile time is O(1) in k
+    — see comm_grad.make_dp_train_step.
 
     Input: (HybridState, Batch) where Batch.dense/labels are batch-sharded on
     `axis` and indices/mask are replicated (every device needs the full batch
@@ -572,6 +575,42 @@ def make_hybrid_train_step(
     )
 
     if steps_per_dispatch > 1:
+        if use_scan:
+            # scan-in-shard_map megastep (see comm_grad.make_dp_train_step):
+            # collectives in the scan body, O(1) program size in k.
+            stacked_specs = dlrm.Batch(
+                dense=P(None, axis),
+                indices=P(),  # replicated, leading [k] axis local
+                labels=P(None, axis),
+                mask=P() if has_mask else None,
+            )
+
+            def device_scan(state: HybridState, stacked: dlrm.Batch):
+                state, losses = jax.lax.scan(device_step, state, stacked)
+                return state, losses[-1]
+
+            step = jax.jit(
+                shard_map(
+                    device_scan,
+                    mesh=mesh,
+                    in_specs=(state_specs, stacked_specs),
+                    out_specs=(state_specs, P()),
+                    check_vma=False,
+                ),
+                donate_argnums=(0,),
+            )
+
+            def run(state: HybridState, batches):
+                from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+                    stack_batches,
+                )
+
+                if not isinstance(batches, dlrm.Batch):
+                    batches = stack_batches(list(batches))
+                return step(state, batches)
+
+            run.lower = step.lower  # AOT inspection (plot-compute-graph)
+            return run
 
         def device_multi(state: HybridState, batches):
             loss = None

@@ -202,8 +202,13 @@ def make_rowshard_train_step(
     axis: str = "mp",
     has_mask: bool = False,
     steps_per_dispatch: int = 1,
+    use_scan: bool = True,
 ):
     """Row-sharded hybrid train step (see module docstring).
+
+    steps_per_dispatch > 1 runs k steps in one dispatch (list of k batches
+    or a stacked leading-[k] Batch); `use_scan` (default) puts them in a
+    `lax.scan` inside the shard_map — see comm_grad.make_dp_train_step.
 
     Batch layout matches make_hybrid_train_step: dense/labels batch-sharded
     on `axis`, indices/mask replicated.
@@ -374,6 +379,41 @@ def make_rowshard_train_step(
     )
 
     if steps_per_dispatch > 1:
+        if use_scan:
+            # scan-in-shard_map megastep (see comm_grad.make_dp_train_step)
+            stacked_specs = dlrm.Batch(
+                dense=P(None, axis),
+                indices=P(),
+                labels=P(None, axis),
+                mask=P() if has_mask else None,
+            )
+
+            def device_scan(state: RowShardState, stacked: dlrm.Batch):
+                state, losses = jax.lax.scan(device_step, state, stacked)
+                return state, losses[-1]
+
+            step = jax.jit(
+                shard_map(
+                    device_scan,
+                    mesh=mesh,
+                    in_specs=(state_specs, stacked_specs),
+                    out_specs=(state_specs, P()),
+                    check_vma=False,
+                ),
+                donate_argnums=(0,),
+            )
+
+            def run(state: RowShardState, batches):
+                from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+                    stack_batches,
+                )
+
+                if not isinstance(batches, dlrm.Batch):
+                    batches = stack_batches(list(batches))
+                return step(state, batches)
+
+            run.lower = step.lower  # AOT inspection (plot-compute-graph)
+            return run
 
         def device_multi(state: RowShardState, batches):
             loss = None

@@ -1506,11 +1506,9 @@ def run(argv=None) -> dict:
                     stack_batches,
                 )
 
-                arg = (
-                    [batch] * multi_k
-                    if step_mode in ("dp", "dp-nosync", "hybrid", "rowshard")
-                    else stack_batches([batch] * multi_k)
-                )
+                # all megastep engines (incl. the sharded scan forms) take
+                # the stacked leading-[k] Batch for AOT lowering
+                arg = stack_batches([batch] * multi_k)
             else:
                 arg = batch
             out = os.path.join(

@@ -778,6 +778,73 @@ class TestDistributedMegastep:
         for a, b_ in zip(s1.params["emb"], s2.params["emb"]):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
 
+    def test_dp_scan_matches_unrolled(self):
+        """The scan-in-shard_map megastep (round-4: O(1) compile in k)
+        equals the k-times-unrolled body bit-for-bit."""
+        rng = np.random.RandomState(63)
+        batches = [random_batch(CFG, 64, rng) for _ in range(4)]
+        tc = TC.replace(grad_quant_bits=8)
+        mesh = make_mesh(8)
+
+        s1 = comm_grad.init_dp_state(CFG, tc)
+        step1 = comm_grad.make_dp_train_step(
+            CFG, tc, mesh, steps_per_dispatch=4, use_scan=False
+        )
+        s1, l1 = step1(s1, batches)
+        jax.block_until_ready(s1)
+
+        s2 = comm_grad.init_dp_state(CFG, tc)
+        step2 = comm_grad.make_dp_train_step(
+            CFG, tc, mesh, steps_per_dispatch=4, use_scan=True
+        )
+        s2, l2 = step2(s2, batches)
+        jax.block_until_ready(s2)
+
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        for a, b_ in zip(s1.params["emb"], s2.params["emb"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-7
+            )
+        # stacked-Batch input is the same dispatch (one upload per field)
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            stack_batches,
+        )
+
+        s3 = comm_grad.init_dp_state(CFG, tc)
+        s3, l3 = step2(s3, stack_batches(batches))
+        jax.block_until_ready(s3)
+        np.testing.assert_allclose(float(l2), float(l3), rtol=1e-6)
+
+    def test_rowshard_scan_matches_unrolled(self):
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel import (
+            rowshard,
+        )
+
+        rng = np.random.RandomState(64)
+        batches = [random_batch(CFG, 64, rng) for _ in range(2)]
+        tc = TC.replace(grad_quant_bits=32)
+        mesh = make_mesh(8)
+        plan = rowshard.plan_row_sharding(CFG.table_sizes, 8)
+
+        s1 = rowshard.init_rowshard_state(CFG, tc, mesh, plan)
+        step1 = rowshard.make_rowshard_train_step(
+            CFG, tc, mesh, plan, steps_per_dispatch=2, use_scan=False
+        )
+        s1, l1 = step1(s1, batches)
+        jax.block_until_ready(s1)
+
+        s2 = rowshard.init_rowshard_state(CFG, tc, mesh, plan)
+        step2 = rowshard.make_rowshard_train_step(
+            CFG, tc, mesh, plan, steps_per_dispatch=2, use_scan=True
+        )
+        s2, l2 = step2(s2, batches)
+        jax.block_until_ready(s2)
+
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(s1.mega), np.asarray(s2.mega), atol=1e-7
+        )
+
     def test_hybrid_multi_matches_singles(self):
         rng = np.random.RandomState(62)
         batches = [random_batch(CFG, 64, rng) for _ in range(4)]
