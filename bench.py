@@ -203,13 +203,75 @@ def main() -> None:
         dp_ms, dstate = sustained_ms_per_it(dstep, dstate, dp_arg, KDP)
         dp_best = min(dp_best, dp_ms)
 
-    print(json.dumps({
+    # ---- Terabyte flagship metric (paper Table 3b: 29 ms/it on Xeon) ----
+    # bf16 d=64 tables pinned ROW-MAJOR AT CREATION (pinning a materialized
+    # model holds compact+padded copies and OOMs — round-2 lesson), k=16
+    # scan megastep with pinned in/out layouts. Short chains (n1=8/n2=24):
+    # at ~9 ms/it the slope is far above noise and keeps the whole bench
+    # inside the driver budget. Guarded: a failure here must not cost the
+    # headline metric.
+    terabyte_ms = None
+    import dataclasses as _dc
+
+    from deep_quantized_recommendation_model_dqrm_tpu.config import (
+        terabyte_config,
+    )
+    from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+        _rowmajor_format,
+        jit_with_pinned_tables,
+        stack_batches,
+    )
+
+    # free the Kaggle states first (HBM: the pinned Terabyte model alone
+    # is ~12.6 GB)
+    for st in (state, dstate):
+        jax.tree_util.tree_map(
+            lambda x: x.delete() if hasattr(x, "delete") else None, st
+        )
+    del state, dstate
+    try:
+        tcfg = _dc.replace(
+            terabyte_config(
+                QuantConfig(enabled=True, embedding_bit=4, weight_bit=4,
+                            scale_update_period=1000)
+            ),
+            table_dtype="bfloat16",
+        )
+        ttc = TrainConfig(batch_size=2048, learning_rate=0.1,
+                          onehot_update_max_rows=20000)
+        tstate = TrainState(
+            params=_fast_device_init(tcfg, table_format=_rowmajor_format()),
+            opt_state=None,
+            qstate=dlrm.init_quant_state(tcfg),
+        )
+        tmulti = jit_with_pinned_tables(
+            make_multi_train_step(tcfg, ttc, K, sparse_emb_grad=True,
+                                  _jit=False),
+            tstate,
+        )
+        trng = np.random.RandomState(1)
+        t_arg = jax.device_put(
+            stack_batches([random_batch(tcfg, 2048, trng) for _ in range(K)])
+        )
+        terabyte_ms, tstate = sustained_ms_per_it(
+            tmulti, tstate, t_arg, K, n1=8, n2=24
+        )
+    except Exception as e:  # pragma: no cover - keep the headline alive
+        import sys
+
+        print(f"terabyte bench failed: {e!r}", file=sys.stderr)
+
+    out = {
         "metric": "qat_train_step_ms",
         "value": round(best, 4),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / best, 2),
         "dp_commgrad_ms": round(dp_best, 4),
-    }))
+    }
+    if terabyte_ms is not None:
+        out["terabyte_ms"] = round(terabyte_ms, 4)
+        out["terabyte_vs_baseline"] = round(29.0 / terabyte_ms, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

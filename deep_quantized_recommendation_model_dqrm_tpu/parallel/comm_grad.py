@@ -77,8 +77,11 @@ def _pin_format(mesh: Mesh):
 
 def pin_dp_state_layout(state: DPState, mesh: Mesh) -> DPState:
     """Relayout the dense embedding tables of a DPState to row-major, one
-    at a time (compact original freed before the next — pinning the whole
-    model at once transiently doubles HBM; round-2 OOM lesson)."""
+    at a time, FREEING each compact original before the next relayout
+    (round-2 OOM lesson: Terabyte compact + padded copies cannot coexist).
+    Takes ownership: every other reference to the old tables (e.g. a
+    TrainState sharing the params) is invalidated — rebind them from the
+    returned state immediately."""
     fmt = _pin_format(mesh)
     emb = list(state.params["emb"])
     for i, t in enumerate(emb):
@@ -86,6 +89,7 @@ def pin_dp_state_layout(state: DPState, mesh: Mesh) -> DPState:
             continue  # QR/MD trick tables are small; leave default
         emb[i] = jax.device_put(t, fmt)
         emb[i].block_until_ready()
+        t.delete()
     return state._replace(params={**state.params, "emb": emb})
 
 
@@ -100,8 +104,10 @@ def _dp_state_layout_spec(pin_state_template: DPState, mesh: Mesh):
     return spec._replace(params={**spec.params, "emb": emb_spec})
 
 
-def init_dp_state(config: DLRMConfig, tc: TrainConfig, seed: Optional[int] = None) -> DPState:
-    params = dlrm.init_params(config, seed if seed is not None else tc.seed)
+def dp_state_from(params: Any, qstate: dlrm.QuantState) -> DPState:
+    """Wrap existing params (e.g. a TrainState's, possibly checkpoint-
+    loaded) into a DPState WITHOUT re-initializing the model — at Terabyte
+    scale a duplicate init would transiently double HBM."""
     ec = {
         "bot": [
             {"w": jnp.zeros_like(l["w"]), "b": jnp.zeros_like(l["b"])}
@@ -112,7 +118,12 @@ def init_dp_state(config: DLRMConfig, tc: TrainConfig, seed: Optional[int] = Non
             for l in params["top"]
         ],
     }
-    return DPState(params=params, qstate=dlrm.init_quant_state(config), ec=ec)
+    return DPState(params=params, qstate=qstate, ec=ec)
+
+
+def init_dp_state(config: DLRMConfig, tc: TrainConfig, seed: Optional[int] = None) -> DPState:
+    params = dlrm.init_params(config, seed if seed is not None else tc.seed)
+    return dp_state_from(params, dlrm.init_quant_state(config))
 
 
 # ---------------------------------------------------------------------------
@@ -199,8 +210,15 @@ def make_dp_train_step(
     has_mask: bool = False,
     steps_per_dispatch: int = 1,
     use_scan: bool = True,
+    pin_state_template: Optional[DPState] = None,
 ):
     """Build the jitted DP train step with compressed gradient exchange.
+
+    `pin_state_template`: a DPState whose structure pins the dense emb
+    tables to row-major layouts on inputs AND outputs (pass a state built
+    by `pin_dp_state_layout`) — removes XLA's per-dispatch layout
+    conversion copies, which OOM/66x the Terabyte-scale model (see
+    train_step.pin_params_layout).
 
     The returned fn takes (DPState replicated, Batch with batch-dim sharded
     over `axis`) and returns (new DPState, mean loss). Mirrors the per-
@@ -598,6 +616,18 @@ def make_dp_train_step(
         mask=P(None, axis) if has_mask else None,
     )
 
+    def _jit_state_fn(fn):
+        """jit with state donation; when pinning, constrain the dense emb
+        leaves' layouts on input and output so they stay row-major across
+        dispatches (no boundary conversion copies)."""
+        if pin_state_template is None:
+            return jax.jit(fn, donate_argnums=(0,))
+        spec = _dp_state_layout_spec(pin_state_template, mesh)
+        return jax.jit(
+            fn, donate_argnums=(0,),
+            in_shardings=(spec, None), out_shardings=(spec, None),
+        )
+
     if steps_per_dispatch > 1:
         if use_scan:
             # lax.scan over the per-step body INSIDE the one shard_map:
@@ -620,15 +650,14 @@ def make_dp_train_step(
                 state, losses = jax.lax.scan(device_step, state, stacked)
                 return state, losses[-1]
 
-            step = jax.jit(
+            step = _jit_state_fn(
                 shard_map(
                     device_scan,
                     mesh=mesh,
                     in_specs=(P(), stacked_specs),
                     out_specs=(P(), P()),
                     check_vma=False,
-                ),
-                donate_argnums=(0,),
+                )
             )
 
             def run(state: DPState, batches):
@@ -656,7 +685,7 @@ def make_dp_train_step(
             out_specs=(P(), P()),
             check_vma=False,
         )
-        return jax.jit(step, donate_argnums=(0,))
+        return _jit_state_fn(step)
 
     step = shard_map(
         device_step,
@@ -665,7 +694,7 @@ def make_dp_train_step(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(step, donate_argnums=(0,))
+    return _jit_state_fn(step)
 
 
 def make_dp_nosync_train_step(
@@ -726,6 +755,7 @@ def make_dp_eval_step(
     mesh: Mesh,
     axis: str = "mp",
     has_mask: bool = False,
+    pin_state_template: Optional[DPState] = None,
 ):
     """Rank-sharded evaluation: each device scores its batch shard and the
     probabilities are all-gathered so every host sees the full result
@@ -752,10 +782,18 @@ def make_dp_eval_step(
         out_specs=P(),
         check_vma=False,
     )
+    if pin_state_template is not None:
+        # read the pinned tables in place (no per-eval conversion copies)
+        spec = _dp_state_layout_spec(pin_state_template, mesh)
+        return jax.jit(fn, in_shardings=(spec, None))
     return jax.jit(fn)
 
 
-def make_weight_sync(mesh: Mesh, axis: str = "mp"):
+def make_weight_sync(
+    mesh: Mesh,
+    axis: str = "mp",
+    pin_state_template: Optional[DPState] = None,
+):
     """Periodic full-weight all-reduce mean (`weight_syncc`,
     dlrm_s_pytorch_comm_grad.py:1977-1991): bounds replica drift. Called by
     the training loop every `weight_sync_period` steps — a separate compiled
@@ -772,4 +810,11 @@ def make_weight_sync(mesh: Mesh, axis: str = "mp"):
         return state._replace(params=synced)
 
     fn = shard_map(sync, mesh=mesh, in_specs=(P(),), out_specs=P(), check_vma=False)
+    if pin_state_template is not None:
+        # keep the pinned table layouts through the sync so the next train
+        # dispatch sees the layouts its executable expects
+        spec = _dp_state_layout_spec(pin_state_template, mesh)
+        return jax.jit(
+            fn, donate_argnums=(0,), in_shardings=(spec,), out_shardings=spec
+        )
     return jax.jit(fn, donate_argnums=(0,))

@@ -796,17 +796,19 @@ def run(argv=None) -> dict:
         )
     state = init_train_state(cfg, tc)
     if args.pin_table_layout:
-        if args.parallelism != "none":
+        if args.parallelism not in ("none", "dp"):
             raise SystemExit(
                 "--pin-table-layout applies to the single-chip megastep "
-                "(parallelism=none); the sharded engines manage their own "
+                "and the dp engine; hybrid/rowshard manage their own "
                 "mega-table layout"
             )
-        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
-            pin_params_layout,
-        )
+        if args.parallelism == "none":
+            from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+                pin_params_layout,
+            )
 
-        state = state._replace(params=pin_params_layout(state.params))
+            state = state._replace(params=pin_params_layout(state.params))
+        # dp: the DP replica state is pinned after it is built below
     if args.debug_mode:
         # arch + initial parameter printout (dlrm_s_pytorch.py:1210-1263)
         rank0_print(rank, f"model config: {cfg}")
@@ -919,16 +921,29 @@ def run(argv=None) -> dict:
     step_mode = args.parallelism
     sync_fn = None
     plan = None
+    dp_pin = None  # pinned-layout DPState template (--pin-table-layout dp)
     if step_mode in ("dp", "dp-nosync"):
         from deep_quantized_recommendation_model_dqrm_tpu.parallel import comm_grad
         from deep_quantized_recommendation_model_dqrm_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
-        dstate = comm_grad.init_dp_state(cfg, tc)
+        # build the dp state FROM the (possibly --load-model-restored)
+        # train state: a fresh init_dp_state would both discard loaded
+        # checkpoints and transiently double HBM at Terabyte scale
+        dstate = comm_grad.dp_state_from(state.params, state.qstate)
+        if args.pin_table_layout and step_mode == "dp":
+            # row-major pinned table layouts for the dp engine (Terabyte-
+            # scale models; see train_step.pin_params_layout). Takes
+            # ownership of the tables — rebind `state` immediately.
+            dstate = comm_grad.pin_dp_state_layout(dstate, mesh)
+            state = state._replace(params=dstate.params, qstate=dstate.qstate)
+            dp_pin = dstate
         # dp: periodic drift-bounding sync (weight_syncc, comm_grad.py:1977);
         # dp-nosync: the dp_only.py ablation has NO sync — we still build the
         # sync fn to re-average replicas before evaluation.
-        sync_fn = comm_grad.make_weight_sync(mesh) if (
+        sync_fn = comm_grad.make_weight_sync(
+            mesh, pin_state_template=dp_pin
+        ) if (
             tc.weight_sync_period > 0 or step_mode == "dp-nosync"
         ) else None
     elif step_mode == "pseudo":
@@ -1053,7 +1068,8 @@ def run(argv=None) -> dict:
         if key not in _step_cache:
             if step_mode == "dp":
                 _step_cache[key] = comm_grad.make_dp_train_step(
-                    eff, tc, mesh, has_mask=has_mask, steps_per_dispatch=k
+                    eff, tc, mesh, has_mask=has_mask, steps_per_dispatch=k,
+                    pin_state_template=dp_pin,
                 )
             elif step_mode == "dp-nosync":
                 _step_cache[key] = comm_grad.make_dp_nosync_train_step(
@@ -1189,7 +1205,9 @@ def run(argv=None) -> dict:
             len(mesh.devices.reshape(-1)),
         )
     elif step_mode in ("dp", "dp-nosync"):
-        _ev = comm_grad.make_dp_eval_step(cfg, mesh, has_mask=has_mask)
+        _ev = comm_grad.make_dp_eval_step(
+            cfg, mesh, has_mask=has_mask, pin_state_template=dp_pin
+        )
         dp_eval_fn = pad_eval(
             lambda s, b, _f=_ev: _f(s, globalize_batch(b)),
             len(mesh.devices.reshape(-1)),

@@ -671,6 +671,13 @@ def pin_params_layout(params: dlrm.Params) -> dlrm.Params:
             continue  # QR/MD trick tables are small; leave default
         emb[i] = jax.device_put(t, fmt)
         emb[i].block_until_ready()
+        # TAKE OWNERSHIP: free the compact original NOW. The caller's
+        # params still reference it, so without the delete both full
+        # copies stay alive until the caller rebinds — at Terabyte scale
+        # 6.3 GB compact + 12.6 GB padded = 18.9 GB > HBM (the round-2
+        # OOM lesson: pin one table at a time, free as you go). Callers
+        # must rebind their params from the returned dict immediately.
+        t.delete()
     return {**params, "emb": emb}
 
 

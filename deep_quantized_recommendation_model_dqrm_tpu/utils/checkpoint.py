@@ -68,7 +68,12 @@ def load_checkpoint(path: str, like: Any) -> Tuple[Any, Dict[str, Any]]:
             raise ValueError(
                 f"shape mismatch for {key}: ckpt {arr.shape} vs model {np.shape(leaf)}"
             )
-        new_leaves.append(jax.numpy.asarray(arr, dtype=np.asarray(leaf).dtype))
+        target = np.asarray(leaf).dtype
+        if arr.dtype.kind == "V" and arr.dtype.itemsize == target.itemsize:
+            # np.savez stores ml_dtypes arrays (bfloat16) as raw void
+            # records; reinterpret the bytes as the model's dtype
+            arr = arr.view(target)
+        new_leaves.append(jax.numpy.asarray(arr, dtype=target))
     if "__metadata__" in data:
         meta = json.loads(bytes(data["__metadata__"]).decode())
     else:

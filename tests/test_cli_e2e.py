@@ -217,6 +217,28 @@ class TestNewFlagWiring:
         m = run(argv)
         assert np.isfinite(m["roc_auc"])
 
+    def test_dp_load_model_uses_loaded_weights(self, tmp_path):
+        """--parallelism=dp + --load-model must train FROM the checkpoint:
+        init_dp_state re-draws from the seed, so without the carry-over the
+        loaded weights were silently discarded (round-4 fix)."""
+        ck = str(tmp_path / "ckdp")
+        argv, _ = _common(tmp_path, ["--test-freq=8", f"--save-model={ck}"])
+        run(argv)
+        # zero LR: both runs only EVALUATE the loaded weights
+        argv_dp, _ = _common(
+            tmp_path,
+            ["--parallelism=dp", f"--load-model={ck}", "--test-freq=4",
+             "--learning-rate=0", "--num-batches=4"],
+        )
+        m_dp = run(argv_dp)
+        argv_none, _ = _common(
+            tmp_path,
+            [f"--load-model={ck}", "--test-freq=4",
+             "--learning-rate=0", "--num-batches=4"],
+        )
+        m_none = run(argv_none)
+        assert abs(m_dp["roc_auc"] - m_none["roc_auc"]) < 1e-6
+
     def test_dp_nosync_parallelism(self, tmp_path):
         argv, _ = _common(
             tmp_path, ["--parallelism=dp-nosync", "--test-freq=4"]
