@@ -564,7 +564,13 @@ def make_dp_train_step(
             else:
                 new_emb.append(
                     table.at[all_ids].add(
-                        -(lr / n_dev) * delta.astype(table.dtype), mode="drop"
+                        # cast AFTER scaling: lr is f32, so scaling a
+                        # bf16-cast delta promotes back to f32 and XLA
+                        # wraps the scatter in a FULL-TABLE f32
+                        # convert/deconvert (4.8 GB temp at Terabyte
+                        # scale — OOM'd the rehearsal)
+                        (-(lr / n_dev) * delta).astype(table.dtype),
+                        mode="drop",
                     )
                 )
 

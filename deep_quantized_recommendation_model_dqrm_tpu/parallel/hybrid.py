@@ -557,7 +557,11 @@ def make_hybrid_train_step(
         if base_m is not None:
             vals = vals * base_m[..., None].astype(vals.dtype)
         new_block = block.at[rows_idx.reshape(-1)].add(
-            -(lr / n_dev) * vals.reshape(-1, vals.shape[-1]).astype(block.dtype),
+            # cast AFTER scaling: f32 lr * bf16-cast vals promotes back to
+            # f32 and XLA converts the whole block around the scatter
+            (-(lr / n_dev) * vals.reshape(-1, vals.shape[-1])).astype(
+                block.dtype
+            ),
             mode="drop",
         )
 

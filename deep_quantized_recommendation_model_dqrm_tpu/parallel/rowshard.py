@@ -360,7 +360,11 @@ def make_rowshard_train_step(
         if base_m is not None:
             vals = vals * base_m[..., None]
         new_block = block.at[rows_idx.reshape(-1)].add(
-            -(lr / n_dev) * vals.reshape(-1, vals.shape[-1]).astype(block.dtype),
+            # cast AFTER scaling (see parallel/hybrid.py: f32 lr would
+            # promote the update back to f32 -> full-block convert)
+            (-(lr / n_dev) * vals.reshape(-1, vals.shape[-1])).astype(
+                block.dtype
+            ),
             mode="drop",
         )
 

@@ -530,6 +530,27 @@ class TestSyntheticDataKnobs:
         ]))
         assert np.isfinite(m["roc_auc"])
 
+    def test_dp_scan_megastep_cli(self):
+        """--parallelism=dp + --steps-per-dispatch rides the round-4
+        scan-in-shard_map megastep through the CLI."""
+        m = run(_rand_argv([
+            "--parallelism=dp", "--steps-per-dispatch=4",
+            "--grad-quant-bits=8", "--weight-sync-period=4",
+            "--test-freq=8",
+        ]))
+        assert np.isfinite(m["roc_auc"])
+
+    def test_dp_pin_table_layout_cli(self):
+        """--pin-table-layout with the dp engine (round 4): pinned
+        row-major tables through step, sync, and eval."""
+        m = run(_rand_argv([
+            "--parallelism=dp", "--pin-table-layout",
+            "--steps-per-dispatch=4", "--table-dtype=bfloat16",
+            "--grad-quant-bits=8", "--weight-sync-period=4",
+            "--test-freq=8",
+        ]))
+        assert np.isfinite(m["roc_auc"])
+
     def test_plot_compute_graph(self, tmp_path):
         m = run(_rand_argv([
             "--plot-compute-graph", f"--log-dir={tmp_path}",

@@ -560,6 +560,35 @@ class TestCoalescedExchange:
         # scatter hints downstream (train_step.py sparse optimizer paths)
         assert np.all(np.diff(u) > 0)
 
+    def test_batched_coalesce_matches_per_table(self):
+        """coalesce_sparse_grads_batched == per-table coalesce_sparse_grad
+        for every table: same sums, same strictly-ascending duplicate-free
+        id invariant, per-table padding base num_rows[t] (round 4 — the dp
+        engine's one-batched-pass replacement for 26 per-table sorts)."""
+        from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import (
+            coalesce_sparse_grad,
+            coalesce_sparse_grads_batched,
+        )
+
+        rng = np.random.RandomState(3)
+        num_rows = [5, 100, 2, 17]
+        K = 12
+        ids = jnp.asarray(
+            np.stack([rng.randint(0, n, size=K) for n in num_rows]), jnp.int32
+        )
+        vals = jnp.asarray(rng.randn(4, K, 3).astype(np.float32))
+        buids, buvals = coalesce_sparse_grads_batched(
+            ids, vals, jnp.asarray(num_rows, jnp.int32), K
+        )
+        for t, n in enumerate(num_rows):
+            uids, uvals = coalesce_sparse_grad(ids[t], vals[t], n, K)
+            np.testing.assert_array_equal(np.asarray(buids[t]), np.asarray(uids))
+            np.testing.assert_allclose(
+                np.asarray(buvals[t]), np.asarray(uvals), atol=1e-6
+            )
+            u = np.asarray(buids[t])
+            assert np.all(np.diff(u) > 0)  # hints stay legal
+
     def test_sum_then_quantize_recovers_underflowing_duplicates(self):
         """Duplicated tiny gradients that individually round to 0 on the int
         grid must survive the exchange via their coalesced sum — the numerics

@@ -244,6 +244,59 @@ def run_mode(mode: str, steps: int, batch: int, lr: float, seed: int,
     return out
 
 
+def run_mode_dp(mode: str, steps: int, batch: int, lr: float,
+                seed: int) -> dict:
+    """dp comm-grad engine modes on a 1-device mesh (collectives
+    degenerate; the full INT8 quantize/coalesce/exchange path executes):
+
+      dp8   INT8 compressed+sparsified gradient exchange (the headline dp
+            production config)
+      rr    dp8 + the ranking-range mixed-bit policy (50% skip / 30% INT8
+            / 20% hi per step, parallel/ranking_range.py) — records what
+            the policy costs in AUC (reference analogue: paper Table 4's
+            accuracy columns; sgd_quantized_gradients_parallel_comm.py:
+            158-255). VERDICT r3 #6.
+    """
+    from deep_quantized_recommendation_model_dqrm_tpu.parallel import (
+        comm_grad,
+        make_mesh,
+    )
+
+    cfg = mode_config("full4")
+    tc = TrainConfig(
+        batch_size=batch, learning_rate=lr, seed=seed,
+        grad_quant_bits=8, ranking_range=(mode == "rr"),
+        onehot_update_max_rows=20000,
+    )
+    mesh = make_mesh(1)
+    state = comm_grad.dp_state_from(
+        _device_init(cfg), dlrm.init_quant_state(cfg)
+    )
+    step = comm_grad.make_dp_train_step(cfg, tc, mesh, steps_per_dispatch=K)
+    train = LearnableSyntheticLoader(cfg, batch, steps - steps % K, seed=seed)
+    t0 = time.perf_counter()
+    buf, it, loss = [], 0, float("nan")
+    for b in train:
+        buf.append(b)
+        if len(buf) == K:
+            state, loss = step(state, stack_batches(buf))
+            buf = []
+            it += K
+    ev = make_eval_step(cfg)  # reads .params/.qstate — DPState quacks
+    scores, ys = [], []
+    for b in LearnableSyntheticLoader(cfg, 16384, 8, seed=seed + 99_999):
+        scores.append(np.asarray(ev(state, b)))
+        ys.append(np.asarray(b.labels))
+    auc = roc_auc(np.concatenate(scores), np.concatenate(ys))
+    return {
+        "mode": mode,
+        "steps": it,
+        "auc": round(float(auc), 4),
+        "final_loss": round(float(loss), 4),
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }
+
+
 def run_overfit(
     mode: str, epochs: int, n_batches: int, batch: int, lr: float, seed: int
 ) -> dict:
@@ -310,7 +363,10 @@ def main():
                         "lookup threshold")
     args = p.parse_args()
     for mode in args.modes.split(","):
-        if args.epochs > 0:
+        if mode in ("dp8", "rr"):
+            r = run_mode_dp(mode, args.steps, args.batch,
+                            args.learning_rate, args.seed)
+        elif args.epochs > 0:
             r = run_overfit(mode, args.epochs, args.dataset_batches,
                             args.batch, args.learning_rate, args.seed)
         else:

@@ -1,0 +1,177 @@
+"""Concurrent-load benchmark for serving.MicroBatcher (continuous batching).
+
+Drives the ServingEngine through the MicroBatcher with OPEN-LOOP Poisson
+request arrivals from a thread pool and reports, per (max_wait_ms, offered
+rate) point: p50/p99 request latency, achieved throughput, and mean rows
+per device dispatch. This is the capability the reference's fixed-batch
+inference loop (dlrm_s_pytorch.py:762-902) never had — the repo claims it,
+so this records the number behind the claim (VERDICT r3 #4 / missing #2).
+
+Latency floor caveat: on the tunneled TPU every dispatch pays a ~25-30 ms
+host<->device round trip (ServingEngine.predict ends in a synchronous
+np.asarray readback); the tool measures and prints that RTT floor first so
+the latency columns can be read against it. On a co-located host the floor
+drops to the device compute (~2 ms for a 16k batch).
+
+Usage (on chip):
+  python tools/bench_microbatcher.py [--rows-per-request 128]
+      [--seconds 5] [--waits 0.2,1,5] [--rates 20,50,100,200]
+
+Prints one JSON line per measurement point plus a summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+sys.path.insert(0, ".")  # repo root (bench._fast_device_init)
+
+
+def build_engine(mlp_impl=None):
+    import jax
+
+    from bench import _fast_device_init
+    from deep_quantized_recommendation_model_dqrm_tpu.config import (
+        QuantConfig,
+        kaggle_config,
+    )
+    from deep_quantized_recommendation_model_dqrm_tpu.serving import (
+        ServingEngine,
+        ptq_export,
+    )
+
+    cfg = kaggle_config(QuantConfig(enabled=True, embedding_bit=4, weight_bit=4))
+    params = _fast_device_init(cfg)
+    sm = ptq_export(cfg, params, emb_bits=4, mlp_bits=8)
+    # free the fp32 model — only the packed tables serve
+    jax.tree_util.tree_map(
+        lambda x: x.delete() if hasattr(x, "delete") else None, params
+    )
+    return cfg, ServingEngine(sm, mlp_impl=mlp_impl)
+
+
+def make_requests(cfg, rows: int, n_pool: int, seed: int = 0):
+    rng = np.random.RandomState(seed)
+    pool = []
+    for _ in range(n_pool):
+        dense = np.log1p(
+            rng.uniform(0, 100, size=(rows, cfg.num_dense)).astype(np.float32)
+        )
+        idx = np.stack(
+            [
+                rng.randint(0, n, size=(rows, cfg.pooling_size)).astype(np.int32)
+                for n in cfg.table_sizes
+            ]
+        )
+        pool.append((dense, idx))
+    return pool
+
+
+def measure_rtt_floor(engine, cfg, n: int = 12) -> float:
+    """Min single-row predict latency = dispatch+readback round trip."""
+    dense, idx = make_requests(cfg, 1, 1, seed=9)[0]
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        engine.predict(dense, idx)
+        ts.append(time.perf_counter() - t0)
+    return min(ts) * 1e3
+
+
+def run_point(engine, cfg, pool, max_wait_ms, rate_rps, seconds, rows):
+    """Open-loop Poisson arrivals at `rate_rps` requests/s for `seconds`."""
+    from deep_quantized_recommendation_model_dqrm_tpu.serving import MicroBatcher
+
+    mb = MicroBatcher(engine, max_wait_ms=max_wait_ms)
+    # instrument dispatch sizes
+    sizes = []
+    orig_flush = mb._flush
+
+    def flush(group):
+        sizes.append(sum(g["dense"].shape[0] for g in group))
+        orig_flush(group)
+
+    mb._flush = flush
+
+    lat = []
+    lock = threading.Lock()
+
+    def client(dense, idx, t_submit):
+        mb.predict(dense, idx)
+        with lock:
+            lat.append(time.perf_counter() - t_submit)
+
+    rng = np.random.RandomState(42)
+    n_req = max(4, int(rate_rps * seconds))
+    # enough workers that open-loop arrivals never queue on the pool
+    ex = ThreadPoolExecutor(max_workers=min(512, n_req + 8))
+    t_start = time.perf_counter()
+    futures = []
+    for i in range(n_req):
+        dense, idx = pool[i % len(pool)]
+        futures.append(ex.submit(client, dense, idx, time.perf_counter()))
+        time.sleep(rng.exponential(1.0 / rate_rps))
+    for f in futures:
+        f.result()
+    span = time.perf_counter() - t_start
+    ex.shutdown()
+    mb.close()
+
+    lat_ms = np.sort(np.asarray(lat) * 1e3)
+    return {
+        "max_wait_ms": max_wait_ms,
+        "offered_rps": rate_rps,
+        "offered_rows_s": rate_rps * rows,
+        "achieved_rows_s": round(len(lat) * rows / span),
+        "p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+        "p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
+        "mean_dispatch_rows": round(float(np.mean(sizes)), 1) if sizes else 0,
+        "n_requests": len(lat),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--rows-per-request", type=int, default=128,
+                   help="candidate items scored per request (CTR ranking "
+                        "requests score a slate, not one row)")
+    p.add_argument("--seconds", type=float, default=5.0)
+    p.add_argument("--waits", type=str, default="0.2,1,5")
+    p.add_argument("--rates", type=str, default="20,50,100,200,400")
+    p.add_argument("--mlp-impl", type=str, default=None)
+    args = p.parse_args()
+
+    cfg, engine = build_engine(args.mlp_impl)
+    pool = make_requests(cfg, args.rows_per_request, 16)
+
+    # warm every bucket the batcher can hit (compile outside measurement)
+    for b in engine.buckets:
+        d, ix = make_requests(cfg, min(b, 4096), 1, seed=7)[0]
+        engine.predict(d, ix)
+
+    rtt = measure_rtt_floor(engine, cfg)
+    print(json.dumps({"rtt_floor_ms": round(rtt, 2),
+                      "note": "tunnel dispatch+readback round trip; "
+                              "p50 cannot go below this"}))
+
+    results = []
+    for w in [float(x) for x in args.waits.split(",")]:
+        for r in [float(x) for x in args.rates.split(",")]:
+            pt = run_point(engine, cfg, pool, w, r, args.seconds,
+                           args.rows_per_request)
+            results.append(pt)
+            print(json.dumps(pt), flush=True)
+
+    best = max(results, key=lambda x: x["achieved_rows_s"])
+    print(json.dumps({"summary_best": best}))
+
+
+if __name__ == "__main__":
+    main()
