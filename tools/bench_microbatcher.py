@@ -35,8 +35,6 @@ sys.path.insert(0, ".")  # repo root (bench._fast_device_init)
 
 
 def build_engine(mlp_impl=None):
-    import jax
-
     from bench import _fast_device_init
     from deep_quantized_recommendation_model_dqrm_tpu.config import (
         QuantConfig,
@@ -50,11 +48,9 @@ def build_engine(mlp_impl=None):
     cfg = kaggle_config(QuantConfig(enabled=True, embedding_bit=4, weight_bit=4))
     params = _fast_device_init(cfg)
     sm = ptq_export(cfg, params, emb_bits=4, mlp_bits=8)
-    # free the fp32 model — only the packed tables serve
-    jax.tree_util.tree_map(
-        lambda x: x.delete() if hasattr(x, "delete") else None, params
-    )
-    return cfg, ServingEngine(sm, mlp_impl=mlp_impl)
+    # NOTE: the ServingModel aliases some fp32 leaves (MLP biases), so the
+    # source params must stay alive; 2.16 GB + 270 MB both fit HBM.
+    return cfg, ServingEngine(sm, mlp_impl=mlp_impl), params
 
 
 def make_requests(cfg, rows: int, n_pool: int, seed: int = 0):
@@ -148,7 +144,7 @@ def main():
     p.add_argument("--mlp-impl", type=str, default=None)
     args = p.parse_args()
 
-    cfg, engine = build_engine(args.mlp_impl)
+    cfg, engine, _params = build_engine(args.mlp_impl)
     pool = make_requests(cfg, args.rows_per_request, 16)
 
     # warm every bucket the batcher can hit (compile outside measurement)

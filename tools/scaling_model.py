@@ -124,7 +124,10 @@ def table(w: Workload, chip: Chip, engine: str, **kw):
     return rows
 
 
-TB_DP_MS = None  # set from scripts/bench_tb_dp.py once measured on chip
+# measured 2026-08-21 on v5e-1 (scripts/bench_tb_dp.py: k=8 scan, pinned
+# bf16 tables, INT8 exchange, drained chain-slope) — +26% over the plain
+# 9.24 ms/it step, consistent with the Kaggle dp engine's +30%
+TB_DP_MS = 11.69
 
 
 def main():
