@@ -560,6 +560,48 @@ class TestCoalescedExchange:
         # scatter hints downstream (train_step.py sparse optimizer paths)
         assert np.all(np.diff(u) > 0)
 
+    def test_batched_mlp_psum_bit_identical(self):
+        """compressed_psum_batched == per-tensor compressed_psum_dense
+        BIT-for-bit on a real 8-device mesh (concat commutes with the
+        elementwise scale pmean and the exact int32 psum — round 4)."""
+        from jax.sharding import PartitionSpec as P
+
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel.comm_grad import (
+            compressed_psum_batched,
+            compressed_psum_dense,
+        )
+
+        rng = np.random.RandomState(7)
+        shapes = [(32, 16), (32,), (8, 32), (8,)]
+        pcs = [True, False, True, False]
+        gs = [jnp.asarray(rng.randn(8, *s).astype(np.float32)) for s in shapes]
+
+        mesh = make_mesh(8)
+
+        def per_tensor(*args):
+            return tuple(
+                compressed_psum_dense(g, 8, "mp", per_channel=pc)
+                for g, pc in zip(args, pcs)
+            )
+
+        def batched(*args):
+            return tuple(compressed_psum_batched(list(args), 8, "mp", pcs))
+
+        specs = tuple(P("mp") for _ in gs)
+        out_specs = tuple(P() for _ in gs)
+        f1 = jax.jit(jax.shard_map(
+            per_tensor, mesh=mesh, in_specs=specs, out_specs=out_specs,
+            check_vma=False))
+        r1 = f1(*gs)
+        jax.block_until_ready(r1)
+        f2 = jax.jit(jax.shard_map(
+            batched, mesh=mesh, in_specs=specs, out_specs=out_specs,
+            check_vma=False))
+        r2 = f2(*gs)
+        jax.block_until_ready(r2)
+        for a, b in zip(r1, r2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_batched_coalesce_matches_per_table(self):
         """coalesce_sparse_grads_batched == per-table coalesce_sparse_grad
         for every table: same sums, same strictly-ascending duplicate-free
