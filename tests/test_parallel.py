@@ -560,6 +560,62 @@ class TestCoalescedExchange:
         # scatter hints downstream (train_step.py sparse optimizer paths)
         assert np.all(np.diff(u) > 0)
 
+    def test_bf16_scatter_no_fulltable_f32_convert(self):
+        """Regression for the round-4 Terabyte OOM: scaling a bf16-cast
+        scatter update by the f32 lr promoted it back to f32, so XLA
+        wrapped the bf16 table scatter in a FULL-TABLE f32 convert
+        (4.8 GB temp on a 10M-row table). The lowered HLO of a bf16 dp
+        step must not materialize any f32 tensor of the big table's
+        shape."""
+        cfg = dataclasses.replace(
+            CFG, table_sizes=(50000, 64, 32), table_dtype="bfloat16",
+            # 3 tables -> dot interaction dim (4 choose 2) + bot_out 8 = 14
+            mlp_top=(14, 32, 1),
+        )
+        tc = TC.replace(grad_quant_bits=8, onehot_update_max_rows=1000)
+        mesh = make_mesh(1)
+        state = comm_grad.init_dp_state(cfg, tc)
+        step = comm_grad.make_dp_train_step(cfg, tc, mesh)
+        batch = random_batch(cfg, 32, np.random.RandomState(0))
+        hlo = step.lower(state, batch).as_text()  # StableHLO text
+        assert "tensor<50000x8xbf16>" in hlo  # the table is there, bf16
+        assert "tensor<50000x8xf32>" not in hlo, (
+            "full-table f32 temp found — a scatter update is being "
+            "promoted to f32 (cast AFTER scaling, see comm_grad)"
+        )
+        # same bug class in the mega-table engines (hybrid + rowshard):
+        # their whole block must stay bf16 through the scatter update
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel import (
+            rowshard,
+        )
+
+        mesh8 = make_mesh(8)
+        plan = hybrid.plan_table_sharding(cfg.table_sizes, 8)
+        hstate = hybrid.init_hybrid_state(cfg, tc, mesh8, plan)
+        hstep = hybrid.make_hybrid_train_step(cfg, tc, mesh8, plan)
+        hhlo = hstep.lower(
+            hstate, random_batch(cfg, 32, np.random.RandomState(1))
+        ).as_text()
+        rows = plan.n_dev * plan.block_rows
+        assert f"tensor<{rows}x8xbf16>" in hhlo
+        # neither the global mega nor a per-device block may promote
+        assert f"tensor<{rows}x8xf32>" not in hhlo, "hybrid mega promoted"
+        assert (
+            f"tensor<{plan.block_rows}x8xf32>" not in hhlo
+        ), "hybrid per-device block promoted"
+        rplan = rowshard.plan_row_sharding(cfg.table_sizes, 8)
+        rstate = rowshard.init_rowshard_state(cfg, tc, mesh8, rplan)
+        rstep = rowshard.make_rowshard_train_step(cfg, tc, mesh8, rplan)
+        rhlo = rstep.lower(
+            rstate, random_batch(cfg, 32, np.random.RandomState(1))
+        ).as_text()
+        rrows = rplan.n_dev * rplan.chunk
+        assert f"tensor<{rrows}x8xbf16>" in rhlo
+        assert f"tensor<{rrows}x8xf32>" not in rhlo, "rowshard mega promoted"
+        assert (
+            f"tensor<{rplan.chunk}x8xf32>" not in rhlo
+        ), "rowshard per-device chunk promoted"
+
     def test_batched_mlp_psum_bit_identical(self):
         """compressed_psum_batched == per-tensor compressed_psum_dense
         BIT-for-bit on a real 8-device mesh (concat commutes with the
