@@ -86,6 +86,32 @@ def worker(rank: int) -> None:
     # op-id collision gotcha, .claude/skills/verify/SKILL.md)
     jax.block_until_ready(state)
 
+    # --- k=2 SCAN megastep across BOTH processes: the round-4 production
+    # form (lax.scan inside shard_map, collectives in the scan body) must
+    # rendezvous correctly across real process boundaries ---
+    # stack at the HOST-SHARD level (np.asarray on a cross-process global
+    # array is not addressable), then assemble the leading-[k] global batch
+    stacked_local = dlrm.Batch(
+        dense=np.stack([local.dense, local.dense]),
+        indices=np.stack([local.indices, local.indices]),
+        labels=np.stack([local.labels, local.labels]),
+        mask=None,
+    )
+    sspecs = dlrm.Batch(
+        dense=P(None, "mp"),
+        indices=P(None, None, "mp"),
+        labels=P(None, "mp"),
+        mask=None,
+    )
+    gstacked = make_global_batch(stacked_local, mesh, sspecs)
+    mstep = comm_grad.make_dp_train_step(cfg, tc, mesh, steps_per_dispatch=2)
+    mstate, mloss = mstep(state, gstacked)
+    mloss_v = float(mloss)
+    assert np.isfinite(mloss_v)
+    jax.block_until_ready(mstate)
+    print(f"[rank {pid}/{pcount}] k=2 scan megastep OK, mloss {mloss_v:.6f}",
+          flush=True)
+
     # --- hybrid phase: table-sharded mega-table + a2a over BOTH processes ---
     from deep_quantized_recommendation_model_dqrm_tpu.parallel import hybrid
 
@@ -155,15 +181,22 @@ def launcher() -> int:
         for line in out.splitlines()
         if "steps OK, hloss" in line
     ]
+    mlosses = [
+        line.split("mloss ")[-1]
+        for out in outputs
+        for line in out.splitlines()
+        if "scan megastep OK, mloss" in line
+    ]
     if (
         rc == 0
         and len(losses) == 2 and losses[0] == losses[1]
         and len(hlosses) == 2 and hlosses[0] == hlosses[1]
+        and len(mlosses) == 2 and mlosses[0] == mlosses[1]
     ):
         print("MULTIHOST SMOKE OK: both ranks agree, dp loss", losses[0],
-              "hybrid loss", hlosses[0])
+              "scan-megastep loss", mlosses[0], "hybrid loss", hlosses[0])
         return 0
-    print("MULTIHOST SMOKE FAILED", rc, losses, hlosses)
+    print("MULTIHOST SMOKE FAILED", rc, losses, hlosses, mlosses)
     return 1
 
 
