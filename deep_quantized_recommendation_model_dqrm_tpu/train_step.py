@@ -167,6 +167,7 @@ def _build_sparse_step_fn(
     from deep_quantized_recommendation_model_dqrm_tpu.ops import quant as q
     from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import (
         coalesce_sparse_grad,
+        coalesce_sparse_grads_batched,
         rows_grad_from_pooled,
     )
     from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.onehot_update import (
@@ -313,6 +314,13 @@ def _build_sparse_step_fn(
                     for i, k in enumerate(stream_ks)
                 }
 
+        # NOTE on batching the per-table coalesces here: measured a small
+        # REGRESSION at B=128 (0.342 -> ~0.348 ms/it) — only ~3 mid
+        # tables are eligible under the SGD defaults, and the stack/slice
+        # copies cost more than 3 saved sorts. The dp engine batches
+        # because ALL 26 tables coalesce there (0.16 ms win); the
+        # learned-vw path below batches for the same reason. Per-table
+        # stays the right call for THIS path.
         new_emb = []
         new_emb_acc = [] if tc.optimizer in ("adagrad", "rwsadagrad") else None
         for k, table in enumerate(params["emb"]):
@@ -504,30 +512,39 @@ def _build_sparse_step_fn(
                 if tc.optimizer in ("adagrad", "rwsadagrad")
                 else None
             )
-            for k in range(config.num_tables):
-                if k in trick_ks:
-                    continue
+            vw_ks = [
+                k for k in range(config.num_tables) if k not in trick_ks
+            ]
+            # batched per-occurrence scalar grads + ONE coalesce across
+            # all tables (same latency argument as the table grads above)
+            tbls = []
+            for k in vw_ks:
                 tbl = params["emb"][k]
                 if pact:
                     tbl = q.fake_quant_pact(tbl, qc.embedding_bit)
-                rows_e = jnp.take(tbl, batch.indices[k], axis=0)  # [B,P,D]
-                contrib = jnp.einsum(
-                    "bd,bpd->bp",
-                    g_pooled[k].astype(jnp.float32),
-                    rows_e.astype(jnp.float32),
-                )
-                base_m = batch.mask[k] if batch.mask is not None else None
-                if base_m is not None:
-                    contrib = contrib * base_m
-                B, Pp = batch.indices[k].shape
-                n = new_vw[k].shape[0]
-                uids, uvals = coalesce_sparse_grad(
-                    batch.indices[k].reshape(-1),
-                    contrib.reshape(-1, 1),
-                    n,
-                    min(B * Pp, n),
-                )
-                g1 = uvals[:, 0]
+                tbls.append(jnp.take(tbl, batch.indices[k], axis=0))
+            rows_e = jnp.stack(tbls)  # [T,B,P,D]
+            gp_st = jnp.stack([g_pooled[k] for k in vw_ks]).astype(
+                jnp.float32
+            )
+            contrib = jnp.einsum(
+                "tbd,tbpd->tbp", gp_st, rows_e.astype(jnp.float32)
+            )
+            if batch.mask is not None:
+                contrib = contrib * batch.mask[jnp.asarray(vw_ks)]
+            ids_st = batch.indices[jnp.asarray(vw_ks)].reshape(
+                len(vw_ks), -1
+            )
+            nrv = jnp.asarray(
+                [new_vw[k].shape[0] for k in vw_ks], ids_st.dtype
+            )
+            vu_ids, vu_vals = coalesce_sparse_grads_batched(
+                ids_st, contrib.reshape(len(vw_ks), -1, 1), nrv,
+                ids_st.shape[1],
+            )
+            for i, k in enumerate(vw_ks):
+                uids = vu_ids[i]
+                g1 = vu_vals[i][:, 0]
                 if tc.optimizer == "sgd":
                     new_vw[k] = new_vw[k].at[uids].add(
                         -lr * g1, mode="drop",
