@@ -183,23 +183,36 @@ def comm_volume_report(
     grad_bits: int = 8,
     sparse: bool = True,
     world_size: int = 4,
+    uniform_k: bool = True,
 ) -> Dict[str, float]:
     """Per-iteration gradient communication volume (paper Table 4 math).
 
-    Dense baseline = full model fp32; sparse = only touched rows (<= B*P per
-    table per rank) + ids; quantized = grad_bits for values.
+    Dense baseline = full model fp32; sparse = touched rows + ids;
+    quantized = grad_bits for values.
+
+    `uniform_k=True` (default) matches the round-4 BATCHED exchange
+    (comm_grad coalesce_sparse_grads_batched): every dense table ships a
+    uniform K = B*P slot payload so all tables ride ONE all_gather —
+    tables with rows < B*P pay their padding on the wire (zeros; still
+    coalesced sums for the real rows). `uniform_k=False` models the
+    per-table min(B*P, rows) bound of a per-table exchange — the
+    per-table collective launches it would need cost more latency than
+    the padded bytes at every mesh size in SCALING.md's range.
     """
     emb_params = sum(table_sizes) * embedding_dim
     mlp_params = sum(a * b + b for a, b in zip(mlp_bot[:-1], mlp_bot[1:]))
     mlp_params += sum(a * b + b for a, b in zip(mlp_top[:-1], mlp_top[1:]))
     dense_bytes = (emb_params + mlp_params) * 4.0
     if sparse:
-        # The exchange coalesces duplicates first (comm_grad.py), so each
-        # table ships at most min(B*P, rows) unique rows per rank; values
-        # travel nibble-packed below INT8 (grad_bits/8 bytes per element).
-        per_rank_rows = sum(
-            min(batch_per_rank * pooling, n) for n in table_sizes
-        )
+        # The exchange coalesces duplicates BEFORE quantizing
+        # (comm_grad.py); values travel nibble-packed below INT8
+        # (grad_bits/8 bytes per element).
+        if uniform_k:
+            per_rank_rows = len(table_sizes) * batch_per_rank * pooling
+        else:
+            per_rank_rows = sum(
+                min(batch_per_rank * pooling, n) for n in table_sizes
+            )
         emb_vals = per_rank_rows * embedding_dim * grad_bits / 8
         emb_ids = per_rank_rows * 4
         emb_bytes = (emb_vals + emb_ids) * world_size  # all-gather volume
