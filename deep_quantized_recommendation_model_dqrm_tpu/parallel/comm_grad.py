@@ -647,8 +647,11 @@ def make_dp_train_step(
             # more precision than wire time saved), in the same batched
             # two-all_gather form; QR/MD tables' v_W grads came through
             # autodiff (the trick recompute) and ride pmean.
-            vw_ids_st = gather_tables(vw_uniq[0])
-            vw_vals_st = gather_tables(vw_uniq[1])
+            # vw_uniq is None when EVERY table is QR/MD (Td == 0): all
+            # v_W grads then come through the trick recompute below
+            if vw_uniq is not None:
+                vw_ids_st = gather_tables(vw_uniq[0])
+                vw_vals_st = gather_tables(vw_uniq[1])
             new_vw = []
             for k in range(config.num_tables):
                 if k in trick_ks:

@@ -512,36 +512,39 @@ def _build_sparse_step_fn(
                 if tc.optimizer in ("adagrad", "rwsadagrad")
                 else None
             )
+            # all-QR/MD models have no dense table here: every v_W grad
+            # came through the trick recompute, applied densely above
             vw_ks = [
                 k for k in range(config.num_tables) if k not in trick_ks
             ]
             # batched per-occurrence scalar grads + ONE coalesce across
             # all tables (same latency argument as the table grads above)
-            tbls = []
-            for k in vw_ks:
-                tbl = params["emb"][k]
-                if pact:
-                    tbl = q.fake_quant_pact(tbl, qc.embedding_bit)
-                tbls.append(jnp.take(tbl, batch.indices[k], axis=0))
-            rows_e = jnp.stack(tbls)  # [T,B,P,D]
-            gp_st = jnp.stack([g_pooled[k] for k in vw_ks]).astype(
-                jnp.float32
-            )
-            contrib = jnp.einsum(
-                "tbd,tbpd->tbp", gp_st, rows_e.astype(jnp.float32)
-            )
-            if batch.mask is not None:
-                contrib = contrib * batch.mask[jnp.asarray(vw_ks)]
-            ids_st = batch.indices[jnp.asarray(vw_ks)].reshape(
-                len(vw_ks), -1
-            )
-            nrv = jnp.asarray(
-                [new_vw[k].shape[0] for k in vw_ks], ids_st.dtype
-            )
-            vu_ids, vu_vals = coalesce_sparse_grads_batched(
-                ids_st, contrib.reshape(len(vw_ks), -1, 1), nrv,
-                ids_st.shape[1],
-            )
+            if vw_ks:
+                tbls = []
+                for k in vw_ks:
+                    tbl = params["emb"][k]
+                    if pact:
+                        tbl = q.fake_quant_pact(tbl, qc.embedding_bit)
+                    tbls.append(jnp.take(tbl, batch.indices[k], axis=0))
+                rows_e = jnp.stack(tbls)  # [T,B,P,D]
+                gp_st = jnp.stack([g_pooled[k] for k in vw_ks]).astype(
+                    jnp.float32
+                )
+                contrib = jnp.einsum(
+                    "tbd,tbpd->tbp", gp_st, rows_e.astype(jnp.float32)
+                )
+                if batch.mask is not None:
+                    contrib = contrib * batch.mask[jnp.asarray(vw_ks)]
+                ids_st = batch.indices[jnp.asarray(vw_ks)].reshape(
+                    len(vw_ks), -1
+                )
+                nrv = jnp.asarray(
+                    [new_vw[k].shape[0] for k in vw_ks], ids_st.dtype
+                )
+                vu_ids, vu_vals = coalesce_sparse_grads_batched(
+                    ids_st, contrib.reshape(len(vw_ks), -1, 1), nrv,
+                    ids_st.shape[1],
+                )
             for i, k in enumerate(vw_ks):
                 uids = vu_ids[i]
                 g1 = vu_vals[i][:, 0]

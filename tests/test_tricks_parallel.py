@@ -224,6 +224,38 @@ class TestDPTricks:
         assert not np.array_equal(t0, np.asarray(dstate.params["emb"][0]))
 
 
+class TestAllTrickTables:
+    """Edge: EVERY table is QR (qr_threshold below the smallest table) +
+    learned pooling — the batched learned-vw exchange has NO dense tables
+    (vw_uniq/vw_ks empty; round-4 guard), all v_W grads ride the trick
+    recompute."""
+
+    def _cfg(self):
+        return dataclasses.replace(
+            QR_CFG, qr_threshold=5, weighted_pooling="learned"
+        )
+
+    def test_single_chip_sparse_step(self):
+        cfg = self._cfg()
+        state = init_train_state(cfg, TC)
+        step = make_train_step(cfg, TC, sparse_emb_grad=True)
+        batch = random_batch(cfg, 32, np.random.RandomState(0))
+        state, loss = step(state, batch)
+        jax.block_until_ready(state)
+        assert np.isfinite(float(loss))
+
+    def test_dp_step(self):
+        mesh = make_mesh(8)
+        cfg = self._cfg()
+        tc = TC.replace(grad_quant_bits=8)
+        dstate = comm_grad.init_dp_state(cfg, tc)
+        dstep = comm_grad.make_dp_train_step(cfg, tc, mesh)
+        batch = random_batch(cfg, 32, np.random.RandomState(0))
+        dstate, loss = dstep(dstate, batch)
+        jax.block_until_ready(dstate)
+        assert np.isfinite(float(loss))
+
+
 class TestReviewFixes:
     def test_random_batch_dedupes_bags(self):
         """Duplicate draws inside a bag get mask 0 (the reference's
