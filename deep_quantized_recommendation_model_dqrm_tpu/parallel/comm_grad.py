@@ -300,6 +300,12 @@ def make_dp_train_step(
         k for k in range(config.num_tables) if k not in trick_ks
     ]
     dense_ord = {k: i for i, k in enumerate(dense_ks)}
+    if tc.ranking_range and not dense_ks:
+        raise ValueError(
+            "ranking_range is a policy over the SPARSE embedding-gradient "
+            "exchange; this model has no dense tables (all QR/MD) — "
+            "nothing for the policy to govern"
+        )
 
     def device_step(state: DPState, batch: dlrm.Batch):
         params, qstate = state.params, state.qstate
