@@ -156,8 +156,13 @@ def _serving_preds_per_s():
 
     srun(2)  # warm both input specializations
     srun(3)  # drain
-    t1, t2 = srun(10), srun(30)
-    lat = (t2 - t1) / 20
+    # best-of-3 slopes: the ~2 ms serving chain is the most
+    # tunnel-noise-sensitive metric (observed 4.8-7.8M preds/s on single
+    # slopes; the min-latency slope is the honest device number)
+    lat = float("inf")
+    for _ in range(3):
+        t1, t2 = srun(10), srun(30)
+        lat = min(lat, (t2 - t1) / 20)
     preds = SB / lat
     jax.tree_util.tree_map(
         lambda x: x.delete() if hasattr(x, "delete") else None,
