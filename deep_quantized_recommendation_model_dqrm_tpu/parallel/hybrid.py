@@ -174,8 +174,10 @@ def pack_vw(
 ) -> jax.Array:
     """Pack per-table pooling-weight vectors [n_k] into the mega-table row
     layout as one [n_dev*block_rows] vector (pad/dummy rows weight 0). Trick
-    tables (plan rank -1) are skipped — upstream rejects weighted pooling
-    with QR/MD anyway (dlrm_s_pytorch.py:1040-1044)."""
+    tables (plan rank -1) are skipped — their v_W replicate next to the
+    trick tables as `vw_trick` (init_hybrid_state; upstream rejects the
+    combination outright, dlrm_s_pytorch.py:1040-1044 — our dp engines and
+    this step both support it)."""
     packed = pack_tables(
         [
             v[:, None] if int(plan.table_rank[k]) >= 0 else {}
@@ -220,6 +222,7 @@ def _assemble_pooled(
     trick_p: Optional[dict],
     batch: dlrm.Batch,
     me: jax.Array,
+    vw_trick: Optional[dict] = None,  # {str(k): [n_k]} trick pooling weights
 ) -> jax.Array:  # [T, B/n, D]
     """Batch-major pooled outputs for every table: dense tables from the
     all-to-all, QR/MD compositional tables computed locally from the
@@ -242,6 +245,10 @@ def _assemble_pooled(
             m_k = None
             if batch.mask is not None:
                 m_k = jax.lax.dynamic_slice_in_dim(batch.mask[k], start, b_local, 0)
+            if vw_trick is not None:
+                # per_sample_weights = v_W[idx] (dlrm_s_pytorch.py:417-448)
+                w_rows = jnp.take(vw_trick[str(k)], idx_k, axis=0)
+                m_k = w_rows if m_k is None else m_k * w_rows
             parts.append(
                 dlrm.trick_pooled_lookup(config, trick_p[str(k)], idx_k, m_k).astype(
                     jnp.float32
@@ -290,15 +297,16 @@ def init_hybrid_state(
         non_emb["emb_trick"] = trick
     vw = None
     if config.weighted_pooling is not None:
-        if trick and config.weighted_pooling == "learned":
-            # Upstream rejects the combination outright
-            # (dlrm_s_pytorch.py:1040-1044); the DP engines here support it,
-            # the hybrid mega-table layout does not carry trick v_W.
-            raise NotImplementedError(
-                "weighted_pooling='learned' with QR/MD tables is not "
-                "supported by the hybrid step"
-            )
-        vw = pack_vw(non_emb.pop("v_W"), plan, mesh, axis)
+        v_W = non_emb.pop("v_W")
+        vw = pack_vw(v_W, plan, mesh, axis)
+        if trick:
+            # trick tables' pooling weights replicate next to their tables
+            # ("learned" ones train through the trick recompute's autodiff
+            # and ride the DDP pmean; "fixed" ones are stop-gradded in the
+            # step). Upstream rejects weighted pooling + QR/MD outright
+            # (dlrm_s_pytorch.py:1040-1044); the dp engines here support
+            # it, so the hybrid step matches them.
+            non_emb["vw_trick"] = {k: v_W[int(k)] for k in trick}
     mlp = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), non_emb)
     qstate = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, rep), dlrm.init_quant_state(config)
@@ -371,8 +379,10 @@ def make_hybrid_train_step(
     local_ids_np = jnp.asarray(plan.local_ids)
     local_base_np = jnp.asarray(plan.local_base)
     perm = jnp.asarray(plan.perm)
-    def assemble_pooled(swapped, trick_p, batch, me):
-        return _assemble_pooled(config, plan, perm, swapped, trick_p, batch, me)
+    def assemble_pooled(swapped, trick_p, batch, me, vw_trick=None):
+        return _assemble_pooled(
+            config, plan, perm, swapped, trick_p, batch, me, vw_trick
+        )
 
     def device_step(state: HybridState, batch: dlrm.Batch):
         me = jax.lax.axis_index(axis)
@@ -461,8 +471,11 @@ def make_hybrid_train_step(
                 swapped = jax.lax.all_to_all(
                     p_local, axis, split_axis=1, concat_axis=0, tiled=True
                 )
+            vw_trick = mlp_p.get("vw_trick")
+            if vw_trick is not None and not learned_vw:
+                vw_trick = jax.lax.stop_gradient(vw_trick)
             raw_pooled = assemble_pooled(
-                swapped, mlp_p.get("emb_trick"), batch, me
+                swapped, mlp_p.get("emb_trick"), batch, me, vw_trick
             )  # [T, B/n, D]
             local_batch = dlrm.Batch(
                 dense=batch.dense,
@@ -667,7 +680,8 @@ def make_hybrid_eval_step(
             pooled_local, axis, split_axis=1, concat_axis=0, tiled=True
         )
         raw_pooled = _assemble_pooled(
-            config, plan, perm, swapped, state.mlp.get("emb_trick"), batch, me
+            config, plan, perm, swapped, state.mlp.get("emb_trick"), batch,
+            me, state.mlp.get("vw_trick"),
         )
         local_batch = dlrm.Batch(
             dense=batch.dense,

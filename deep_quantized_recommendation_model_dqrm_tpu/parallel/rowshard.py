@@ -53,13 +53,40 @@ class RowShardPlan(NamedTuple):
     n_dev: int
     chunk: int  # rows per device (last row of the LAST chunk is zero pad)
     table_base: np.ndarray  # [T] global base row of each table
+    # [T] bool: True = dense table (rows live in the mega-table). QR/MD
+    # compositional tables are False — they are carried REPLICATED next to
+    # the MLPs (exactly like parallel/hybrid.py plan rank -1) and trained
+    # data-parallel; their table_base is 0 and never dereferenced.
+    dense_mask: np.ndarray = None  # type: ignore[assignment]
 
 
-def plan_row_sharding(table_sizes: Tuple[int, ...], n_dev: int) -> RowShardPlan:
-    base = np.concatenate([[0], np.cumsum(np.asarray(table_sizes, np.int64))])
-    total = int(base[-1]) + 1  # +1 global zero pad row (masked lookups hit it)
+def plan_row_sharding(
+    table_sizes: Tuple[int, ...],
+    n_dev: int,
+    kinds: Optional[Tuple[str, ...]] = None,
+) -> RowShardPlan:
+    """Lay out the global row space over the DENSE tables only.
+
+    `kinds` (config.table_kind per table): non-"dense" QR/MD tables get no
+    rows here — small by construction, they replicate next to the MLPs
+    (the same placement hybrid.plan_table_sharding gives them via rank -1;
+    reference create_emb dispatch, dlrm_s_pytorch.py:239-286).
+    """
+    T = len(table_sizes)
+    dense = np.asarray(
+        [kinds is None or kinds[k] == "dense" for k in range(T)], bool
+    )
+    base = np.zeros(T, np.int64)
+    off = 0
+    for k in range(T):
+        if dense[k]:
+            base[k] = off
+            off += int(table_sizes[k])
+    total = off + 1  # +1 global zero pad row (masked lookups hit it)
     chunk = -(-total // n_dev)  # ceil
-    return RowShardPlan(n_dev=n_dev, chunk=chunk, table_base=base[:-1])
+    return RowShardPlan(
+        n_dev=n_dev, chunk=chunk, table_base=base, dense_mask=dense
+    )
 
 
 def pack_rows(
@@ -69,13 +96,18 @@ def pack_rows(
     axis: str = "mp",
 ) -> jax.Array:
     """Concatenate tables into the padded global mega-table
-    [n_dev * chunk, D]; with a mesh, place row-sharded."""
-    D = tables[0].shape[-1]
+    [n_dev * chunk, D]; with a mesh, place row-sharded. QR/MD dict entries
+    are skipped — the row-sharded step carries them replicated."""
+    arrays = [t for t in tables if not isinstance(t, dict)]
+    if arrays:
+        D, dt = arrays[0].shape[-1], arrays[0].dtype
+    else:
+        # every table is QR/MD: 1-wide placeholder keeps the shard_map
+        # structure (and psum_scatter shapes) uniform
+        D, dt = 1, jnp.float32
+    pad = plan.n_dev * plan.chunk - sum(t.shape[0] for t in arrays)
     mega = jnp.concatenate(
-        tables
-        + [jnp.zeros((plan.n_dev * plan.chunk - sum(t.shape[0] for t in tables), D),
-                     tables[0].dtype)],
-        axis=0,
+        arrays + [jnp.zeros((pad, D), dt)], axis=0
     )
     if mesh is not None:
         mega = jax.device_put(mega, NamedSharding(mesh, P(axis)))
@@ -84,9 +116,15 @@ def pack_rows(
 
 def unpack_rows(
     mega: jax.Array, plan: RowShardPlan, table_sizes: Tuple[int, ...]
-) -> List[jax.Array]:
+) -> List[Optional[jax.Array]]:
+    """Inverse of pack_rows. Trick-table slots (plan.dense_mask False, not
+    in the mega-table) come back as None — callers splice the replicated
+    dict entries in (mirrors hybrid.unpack_tables)."""
     out = []
     for k, rows in enumerate(table_sizes):
+        if plan.dense_mask is not None and not bool(plan.dense_mask[k]):
+            out.append(None)
+            continue
         start = int(plan.table_base[k])
         out.append(jax.lax.dynamic_slice(mega, (start, 0), (rows, mega.shape[1])))
     return out
@@ -99,8 +137,18 @@ def pack_rows_vw(
     axis: str = "mp",
 ) -> jax.Array:
     """Concatenate per-table pooling weights into the global row layout
-    [n_dev*chunk] (pad rows weight 0), row-sharded like the mega-table."""
-    packed = pack_rows([v[:, None] for v in v_W], plan)[:, 0]
+    [n_dev*chunk] (pad rows weight 0), row-sharded like the mega-table.
+    Trick tables' v_W (plan.dense_mask False) are skipped — they replicate
+    next to the MLPs as `vw_trick` (see init_rowshard_state)."""
+    packed = pack_rows(
+        [
+            v[:, None]
+            if plan.dense_mask is None or bool(plan.dense_mask[k])
+            else {}
+            for k, v in enumerate(v_W)
+        ],
+        plan,
+    )[:, 0]
     if mesh is not None:
         packed = jax.device_put(packed, NamedSharding(mesh, P(axis)))
     return packed
@@ -108,8 +156,11 @@ def pack_rows_vw(
 
 def unpack_rows_vw(
     vw: jax.Array, plan: RowShardPlan, table_sizes: Tuple[int, ...]
-) -> List[jax.Array]:
-    return [c[:, 0] for c in unpack_rows(vw[:, None], plan, table_sizes)]
+) -> List[Optional[jax.Array]]:
+    return [
+        c[:, 0] if c is not None else None
+        for c in unpack_rows(vw[:, None], plan, table_sizes)
+    ]
 
 
 class RowShardState(NamedTuple):
@@ -130,19 +181,27 @@ def init_rowshard_state(
     axis: str = "mp",
     seed: Optional[int] = None,
 ) -> RowShardState:
-    if any(config.table_kind(k) != "dense" for k in range(config.num_tables)):
-        raise NotImplementedError(
-            "QR/MD embeddings cannot be row-sharded (their whole point is "
-            "being small); use parallelism=hybrid or dp, which carry them "
-            "replicated"
-        )
     params = dlrm.init_params(config, seed if seed is not None else tc.seed)
     mega = pack_rows(params["emb"], plan, mesh, axis)
     rep = NamedSharding(mesh, P())
     non_emb = {k: v for k, v in params.items() if k != "emb"}
+    # QR/MD compositional tables are small by construction: carry them
+    # REPLICATED alongside the MLPs and train them data-parallel (the same
+    # placement hybrid.init_hybrid_state gives plan-rank -1 tables).
+    trick = {
+        str(k): t for k, t in enumerate(params["emb"]) if isinstance(t, dict)
+    }
+    if trick:
+        non_emb["emb_trick"] = trick
     vw = None
     if config.weighted_pooling is not None:
-        vw = pack_rows_vw(non_emb.pop("v_W"), plan, mesh, axis)
+        v_W = non_emb.pop("v_W")
+        vw = pack_rows_vw(v_W, plan, mesh, axis)
+        if trick:
+            # trick tables' pooling weights replicate next to their tables;
+            # "learned" ones train through the trick recompute's autodiff
+            # (dp-channel pmean), "fixed" ones are stop-gradded in the step
+            non_emb["vw_trick"] = {k: v_W[int(k)] for k in trick}
     mlp = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), non_emb)
     qstate = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, rep), dlrm.init_quant_state(config)
@@ -157,9 +216,14 @@ def _partial_pooled(
     me: jax.Array,
     chunk: int,
     vw_block: Optional[jax.Array] = None,  # [chunk] pooling weights
+    table_valid: Optional[jax.Array] = None,  # [T] bool: False = trick table
 ) -> jax.Array:  # [T, B, D] partial sums from owned rows only
     local = gids - me * chunk
     owned = (local >= 0) & (local < chunk)
+    if table_valid is not None:
+        # QR/MD tables have no rows here; their partials must be exactly 0
+        # (they are spliced from the replicated recompute downstream)
+        owned = owned & table_valid[:, None, None]
     safe = jnp.clip(local, 0, chunk - 1)
     rows = jnp.take(block, safe, axis=0)  # [T,B,P,D]
     w = owned.astype(rows.dtype)
@@ -170,6 +234,36 @@ def _partial_pooled(
     if mask is not None:
         w = w * mask.astype(rows.dtype)
     return jnp.sum(rows * w[..., None], axis=2)
+
+
+def _trick_pooled_slice(
+    config: DLRMConfig,
+    trick_p: dict,  # {str(k): trick params} (differentiable)
+    vw_trick: Optional[dict],  # {str(k): [n_k] weights} or None
+    batch: dlrm.Batch,
+    me: jax.Array,
+    b_local: int,
+    trick_ks,
+) -> dict:
+    """Pooled outputs of the replicated QR/MD tables on THIS device's batch
+    slice: {k: [b_local, D]}. Autodiff through this routes trick-table (and
+    learned v_W) gradients onto the DDP pmean channel — the same placement
+    as hybrid._assemble_pooled's trick branch."""
+    start = me * b_local
+    out = {}
+    for k in sorted(trick_ks):
+        idx_k = jax.lax.dynamic_slice_in_dim(batch.indices[k], start, b_local, 0)
+        m_k = None
+        if batch.mask is not None:
+            m_k = jax.lax.dynamic_slice_in_dim(batch.mask[k], start, b_local, 0)
+        if vw_trick is not None:
+            # per_sample_weights = v_W[idx] (dlrm_s_pytorch.py:417-448)
+            w_rows = jnp.take(vw_trick[str(k)], idx_k, axis=0)
+            m_k = w_rows if m_k is None else m_k * w_rows
+        out[k] = dlrm.trick_pooled_lookup(
+            config, trick_p[str(k)], idx_k, m_k
+        ).astype(jnp.float32)
+    return out
 
 
 def _local_table_ranges(
@@ -211,14 +305,9 @@ def make_rowshard_train_step(
     `lax.scan` inside the shard_map — see comm_grad.make_dp_train_step.
 
     Batch layout matches make_hybrid_train_step: dense/labels batch-sharded
-    on `axis`, indices/mask replicated.
+    on `axis`, indices/mask replicated. QR/MD trick tables ride replicated
+    next to the MLPs (state.mlp["emb_trick"]) and train data-parallel.
     """
-    if any(config.table_kind(k) != "dense" for k in range(config.num_tables)):
-        raise NotImplementedError(
-            "QR/MD embeddings cannot be row-sharded (their whole point is "
-            "being small); use parallelism=hybrid or dp, which carry them "
-            "replicated"
-        )
     from deep_quantized_recommendation_model_dqrm_tpu.ops import quant as q
 
     qc = config.quant
@@ -233,6 +322,12 @@ def make_rowshard_train_step(
     chunk = plan.chunk
     table_base = jnp.asarray(plan.table_base)
     learned_vw = config.weighted_pooling == "learned"
+    trick_ks = frozenset(
+        k for k in range(config.num_tables) if config.table_kind(k) != "dense"
+    )
+    dense_sel = (
+        jnp.asarray(np.asarray(plan.dense_mask, bool)) if trick_ks else None
+    )
 
     def device_step(state: RowShardState, batch: dlrm.Batch):
         me = jax.lax.axis_index(axis)
@@ -256,18 +351,23 @@ def make_rowshard_train_step(
             )
             g_min = jax.lax.pmin(l_min, axis)
             g_max = jax.lax.pmax(l_max, axis)
-            new_scales = jnp.where(
-                do_update,
-                q.symmetric_quantization_params(qc.embedding_bit, g_min, g_max),
-                qstate.emb_scales,
+            computed = q.symmetric_quantization_params(
+                qc.embedding_bit, g_min, g_max
             )
+            if dense_sel is not None:
+                # QR/MD tables stay full-precision: placeholder scale 1.0
+                # (dlrm.compute_emb_scales parity; their base-0 row ranges
+                # above alias dense rows and must be ignored)
+                computed = jnp.where(dense_sel, computed, 1.0)
+            new_scales = jnp.where(do_update, computed, qstate.emb_scales)
             qstate = qstate._replace(emb_scales=new_scales)
 
         vw_block = (
             jax.lax.stop_gradient(state.vw) if state.vw is not None else None
         )
         partial = _partial_pooled(
-            jax.lax.stop_gradient(block), gids, batch.mask, me, chunk, vw_block
+            jax.lax.stop_gradient(block), gids, batch.mask, me, chunk,
+            vw_block, dense_sel,
         )  # [T, B, D]
 
         def loss_fn(mlp_p, p_partial):
@@ -276,6 +376,23 @@ def make_rowshard_train_step(
             raw_pooled = jax.lax.psum_scatter(
                 p_partial, axis, scatter_dimension=1, tiled=True
             )
+            if trick_ks:
+                # splice the replicated QR/MD pooled outputs (computed on
+                # this device's batch slice from DIFFERENTIABLE params) over
+                # their zeroed mega-table slots
+                vw_trick = mlp_p.get("vw_trick")
+                if vw_trick is not None and not learned_vw:
+                    vw_trick = jax.lax.stop_gradient(vw_trick)
+                tp = _trick_pooled_slice(
+                    config, mlp_p["emb_trick"], vw_trick, batch, me,
+                    raw_pooled.shape[1], trick_ks,
+                )
+                raw_pooled = jnp.stack(
+                    [
+                        tp[k] if k in trick_ks else raw_pooled[k]
+                        for k in range(config.num_tables)
+                    ]
+                )
             local_batch = dlrm.Batch(
                 dense=batch.dense,
                 indices=batch.indices[:, :1, :],  # unused (raw_pooled given)
@@ -333,6 +450,11 @@ def make_rowshard_train_step(
         # ---- Embedding update: scatter-add into OWNED rows only ----
         local = gids - me * chunk
         owned = (local >= 0) & (local < chunk)
+        if dense_sel is not None:
+            # trick tables: g_partial is identically 0 (the splice cut
+            # them out of the psum_scatter path) but their base-0 gids
+            # ALIAS dense rows — drop them from the scatter outright
+            owned = owned & dense_sel[:, None, None]
         rows_idx = jnp.where(owned, local, chunk)  # chunk = dropped
         safe = jnp.clip(local, 0, chunk - 1)
         T, B, Pp = batch.indices.shape
@@ -455,16 +577,33 @@ def make_rowshard_eval_step(
     batch (tables never unpacked — see make_hybrid_eval_step)."""
     table_base = jnp.asarray(plan.table_base)
     chunk = plan.chunk
+    trick_ks = frozenset(
+        k for k in range(config.num_tables) if config.table_kind(k) != "dense"
+    )
+    dense_sel = (
+        jnp.asarray(np.asarray(plan.dense_mask, bool)) if trick_ks else None
+    )
 
     def device_eval(state: RowShardState, batch: dlrm.Batch) -> jax.Array:
         me = jax.lax.axis_index(axis)
         gids = batch.indices + table_base[:, None, None]
         partial = _partial_pooled(
-            state.mega, gids, batch.mask, me, chunk, state.vw
+            state.mega, gids, batch.mask, me, chunk, state.vw, dense_sel
         )
         raw_pooled = jax.lax.psum_scatter(
             partial, axis, scatter_dimension=1, tiled=True
         )
+        if trick_ks:
+            tp = _trick_pooled_slice(
+                config, state.mlp["emb_trick"], state.mlp.get("vw_trick"),
+                batch, me, raw_pooled.shape[1], trick_ks,
+            )
+            raw_pooled = jnp.stack(
+                [
+                    tp[k] if k in trick_ks else raw_pooled[k]
+                    for k in range(config.num_tables)
+                ]
+            )
         local_batch = dlrm.Batch(
             dense=batch.dense,
             indices=batch.indices[:, :1, :],

@@ -959,7 +959,11 @@ def run(argv=None) -> dict:
 
         mesh = make_mesh()
         if step_mode == "rowshard":
-            plan = rowshard.plan_row_sharding(cfg.table_sizes, len(mesh.devices))
+            plan = rowshard.plan_row_sharding(
+                cfg.table_sizes,
+                len(mesh.devices),
+                kinds=tuple(cfg.table_kind(k) for k in range(cfg.num_tables)),
+            )
             hstate = rowshard.init_rowshard_state(cfg, tc, mesh, plan)
         else:
             plan = hybrid.plan_table_sharding(

@@ -355,3 +355,254 @@ class TestReviewFixes:
             str(pt), str(out), optimizer="rwsadagrad", qr_operation="add"
         )
         assert a["qr_operation"] == "add"
+
+
+class TestRowshardTricks:
+    """QR/MD trick tables in the ROW-sharded engine (round-5, VERDICT r4 #6):
+    carried replicated next to the MLPs exactly as hybrid does (plan
+    dense_mask False; grads ride the DDP pmean channel), dense tables keep
+    the global-row scatter. Must match single-chip dense autodiff exactly
+    when uncompressed."""
+
+    def _mk(self, cfg, tc, n=8):
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel import rowshard
+
+        mesh = make_mesh(n)
+        plan = rowshard.plan_row_sharding(cfg.table_sizes, n, kinds=_kinds(cfg))
+        return rowshard, mesh, plan
+
+    def test_plan_excludes_tricks(self):
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel import rowshard
+
+        plan = rowshard.plan_row_sharding(QR_CFG.table_sizes, 8, kinds=_kinds(QR_CFG))
+        assert not plan.dense_mask[1] and not plan.dense_mask[3]
+        # dense rows only: 64+30+7 (+1 pad) over 8 devices
+        assert plan.n_dev * plan.chunk >= 64 + 30 + 7 + 1
+        assert plan.chunk <= (64 + 30 + 7 + 1 + 7) // 8 + 1
+
+    @pytest.mark.parametrize("cfg", [QR_CFG, MD_CFG], ids=["qr", "md"])
+    def test_rowshard_matches_single_chip_fp32(self, cfg):
+        rowshard, mesh, plan = self._mk(cfg, TC)
+        tc = TC.replace(grad_quant_bits=32)
+        rstate = rowshard.init_rowshard_state(cfg, tc, mesh, plan)
+        rstep = rowshard.make_rowshard_train_step(cfg, tc, mesh, plan)
+        sstate = init_train_state(cfg, tc)
+        sstep = make_train_step(cfg, tc, sparse_emb_grad=False)
+        rng = np.random.RandomState(23)
+        for _ in range(3):
+            b = random_batch(cfg, 64, rng)
+            rstate, rloss = rstep(rstate, b)
+            jax.block_until_ready(rstate)
+            sstate, sloss = sstep(sstate, b)
+            assert np.isclose(float(rloss), float(sloss), rtol=1e-4)
+        back = rowshard.unpack_rows(rstate.mega, plan, cfg.table_sizes)
+        for k in range(cfg.num_tables):
+            if cfg.table_kind(k) == "dense":
+                np.testing.assert_allclose(
+                    np.asarray(back[k]),
+                    np.asarray(sstate.params["emb"][k]),
+                    atol=1e-5,
+                )
+            else:
+                assert back[k] is None
+                for leaf, ref in zip(
+                    jax.tree_util.tree_leaves(rstate.mlp["emb_trick"][str(k)]),
+                    jax.tree_util.tree_leaves(sstate.params["emb"][k]),
+                ):
+                    np.testing.assert_allclose(
+                        np.asarray(leaf), np.asarray(ref), atol=1e-5
+                    )
+
+    def test_rowshard_eval_matches_single_chip(self):
+        from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm
+
+        rowshard, mesh, plan = self._mk(QR_CFG, TC)
+        tc = TC.replace(grad_quant_bits=32)
+        rstate = rowshard.init_rowshard_state(QR_CFG, tc, mesh, plan)
+        ev = rowshard.make_rowshard_eval_step(QR_CFG, mesh, plan)
+        sstate = init_train_state(QR_CFG, tc)
+        b = random_batch(QR_CFG, 64, np.random.RandomState(5))
+        probs = np.asarray(ev(rstate, b))
+        ref = np.asarray(
+            jax.nn.sigmoid(
+                dlrm.forward(
+                    QR_CFG, sstate.params, b, sstate.qstate, train=False
+                )[0]
+            )
+        )
+        np.testing.assert_allclose(probs, ref, atol=1e-5)
+
+    def test_rowshard_qat_with_qr_scales(self):
+        """Dense tables' pmin/pmax scales match the single-chip scan; trick
+        tables keep the placeholder 1.0 (dlrm.compute_emb_scales parity)."""
+        cfg = dataclasses.replace(
+            QR_CFG,
+            quant=QuantConfig(enabled=True, embedding_bit=4, scale_update_period=2),
+        )
+        rowshard, mesh, plan = self._mk(cfg, TC)
+        tc = TC.replace(grad_quant_bits=32)
+        rstate = rowshard.init_rowshard_state(cfg, tc, mesh, plan)
+        rstep = rowshard.make_rowshard_train_step(cfg, tc, mesh, plan)
+        sstate = init_train_state(cfg, tc)
+        sstep = make_train_step(cfg, tc, sparse_emb_grad=False)
+        rng = np.random.RandomState(3)
+        for _ in range(3):
+            b = random_batch(cfg, 64, rng)
+            rstate, rl = rstep(rstate, b)
+            jax.block_until_ready(rstate)
+            sstate, sl = sstep(sstate, b)
+            assert np.isclose(float(rl), float(sl), rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(rstate.qstate.emb_scales),
+            np.asarray(sstate.qstate.emb_scales),
+            rtol=1e-6,
+        )
+        assert np.asarray(rstate.qstate.emb_scales)[1] == 1.0
+
+
+class TestLearnedVwWithTricks:
+    """weighted_pooling='learned' + QR/MD in the mega-table engines
+    (round-5, VERDICT r4 #6): dense v_W rides the sharded row layout with
+    analytic scatter grads; trick v_W replicates next to the trick tables
+    and trains through the recompute's autodiff (DDP pmean) — matching the
+    dp/single-chip semantics the reference itself rejects
+    (dlrm_s_pytorch.py:1040-1044)."""
+
+    def _vw(self, cfg, seed=0):
+        rng = np.random.RandomState(seed)
+        vals = [
+            rng.uniform(0.5, 1.5, (n,)).astype(np.float32)
+            for n in cfg.table_sizes
+        ]
+        return vals, lambda: [np.array(v) for v in vals]
+
+    def _single(self, cfg, tc, fresh):
+        sstate = init_train_state(cfg, tc)
+        sstate = sstate._replace(params={**sstate.params, "v_W": fresh()})
+        return sstate, make_train_step(cfg, tc, sparse_emb_grad=False)
+
+    def test_hybrid_learned_vw_qr_matches_single_chip(self):
+        import jax.numpy as jnp
+
+        cfg = dataclasses.replace(QR_CFG, weighted_pooling="learned")
+        tc = TC.replace(grad_quant_bits=32)
+        _, fresh = self._vw(cfg)
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(cfg.table_sizes, 8, kinds=_kinds(cfg))
+        hstate = hybrid.init_hybrid_state(cfg, tc, mesh, plan)
+        vals = fresh()
+        hstate = hstate._replace(
+            vw=hybrid.pack_vw([jnp.asarray(v) for v in vals], plan, mesh),
+            mlp={
+                **hstate.mlp,
+                "vw_trick": {
+                    k: jnp.asarray(vals[int(k)])
+                    for k in hstate.mlp["vw_trick"]
+                },
+            },
+        )
+        hstep = hybrid.make_hybrid_train_step(cfg, tc, mesh, plan)
+        sstate, sstep = self._single(cfg, tc, fresh)
+        rng = np.random.RandomState(31)
+        for _ in range(3):
+            b = random_batch(cfg, 64, rng)
+            hstate, hl = hstep(hstate, b)
+            jax.block_until_ready(hstate)
+            sstate, sl = sstep(sstate, b)
+            assert np.isclose(float(hl), float(sl), rtol=1e-4)
+        hv = hybrid.unpack_vw(hstate.vw, plan, cfg.table_sizes)
+        moved = 0.0
+        for k in range(cfg.num_tables):
+            got = (
+                hv[k]
+                if cfg.table_kind(k) == "dense"
+                else hstate.mlp["vw_trick"][str(k)]
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(sstate.params["v_W"][k]), atol=1e-5
+            )
+            moved = max(
+                moved,
+                float(
+                    np.max(
+                        np.abs(
+                            np.asarray(sstate.params["v_W"][k])
+                            - self._vw(cfg)[0][k]
+                        )
+                    )
+                ),
+            )
+        assert moved > 1e-6  # learned weights actually trained
+
+    def test_rowshard_learned_vw_qr_matches_single_chip(self):
+        import jax.numpy as jnp
+
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel import rowshard
+
+        cfg = dataclasses.replace(QR_CFG, weighted_pooling="learned")
+        tc = TC.replace(grad_quant_bits=32)
+        _, fresh = self._vw(cfg)
+        mesh = make_mesh(8)
+        plan = rowshard.plan_row_sharding(cfg.table_sizes, 8, kinds=_kinds(cfg))
+        rstate = rowshard.init_rowshard_state(cfg, tc, mesh, plan)
+        vals = fresh()
+        rstate = rstate._replace(
+            vw=rowshard.pack_rows_vw(
+                [jnp.asarray(v) for v in vals], plan, mesh
+            ),
+            mlp={
+                **rstate.mlp,
+                "vw_trick": {
+                    k: jnp.asarray(vals[int(k)])
+                    for k in rstate.mlp["vw_trick"]
+                },
+            },
+        )
+        rstep = rowshard.make_rowshard_train_step(cfg, tc, mesh, plan)
+        sstate, sstep = self._single(cfg, tc, fresh)
+        rng = np.random.RandomState(37)
+        for _ in range(3):
+            b = random_batch(cfg, 64, rng)
+            rstate, rl = rstep(rstate, b)
+            jax.block_until_ready(rstate)
+            sstate, sl = sstep(sstate, b)
+            assert np.isclose(float(rl), float(sl), rtol=1e-4)
+        rv = rowshard.unpack_rows_vw(rstate.vw, plan, cfg.table_sizes)
+        for k in range(cfg.num_tables):
+            got = (
+                rv[k]
+                if cfg.table_kind(k) == "dense"
+                else rstate.mlp["vw_trick"][str(k)]
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(sstate.params["v_W"][k]), atol=1e-5
+            )
+
+    def test_hybrid_eval_applies_trick_vw(self):
+        import jax.numpy as jnp
+
+        from deep_quantized_recommendation_model_dqrm_tpu.models import dlrm
+
+        cfg = dataclasses.replace(QR_CFG, weighted_pooling="learned")
+        _, fresh = self._vw(cfg, seed=4)
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(cfg.table_sizes, 8, kinds=_kinds(cfg))
+        hstate = hybrid.init_hybrid_state(cfg, TC, mesh, plan)
+        vals = fresh()
+        hstate = hstate._replace(
+            vw=hybrid.pack_vw([jnp.asarray(v) for v in vals], plan, mesh),
+            mlp={
+                **hstate.mlp,
+                "vw_trick": {
+                    k: jnp.asarray(vals[int(k)])
+                    for k in hstate.mlp["vw_trick"]
+                },
+            },
+        )
+        ev = hybrid.make_hybrid_eval_step(cfg, mesh, plan)
+        sstate = init_train_state(cfg, TC)
+        sstate = sstate._replace(params={**sstate.params, "v_W": fresh()})
+        b = random_batch(cfg, 64, np.random.RandomState(41))
+        probs = np.asarray(ev(hstate, b))
+        ref = np.asarray(dlrm.predict(cfg, sstate.params, b))
+        np.testing.assert_allclose(probs, ref, atol=1e-5)
