@@ -213,7 +213,9 @@ def _rebuild_serving_model(arrays, meta) -> ServingModel:
 
     emb = []
     for a, m in zip(arrays["emb"], meta["emb"]):
-        if isinstance(m, dict):
+        if not a:
+            emb.append(None)  # fused-gather placeholder (make_serving_fn)
+        elif isinstance(m, dict):
             emb.append(
                 {k: (pt_from(v, m[k]) if k in m else v) for k, v in a.items()}
             )
@@ -234,9 +236,48 @@ def _rebuild_serving_model(arrays, meta) -> ServingModel:
     )
 
 
+def _fuse_packed_tables(arrays, meta, cfg):
+    """Concatenate all eligible packed tables into ONE uint8 mega-array so
+    the per-batch lookup is a single `take` instead of one gather op per
+    table (round 5: the serving-side cousin of the training fused
+    mega-table — serving has no scatter side, so only the gather-op count
+    changes). Eligible: plain dense PackedTable entries with per-table
+    symmetric scales (bias None — the QAT export path) and uniform
+    bits/dim. Returns (arrays', fused_meta) where fused tables' per-table
+    data entries are REPLACED by one arrays["fused"] = {"data", "scale"}
+    and fused_meta carries static (ks, base_rows)."""
+    ks = [
+        k
+        for k, (a, m) in enumerate(zip(arrays["emb"], meta["emb"]))
+        if not isinstance(m, dict) and "bias" not in a
+    ]
+    if len(ks) < 2:
+        return arrays, None
+    bits_dims = {(meta["emb"][k][0], meta["emb"][k][1]) for k in ks}
+    if len(bits_dims) != 1:
+        return arrays, None
+    base = np.zeros(len(ks), np.int64)
+    off = 0
+    for i, k in enumerate(ks):
+        base[i] = off
+        off += arrays["emb"][k]["data"].shape[0]
+    fused = {
+        "data": jnp.concatenate([arrays["emb"][k]["data"] for k in ks], axis=0),
+        "scale": jnp.stack([arrays["emb"][k]["scale"] for k in ks]),
+    }
+    arrays = dict(arrays)
+    arrays["emb"] = [
+        ({} if k in set(ks) else a) for k, a in enumerate(arrays["emb"])
+    ]
+    arrays["fused"] = fused
+    bits, dim = next(iter(bits_dims))
+    return arrays, {"ks": tuple(ks), "base": base, "bits": bits, "dim": dim}
+
+
 def make_serving_fn(sm: ServingModel, use_pallas_lookup: bool = False,
                     use_pallas_mlp: bool = False, mlp_impl: str = None,
-                    onehot_lookup_max_rows: int = 0):
+                    onehot_lookup_max_rows: int = 0,
+                    fused_gather: bool = False):
     """Jitted inference: Batch -> click probabilities [B]. Weights are jit
     ARGUMENTS (device-resident), not inlined constants.
 
@@ -250,11 +291,19 @@ def make_serving_fn(sm: ServingModel, use_pallas_lookup: bool = False,
     one-hot matmul kernel instead of the ~5.5 ns/row serial gather — the
     serving analogue of the training-side onehot_lookup_max_rows. The
     gather is the dominant serving cost at large batch (VERDICT round-2
-    #6); measured sweep: tools/bench_serving.py."""
+    #6); measured sweep: tools/bench_serving.py.
+
+    fused_gather: concatenate all symmetric same-shape packed tables into
+    one mega-array and look them up with ONE gather (global ids = local +
+    per-table base) instead of one gather op per table; equivalence:
+    tests/test_serving.py::test_fused_gather_matches."""
     cfg = sm.config
     if mlp_impl is None:
         mlp_impl = "pallas" if use_pallas_mlp else "xla"
     arrays, meta = _serving_arrays(sm)
+    fused_meta = None
+    if fused_gather and onehot_lookup_max_rows == 0 and not use_pallas_lookup:
+        arrays, fused_meta = _fuse_packed_tables(arrays, meta, cfg)
 
     def lookup(pt: PackedTable, ids, msk):
         if 0 < pt.rows <= onehot_lookup_max_rows:
@@ -263,10 +312,49 @@ def make_serving_fn(sm: ServingModel, use_pallas_lookup: bool = False,
             return packed_pooled_lookup_pallas(pt, ids)
         return packed_pooled_lookup(pt, ids, msk)
 
+    def fused_lookup(arrs, batch):
+        """One gather for all fused tables: {k: pooled [B, D]}."""
+        from deep_quantized_recommendation_model_dqrm_tpu.ops.pallas.packed_embedding import (
+            _unpack_rows,
+        )
+
+        ks = fused_meta["ks"]
+        sel = jnp.asarray(np.asarray(ks, np.int32))
+        base = jnp.asarray(fused_meta["base"])
+        ids = jnp.take(batch.indices, sel, axis=0)  # [Tf, B, P]
+        gids = ids + base[:, None, None]
+        Tf, B, P = ids.shape
+        raw = jnp.take(
+            arrs["fused"]["data"], gids.reshape(-1), axis=0
+        )  # [Tf*B*P, Dp]
+        pt_like = PackedTable(
+            data=arrs["fused"]["data"], scale=None, bias=None,
+            bits=fused_meta["bits"], dim=fused_meta["dim"],
+        )
+        vals = _unpack_rows(pt_like, raw).reshape(Tf, B, P, -1)
+        w = arrs["fused"]["scale"][:, None, None, None]  # per-table scale
+        if batch.mask is not None:
+            m = jnp.take(batch.mask, sel, axis=0).astype(jnp.float32)
+            w = w * m[..., None]
+        if arrs.get("vw") is not None:
+            wv = jnp.stack(
+                [jnp.take(arrs["vw"][k], ids[i], axis=0) for i, k in enumerate(ks)]
+            ).astype(jnp.float32)
+            w = w * wv[..., None]
+        pooled = jnp.sum(vals * w, axis=2)  # [Tf, B, D]
+        return {k: pooled[i] for i, k in enumerate(ks)}
+
     def fn(arrs, batch: dlrm.Batch) -> jax.Array:
-        m_ = _rebuild_serving_model(arrs, meta)
+        fused_pooled = fused_lookup(arrs, batch) if fused_meta else {}
+        m_ = _rebuild_serving_model(
+            {k2: v for k2, v in arrs.items() if k2 != "fused"}, meta
+        )
         ly = []
         for k, e in enumerate(m_.emb):
+            if k in fused_pooled:
+                # vw/mask were already composed inside the fused gather
+                ly.append(fused_pooled[k])
+                continue
             ids = batch.indices[k]
             msk = batch.mask[k] if batch.mask is not None else None
             if m_.vw is not None:

@@ -3,8 +3,10 @@ and communication-volume accounting.
 
 Re-designs of the reference's tooling (SURVEY §2.7):
 - `tools/visualize.py` (UMAP/t-SNE of trained tables) -> `embedding_projection`
-  (numpy PCA by default — no sklearn/umap dependency — with optional t-SNE
-  if sklearn is importable);
+  (t-SNE by default via sklearn, matching the reference's nonlinear view;
+  numpy PCA fallback when sklearn is missing or the table is too big);
+- `dlrm_s_pytorch_single_gpu_documentingp.py` gradient dumps ->
+  `grad_distribution_report` over `--documenting-table-grads` npz files;
 - `python_profiling_script/discovering_rowise_hotness.py` (per-row access
   counts -> table{j}rowranking.txt) -> `RowHotness`;
 - `python_profiling_script/finding_kaggle_compression_ratio.py` (model size
@@ -23,18 +25,38 @@ import numpy as np
 
 
 def embedding_projection(
-    table: np.ndarray, n_components: int = 2, method: str = "pca", seed: int = 0
+    table: np.ndarray,
+    n_components: int = 2,
+    method: str = "tsne",
+    seed: int = 0,
+    max_tsne_rows: int = 10000,
 ) -> np.ndarray:
-    """Project [rows, D] embeddings to 2-D for visualization."""
+    """Project [rows, D] embeddings to 2-D for visualization.
+
+    Default is t-SNE (the reference's tools/visualize.py nonlinear view;
+    UMAP is not in this environment) with the standard PCA pre-reduction to
+    <=50 dims; falls back to plain PCA when sklearn is unavailable or the
+    table exceeds `max_tsne_rows` (t-SNE is O(n^2) — force it on a
+    deterministic row subsample for bigger tables if needed). Pass
+    method="pca" for the linear projection."""
     x = np.asarray(table, np.float64)
     x = x - x.mean(0)
-    if method == "tsne":
+    if method == "tsne" and x.shape[0] <= max_tsne_rows:
         try:
             from sklearn.manifold import TSNE  # optional
 
-            return TSNE(n_components=n_components, random_state=seed).fit_transform(x)
+            x50 = x
+            if x.shape[1] > 50:
+                _, _, vt = np.linalg.svd(x, full_matrices=False)
+                x50 = x @ vt[:50].T
+            # perplexity must be < n_samples (sklearn constraint)
+            perp = min(30.0, max(2.0, (x.shape[0] - 1) / 3.0))
+            return TSNE(
+                n_components=n_components, random_state=seed, init="pca",
+                perplexity=perp,
+            ).fit_transform(x50)
         except Exception:
-            method = "pca"
+            pass
     # PCA via SVD
     _, _, vt = np.linalg.svd(x, full_matrices=False)
     return x @ vt[:n_components].T
@@ -248,3 +270,64 @@ def a2a_volume_report(
         "compressed_bytes": compressed,
         "reduction": bytes_fp32 / compressed,
     }
+
+
+def grad_distribution_report(npz_path: str) -> Dict[int, Dict[str, float]]:
+    """Summarize a `--documenting-table-grads` dump (train.document_grads;
+    the analysis half of the reference's gradient-documenting driver,
+    dlrm_s_pytorch_single_gpu_documentingp.py:969-987).
+
+    Per dense table: occurrence/unique-row counts, coalesced row-gradient
+    L2-norm stats (mean/p50/p99/max) and the top hottest rows by touch
+    count. Per trick table: leaf gradient norms. Returns {table_k: stats}.
+    """
+    data = np.load(npz_path)
+    tables: Dict[int, Dict[str, float]] = {}
+    seen = set()
+    for key in data.files:
+        if not key.startswith("table_"):
+            continue
+        k = int(key.split("_")[1])
+        if k in seen:
+            continue
+        seen.add(k)
+        if f"table_{k}_ids" in data.files:
+            ids = data[f"table_{k}_ids"]
+            rows = data[f"table_{k}_rows"]
+            # coalesce duplicate ids (torch .coalesce() semantics) before
+            # norm stats so hot rows aren't double-counted
+            uniq, inv, counts = np.unique(
+                ids, return_inverse=True, return_counts=True
+            )
+            coalesced = np.zeros((uniq.size, rows.shape[1]), np.float64)
+            np.add.at(coalesced, inv, rows.astype(np.float64))
+            norms = np.linalg.norm(coalesced, axis=1)
+            order = np.argsort(-counts)[:10]
+            tables[k] = {
+                "occurrences": int(ids.size),
+                "unique_rows": int(uniq.size),
+                "grad_norm_mean": float(norms.mean()) if norms.size else 0.0,
+                "grad_norm_p50": float(np.percentile(norms, 50)) if norms.size else 0.0,
+                "grad_norm_p99": float(np.percentile(norms, 99)) if norms.size else 0.0,
+                "grad_norm_max": float(norms.max()) if norms.size else 0.0,
+                "hot_rows": [
+                    (int(uniq[i]), int(counts[i])) for i in order
+                ],
+            }
+        else:
+            # QR/MD trick table: dense per-leaf gradients
+            leaves = {
+                key2.split(f"table_{k}_", 1)[1]: data[key2]
+                for key2 in data.files
+                if key2.startswith(f"table_{k}_")
+            }
+            tables[k] = {
+                "trick_leaves": {
+                    name: {
+                        "shape": list(g.shape),
+                        "grad_norm": float(np.linalg.norm(g)),
+                    }
+                    for name, g in leaves.items()
+                }
+            }
+    return tables

@@ -180,6 +180,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dump embedding tables to <log-dir>/table_weights_"
                         "{0,1}.npz before/after training "
                         "(documenting_weights_tables, comm_grad.py:1699)")
+    p.add_argument("--documenting-table-grads", type=int, default=0,
+                   help="every N iterations dump the current batch's sparse "
+                        "per-table embedding gradients (ids + row grads, "
+                        "pre-update params) to <log-dir>/table_grads_it<N>."
+                        "npz (the gradient half of the documenting driver, "
+                        "dlrm_s_pytorch_single_gpu_documentingp.py:969-987; "
+                        "analyze with tools/analysis.grad_distribution_"
+                        "report). parallelism none/dp, single-process")
     # training (dlrm_s_pytorch.py:976-1003)
     p.add_argument("--mini-batch-size", type=int, default=128)
     p.add_argument("--test-mini-batch-size", type=int, default=16384)
@@ -1261,7 +1269,56 @@ def run(argv=None) -> dict:
         rank0_print(rank, f"documented table weights -> {out}")
 
     document_tables("0")
+
+    # --documenting-table-grads: per-batch sparse embedding-grad dumps at a
+    # cadence (the gradient half of the reference documenting driver,
+    # dlrm_s_pytorch_single_gpu_documentingp.py:969-987). Probes the CURRENT
+    # batch against the PRE-update params with a dedicated jitted extractor
+    # so the hot training path is untouched.
+    dtg = args.documenting_table_grads
+    if dtg > 0:
+        if step_mode not in ("none", "dp", "dp-nosync"):
+            raise SystemExit(
+                "--documenting-table-grads supports parallelism none/dp "
+                "(the mega-table engines' shards are not rank-0-addressable)"
+            )
+        if jax.process_count() > 1:
+            raise SystemExit(
+                "--documenting-table-grads is a single-process tool"
+            )
+    _probe_cache: dict = {}
+
+    def document_grads(epoch: int, it_: int, batch) -> None:
+        if rank != 0:
+            return
+        from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+            config_for_epoch,
+            make_grad_probe,
+        )
+
+        eff = config_for_epoch(cfg, tc, epoch)
+        if eff not in _probe_cache:
+            _probe_cache[eff] = make_grad_probe(eff, tc)
+        if step_mode in ("dp", "dp-nosync"):
+            # dp params are mesh-replicated; pull them host-side so the
+            # single-device probe jit takes uncommitted arrays (diagnostic
+            # cadence — the copy is acceptable)
+            params = jax.tree_util.tree_map(np.asarray, dstate.params)
+            qs = jax.tree_util.tree_map(np.asarray, dstate.qstate)
+        else:
+            params, qs = state.params, state.qstate
+        out, ploss = _probe_cache[eff](params, qs, batch)
+        arrs = {k2: np.asarray(v) for k2, v in out.items()}
+        path = os.path.join(args.log_dir or ".", f"table_grads_it{it_}.npz")
+        np.savez(path, **arrs)
+        rank0_print(
+            rank,
+            f"documented table grads at it {it_} "
+            f"(probe loss {float(ploss):.6f}) -> {path}",
+        )
+
     _abuf = []  # pending batches for --mlperf-grad-accum-iter
+    _dtg_last = -1  # last iteration a grad dump fired at
     for epoch in range(start_epoch, tc.nepochs):
         mll.start("epoch", {"num": epoch})
         step_fn = get_step(epoch)
@@ -1280,6 +1337,11 @@ def run(argv=None) -> dict:
                         f"{batch.labels.shape[0]} % {ndev} != 0)",
                     )
                     continue
+            if dtg > 0 and it % dtg == 0 and _dtg_last != it:
+                # (megastep buffering keeps `it` constant for k batches;
+                # dump only the first batch at each cadence point)
+                document_grads(epoch, it, batch)
+                _dtg_last = it
             batch = globalize_batch(batch)
             if accum_n > 1:
                 # gradient accumulation: one optimizer step per accum_n

@@ -766,3 +766,93 @@ def make_eval_step(
         return dlrm.predict(config, state.params, batch, state.qstate)
 
     return jax.jit(eval_fn)
+
+
+def make_grad_probe(config: DLRMConfig, tc: TrainConfig):
+    """Jitted per-batch embedding-gradient extractor for
+    `--documenting-table-grads` (the gradient half of the reference's
+    documenting driver, dlrm_s_pytorch_single_gpu_documentingp.py:969-987
+    `weight.grad` table dumps; weights-only there — grads were a
+    commented-out block — both surfaces are live here).
+
+    Returns fn(params, qstate, batch) -> (out, loss) where `out` maps
+      "table_<k>_ids"  -> [B*P] row ids touched by this batch
+      "table_<k>_rows" -> [B*P, D] per-occurrence row gradients
+                          (duplicate ids NOT coalesced — scatter-add them
+                          to reproduce the dense gradient exactly)
+    for dense tables, and "table_<k>_<leaf>" -> dense gradient arrays for
+    QR/MD trick tables. Gradients are w.r.t. the PRE-update parameters on
+    the given batch — exactly what the training step consumes.
+    """
+    from deep_quantized_recommendation_model_dqrm_tpu.ops.embedding import (
+        rows_grad_from_pooled,
+    )
+
+    qc = config.quant
+    trick_ks = frozenset(
+        k for k in range(config.num_tables) if config.table_kind(k) != "dense"
+    )
+
+    def probe(params: dlrm.Params, qstate: dlrm.QuantState, batch: dlrm.Batch):
+        if qc.enabled:
+            qstate = dlrm.update_emb_scales(config, params, qstate)
+        mlp_params = {k: v for k, v in params.items() if k != "emb"}
+        if trick_ks:
+            mlp_params["emb_trick"] = {
+                str(k): params["emb"][k] for k in sorted(trick_ks)
+            }
+        raw_pooled = dlrm.lookup_all(
+            config,
+            {
+                **params,
+                "emb": jax.tree_util.tree_map(
+                    jax.lax.stop_gradient, params["emb"]
+                ),
+            },
+            batch.indices,
+            batch.mask,
+            full_precision=not qc.enabled,
+        )
+
+        def loss_fn(mlp_p, pooled):
+            if trick_ks:
+                vw = None
+                if config.weighted_pooling is not None:
+                    vw = [jax.lax.stop_gradient(v) for v in params["v_W"]]
+                pooled = dlrm.splice_trick_pooled(
+                    config, mlp_p["emb_trick"], vw, batch.indices,
+                    batch.mask, pooled, trick_ks,
+                )
+            fwd_p = {kk: v for kk, v in mlp_p.items() if kk != "emb_trick"}
+            logits, _ = dlrm.forward(
+                config,
+                {**fwd_p, "emb": params["emb"]},
+                batch,
+                qstate,
+                train=True,
+                raw_pooled=pooled,
+            )
+            return dlrm.training_loss(config, logits, batch.labels)
+
+        loss, (mlp_grads, g_pooled) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1)
+        )(mlp_params, raw_pooled)
+
+        out = {}
+        for k in range(config.num_tables):
+            if k in trick_ks:
+                for leaf_name, g in mlp_grads["emb_trick"][str(k)].items():
+                    out[f"table_{k}_{leaf_name}"] = g
+                continue
+            eff_m = batch.mask[k] if batch.mask is not None else None
+            if config.weighted_pooling is not None:
+                w_rows = jnp.take(params["v_W"][k], batch.indices[k], axis=0)
+                eff_m = w_rows if eff_m is None else eff_m * w_rows
+            ids, vals = rows_grad_from_pooled(
+                g_pooled[k], batch.indices[k], eff_m
+            )
+            out[f"table_{k}_ids"] = ids
+            out[f"table_{k}_rows"] = vals
+        return out, loss
+
+    return jax.jit(probe)

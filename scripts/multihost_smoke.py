@@ -138,9 +138,66 @@ def worker(rank: int) -> None:
     print(f"[rank {pid}/{pcount}] 3 hybrid a2a steps OK, hloss {hloss_v:.6f}",
           flush=True)
 
+    # --- hybrid k=2 SCAN megastep across the process boundary (round 5,
+    # VERDICT r4 #5): the a2a collective inside the lax.scan body must
+    # rendezvous across BOTH processes ---
+    from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
+        stack_batches,
+    )
+
+    hstacked = make_global_batch(
+        stack_batches(
+            [
+                dlrm.Batch(
+                    dense=np.asarray(full.dense),
+                    indices=np.asarray(full.indices),
+                    labels=np.asarray(full.labels),
+                    mask=None,
+                )
+            ]
+            * 2
+        ),
+        mesh,
+        dlrm.Batch(dense=P(), indices=P(), labels=P(), mask=None),
+    )
+    hmstep = hybrid.make_hybrid_train_step(
+        cfg, tc, mesh, plan, steps_per_dispatch=2
+    )
+    hstate, hmloss = hmstep(hstate, hstacked)
+    hmloss_v = float(hmloss)
+    assert np.isfinite(hmloss_v)
+    jax.block_until_ready(hstate)
+    print(f"[rank {pid}/{pcount}] hybrid k=2 scan megastep OK, "
+          f"hmloss {hmloss_v:.6f}", flush=True)
+
+    # --- sharded Orbax save/restore across the process boundary: each
+    # process writes/reads only its mega-table shards; the restored state
+    # must continue training on the SAME trajectory ---
+    from deep_quantized_recommendation_model_dqrm_tpu.utils.checkpoint_orbax import (
+        restore_sharded,
+        save_sharded,
+    )
+
+    ckpt_dir = os.environ["SMOKE_CKPT_DIR"]
+    save_sharded(os.path.join(ckpt_dir, "hyb"), hstate, {"it": 7})
+    cont_state, cont_loss = hstep(hstate, hbatch)  # counterfactual next step
+    cont_v = float(cont_loss)
+    jax.block_until_ready(cont_state)
+    fresh = hybrid.init_hybrid_state(cfg, tc, mesh, plan, seed=99)
+    restored, meta = restore_sharded(os.path.join(ckpt_dir, "hyb"), fresh)
+    assert int(meta.get("it", -1)) == 7
+    _, rest_loss = hstep(restored, hbatch)
+    rest_v = float(rest_loss)
+    assert rest_v == cont_v, (rest_v, cont_v)
+    print(f"[rank {pid}/{pcount}] sharded orbax round-trip OK, "
+          f"oloss {rest_v:.6f}", flush=True)
+
 
 def launcher() -> int:
+    import tempfile
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt_dir = tempfile.mkdtemp(prefix="smoke_hyb_ckpt_")
     env_base = {
         **os.environ,
         "PYTHONPATH": repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""),
@@ -148,6 +205,7 @@ def launcher() -> int:
         "COORDINATOR_ADDRESS": f"127.0.0.1:{PORT}",
         "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
         "JAX_PLATFORMS": "cpu",
+        "SMOKE_CKPT_DIR": ckpt_dir,
     }
     procs = []
     for rank in range(2):
@@ -187,16 +245,35 @@ def launcher() -> int:
         for line in out.splitlines()
         if "scan megastep OK, mloss" in line
     ]
+    hmlosses = [
+        line.split("hmloss ")[-1]
+        for out in outputs
+        for line in out.splitlines()
+        if "hybrid k=2 scan megastep OK" in line
+    ]
+    olosses = [
+        line.split("oloss ")[-1]
+        for out in outputs
+        for line in out.splitlines()
+        if "sharded orbax round-trip OK" in line
+    ]
+    import shutil
+
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
     if (
         rc == 0
         and len(losses) == 2 and losses[0] == losses[1]
         and len(hlosses) == 2 and hlosses[0] == hlosses[1]
         and len(mlosses) == 2 and mlosses[0] == mlosses[1]
+        and len(hmlosses) == 2 and hmlosses[0] == hmlosses[1]
+        and len(olosses) == 2 and olosses[0] == olosses[1]
     ):
         print("MULTIHOST SMOKE OK: both ranks agree, dp loss", losses[0],
-              "scan-megastep loss", mlosses[0], "hybrid loss", hlosses[0])
+              "scan-megastep loss", mlosses[0], "hybrid loss", hlosses[0],
+              "hybrid-scan loss", hmlosses[0], "orbax loss", olosses[0])
         return 0
-    print("MULTIHOST SMOKE FAILED", rc, losses, hlosses, mlosses)
+    print("MULTIHOST SMOKE FAILED", rc, losses, hlosses, mlosses,
+          hmlosses, olosses)
     return 1
 
 

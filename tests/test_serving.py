@@ -357,3 +357,42 @@ class TestOnehotServingLookup:
         p0 = np.asarray(make_serving_fn(sm)(b))
         p1 = np.asarray(make_serving_fn(sm, onehot_lookup_max_rows=600)(b))
         np.testing.assert_allclose(p1, p0, rtol=1e-5, atol=1e-6)
+
+
+class TestFusedGather:
+    """fused_gather=True: one mega-gather over all symmetric packed tables
+    (round 5 serving optimization) must be numerically identical to the
+    per-table gather path."""
+
+    def test_fused_gather_matches(self, trained):
+        b = random_batch(CFG, 64, np.random.RandomState(7))
+        for bits in (4, 8):
+            sm = ptq_export(CFG, trained, emb_bits=bits, mlp_bits=8)
+            p_ref = np.asarray(make_serving_fn(sm)(b))
+            p_fused = np.asarray(make_serving_fn(sm, fused_gather=True)(b))
+            np.testing.assert_allclose(p_fused, p_ref, atol=1e-6)
+
+    def test_fused_gather_with_vw_and_mask(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, weighted_pooling="fixed")
+        params = dlrm.init_params(cfg, seed=1)
+        rng = np.random.RandomState(0)
+        params["v_W"] = [
+            rng.uniform(0.5, 1.5, (n,)).astype(np.float32)
+            for n in cfg.table_sizes
+        ]
+        b = random_batch(cfg, 32, np.random.RandomState(9))
+        sm = ptq_export(cfg, params, emb_bits=4, mlp_bits=8)
+        p_ref = np.asarray(make_serving_fn(sm)(b))
+        p_fused = np.asarray(make_serving_fn(sm, fused_gather=True)(b))
+        np.testing.assert_allclose(p_fused, p_ref, atol=1e-6)
+
+    def test_fused_gather_rowwise_falls_back(self, trained):
+        # rowwise (asymmetric per-row) tables are ineligible; the fused flag
+        # must silently fall back to the per-table path and stay exact
+        b = random_batch(CFG, 32, np.random.RandomState(11))
+        sm = ptq_export(CFG, trained, emb_bits=4, mlp_bits=8, rowwise=True)
+        p_ref = np.asarray(make_serving_fn(sm)(b))
+        p_fused = np.asarray(make_serving_fn(sm, fused_gather=True)(b))
+        np.testing.assert_allclose(p_fused, p_ref, atol=1e-6)
