@@ -118,11 +118,25 @@ def sustained_ms_per_it(step_fn, state, arg, steps_per_call, n1=N1, n2=N2):
 
 
 def _serving_preds_per_s():
-    """INT4 packed Kaggle serving throughput (tools/bench_serving.py
-    methodology). Runs FIRST, on a clean process/HBM — measured 2026-08-21
-    that running it after the training sections reads ~45% low (leftover
-    buffers/fragmentation bias the packed-gather chain). Frees everything
-    it allocates before returning."""
+    """INT4 packed Kaggle serving throughput. Runs FIRST, on a clean
+    process/HBM — measured 2026-08-21 that running it after the training
+    sections reads ~45% low (leftover buffers/fragmentation bias the
+    packed-gather chain). Frees everything it allocates before returning.
+
+    ESTIMATOR (round 5, supersedes the round-4 best-of-3 min-of-SLOPES):
+    chain-TIME noise on the tunnel is strictly positive-additive (stalls
+    only ever ADD time), so min-over-repeats of each chain time converges
+    on the clean run and the SLOPE OF THE TWO MINIMA is a robust latency
+    estimate:  lat = (min T(n2) - min T(n1)) / (n2 - n1).
+    min-of-slopes by contrast is biased LOW — a stall landing in the SHORT
+    chain shrinks that pair's slope, and taking the min then selects the
+    most-stalled pair (the same artifact class as the round-3 Terabyte
+    pre-drain discovery). That bias is how the retracted 10.03M round-4
+    figure outran the 6.31M driver capture; honest device latency measured
+    2026-08-21 is ~2.1 ms at B=16384 => ~7.8M preds/s. Distribution data:
+    scripts/diag_serving{,2,3,4}.py (larger batches do NOT help — B=32768
+    ties, B>=65536 regresses; a fused all-table mega-gather is 3x WORSE,
+    small-table gathers lose their locality inside the big array)."""
     import jax.numpy as jnp
 
     from deep_quantized_recommendation_model_dqrm_tpu.serving import (
@@ -156,13 +170,11 @@ def _serving_preds_per_s():
 
     srun(2)  # warm both input specializations
     srun(3)  # drain
-    # best-of-3 slopes: the ~2 ms serving chain is the most
-    # tunnel-noise-sensitive metric (observed 4.8-7.8M preds/s on single
-    # slopes; the min-latency slope is the honest device number)
-    lat = float("inf")
-    for _ in range(3):
-        t1, t2 = srun(10), srun(30)
-        lat = min(lat, (t2 - t1) / 20)
+    srun(3)  # drain again
+    n1, n2, reps = 40, 120, 8
+    t1 = min(srun(n1) for _ in range(reps))
+    t2 = min(srun(n2) for _ in range(reps))
+    lat = (t2 - t1) / (n2 - n1)
     preds = SB / lat
     jax.tree_util.tree_map(
         lambda x: x.delete() if hasattr(x, "delete") else None,

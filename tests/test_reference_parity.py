@@ -435,3 +435,50 @@ class TestGradAccumParity:
             np.testing.assert_allclose(
                 np.asarray(la["w"]), np.asarray(lb["w"]), atol=1e-6
             )
+
+
+class TestLongHorizon:
+    """Training-scale reference A/B (round 5, VERDICT r4 #7): 2000 SGD
+    steps of the full-INT4 QAT config vs the in-process torch reference on
+    identical init + batches.
+
+    Measured divergence shape (scripts/long_ab.py, curve recorded in
+    artifacts/long_ab_divergence.csv): per-step relative loss difference
+    has mean ~1e-7 across ALL 2000 steps with NO cumulative drift; a
+    handful of isolated steps (14/2000) spike to 1e-3..3e-2 when a value
+    lands within float-epsilon of a fake-quant 0.5 rounding boundary and
+    torch/XLA round opposite ways — the trajectory re-converges within a
+    step (the quantized weight grid re-absorbs the flip). The assertions
+    below encode that shape: tight central tendency, bounded flip
+    frequency, no drift."""
+
+    @pytest.mark.slow
+    def test_2000_step_full_int4_trajectory(self):
+        n_steps = 2000
+        cfg = dataclasses.replace(
+            CFG_BASE,
+            quant=QuantConfig(
+                enabled=True, embedding_bit=4, weight_bit=4, bias_bit=4,
+                quantize_mlp=True, scale_update_period=1,
+            ),
+        )
+        batches = _make_batches(n_steps)
+        params0 = dlrm.init_params(cfg, TC.seed)
+        ref = run_reference(
+            _weights_numpy(params0), batches, lr=LR, mode="full4",
+            embedding_bit=4, weight_bit=4,
+        )
+        _, losses = _run_ours_single(cfg, batches)
+        ours = np.asarray(losses)
+        refs = np.asarray(ref["losses"])
+        rel = np.abs(ours - refs) / np.maximum(np.abs(refs), 1e-12)
+        # central tendency: numerics match at float precision
+        assert np.median(rel) < 1e-6, float(np.median(rel))
+        assert rel.mean() < 1e-4, float(rel.mean())
+        # no cumulative drift: the last quarter is as tight as the first
+        assert np.median(rel[1500:]) < 1e-5, float(np.median(rel[1500:]))
+        # round-boundary flips are rare and bounded
+        assert (rel > 1e-3).mean() < 0.015, float((rel > 1e-3).mean())
+        assert rel.max() < 0.1, float(rel.max())
+        # end state agrees
+        assert abs(ours[-1] - refs[-1]) / refs[-1] < 1e-3

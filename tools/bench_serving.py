@@ -24,10 +24,13 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def _sustained_latency_s(fn, batch, n1: int, n2: int) -> float:
-    """Per-call latency via chained dispatches + one readback, slope of two
-    chain lengths. `fn(batch) -> scores [B]`; the next call's dense input
-    adds scores[0]*0 so the chain is data-dependent end to end."""
+def _sustained_latency_s(fn, batch, n1: int, n2: int, reps: int = 6) -> float:
+    """Per-call latency via chained dispatches + one readback, slope of the
+    MIN chain times over `reps` repeats (chain-time noise is strictly
+    positive-additive, so the minima converge on the clean runs; a single
+    pair's slope is stall-biased — see bench._serving_preds_per_s).
+    `fn(batch) -> scores [B]`; the next call's dense input adds scores[0]*0
+    so the chain is data-dependent end to end."""
     import jax.numpy as jnp
 
     def run(n):
@@ -41,14 +44,16 @@ def _sustained_latency_s(fn, batch, n1: int, n2: int) -> float:
         return time.perf_counter() - t0
 
     run(2)  # warm both input shapes/specializations
-    t1, t2 = run(n1), run(n2)
+    run(3)  # drain
+    t1 = min(run(n1) for _ in range(reps))
+    t2 = min(run(n2) for _ in range(reps))
     return (t2 - t1) / (n2 - n1)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16384)
-    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--iters", type=int, default=120)
     ap.add_argument("--emb-bits", type=int, default=4)
     ap.add_argument("--onehot-sweep", type=str, default="",
                     help="comma list of onehot_lookup_max_rows thresholds "
