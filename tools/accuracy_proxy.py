@@ -52,10 +52,12 @@ K = 16  # steps per dispatch
 def mode_config(mode: str):
     if mode == "fp32":
         return kaggle_config()
-    if mode == "emb4":
+    if mode.startswith("emb") and mode[3:] in ("4", "8", "16"):
+        # emb-only QAT at 4/8/16 bits — the paper Table 2 sweep axis
+        # (README.md:42-45, bash_scripts/Kaggle/emb_bit_{4,8,16}.txt)
         return kaggle_config(
-            QuantConfig(enabled=True, embedding_bit=4, quantize_mlp=False,
-                        scale_update_period=200)
+            QuantConfig(enabled=True, embedding_bit=int(mode[3:]),
+                        quantize_mlp=False, scale_update_period=200)
         )
     if mode == "full4":
         return kaggle_config(
