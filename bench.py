@@ -391,6 +391,97 @@ def main() -> None:
 
         print(f"terabyte bench failed: {e!r}", file=sys.stderr)
 
+    # ---- Terabyte HYBRID (mega-table) engine (round 5 discovery) ----
+    # One [49M, 64] bf16 mega-table: the forward is ONE fused gather and
+    # the update ONE scatter instead of 26 per-table ops — measured ~2x
+    # faster than the plain per-table step at Terabyte scale (4.72 vs
+    # 9.96 ms/it at k=8; scripts/bench_tb_hybrid.py), where every table is
+    # scatter-latency bound and the Kaggle one-hot small-table trick does
+    # not apply. The mega is built pinned row-major IN PLACE (donated
+    # chunked inserts — compact+padded/full double-buffering OOMs).
+    terabyte_hybrid_ms = None
+    try:
+        from deep_quantized_recommendation_model_dqrm_tpu.parallel import (
+            hybrid as _hyb,
+        )
+
+        # free the plain-terabyte state first (12.6 GB pinned)
+        try:
+            jax.tree_util.tree_map(
+                lambda x: x.delete() if hasattr(x, "delete") else None,
+                tstate,
+            )
+            del tstate
+        except NameError:
+            pass
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        tplan = _hyb.plan_table_sharding(tcfg.table_sizes, 1)
+        fmt = _rowmajor_format()
+        tmega = jax.jit(
+            lambda: jnp.zeros(
+                (tplan.n_dev * tplan.block_rows, tcfg.embedding_dim),
+                jnp.bfloat16,
+            ),
+            out_shardings=fmt,
+        )()
+        tmega.block_until_ready()
+        _insert = jax.jit(
+            lambda m, t, s: jax.lax.dynamic_update_slice(m, t, (s, 0)),
+            donate_argnums=(0,),
+            in_shardings=(fmt, None, None),
+            out_shardings=fmt,
+        )
+        key = jax.random.PRNGKey(0)
+        CHUNK = 2_000_000  # bounds the PRNG uint32-bits transient
+        for k, n in enumerate(tcfg.table_sizes):
+            bound = (1.0 / n) ** 0.5
+            tb0 = (
+                int(tplan.table_rank[k]) * tplan.block_rows
+                + int(tplan.table_base[k])
+            )
+            for off in range(0, n, CHUNK):
+                rows = min(CHUNK, n - off)
+                key, sub = jax.random.split(key)
+                tt = jax.random.uniform(
+                    sub, (rows, tcfg.embedding_dim), jnp.bfloat16,
+                    -bound, bound,
+                )
+                tmega = _insert(tmega, tt, tb0 + off)
+                tmega.block_until_ready()
+                tt.delete()
+        rep1 = NamedSharding(mesh1, P())
+        tmlp_p = _fast_device_init(
+            _dc.replace(tcfg, table_sizes=(1,) * tcfg.num_tables)
+        )
+        thstate = _hyb.HybridState(
+            mega=tmega,
+            mlp=jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep1),
+                {"bot": tmlp_p["bot"], "top": tmlp_p["top"]},
+            ),
+            qstate=jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep1),
+                dlrm.init_quant_state(tcfg),
+            ),
+            vw=None,
+        )
+        thstep = _hyb.make_hybrid_train_step(
+            tcfg, ttc, mesh1, tplan, steps_per_dispatch=K,
+            pin_mega_layout=True,
+        )
+        terabyte_hybrid_ms, thstate = sustained_ms_per_it(
+            thstep, thstate, t_arg, K, n1=6, n2=18
+        )
+        jax.tree_util.tree_map(
+            lambda x: x.delete() if hasattr(x, "delete") else None, thstate
+        )
+    except Exception as e:  # pragma: no cover - keep the headline alive
+        import sys
+
+        print(f"terabyte hybrid bench failed: {e!r}", file=sys.stderr)
+
     out = {
         "metric": "qat_train_step_ms",
         "value": round(best, 4),
@@ -403,6 +494,11 @@ def main() -> None:
     if terabyte_ms is not None:
         out["terabyte_ms"] = round(terabyte_ms, 4)
         out["terabyte_vs_baseline"] = round(29.0 / terabyte_ms, 2)
+    if terabyte_hybrid_ms is not None:
+        out["terabyte_hybrid_ms"] = round(terabyte_hybrid_ms, 4)
+        out["terabyte_hybrid_vs_baseline"] = round(
+            29.0 / terabyte_hybrid_ms, 2
+        )
     if serving_preds_s is not None:
         out["serving_preds_per_s"] = round(serving_preds_s)
     print(json.dumps(out))

@@ -259,6 +259,35 @@ def _assemble_pooled(
     return jnp.stack(parts)
 
 
+
+def _mega_layout_spec(mesh: Mesh, axis: str, has_vw: bool):
+    """in/out-shardings pytree pinning ONLY the mega-table leaf row-major
+    (comm_grad._pin_format semantics; vw is 1-D so layout is trivial)."""
+    from jax.experimental.layout import Format, Layout
+
+    fmt = Format(
+        Layout(major_to_minor=(0, 1)), NamedSharding(mesh, P(axis))
+    )
+    return HybridState(
+        mega=fmt, mlp=None, qstate=None, vw=None
+    )
+
+
+def pin_mega_state(state: "HybridState", mesh: Mesh, axis: str = "mp"):
+    """Relayout the mega-table to row-major, freeing the compact original
+    (the Terabyte-scale compact + padded copies cannot coexist — pin small
+    models only, or build the mega pinned per-block like bench scripts)."""
+    from jax.experimental.layout import Format, Layout
+
+    fmt = Format(
+        Layout(major_to_minor=(0, 1)), NamedSharding(mesh, P(axis))
+    )
+    mega = jax.device_put(state.mega, fmt)
+    mega.block_until_ready()
+    state.mega.delete()
+    return state._replace(mega=mega)
+
+
 class HybridState(NamedTuple):
     mega: jax.Array  # [n_dev*block_rows, D] row-sharded embedding mega-table
     mlp: Any  # replicated MLP params {"bot": [...], "top": [...]}
@@ -351,6 +380,7 @@ def make_hybrid_train_step(
     has_mask: bool = False,
     steps_per_dispatch: int = 1,
     use_scan: bool = True,
+    pin_mega_layout: bool = False,
 ):
     """Build the jitted hybrid-parallel train step.
 
@@ -358,6 +388,12 @@ def make_hybrid_train_step(
     k batches or one stacked leading-[k] Batch); with `use_scan` (default)
     they ride `lax.scan` inside the shard_map so compile time is O(1) in k
     — see comm_grad.make_dp_train_step.
+
+    `pin_mega_layout`: constrain the mega-table's in/out layout to
+    row-major (comm_grad._pin_format semantics): XLA stores [n, d] arrays
+    column-major at rest but the embedding scatter wants row-major, so an
+    unpinned Terabyte-scale mega-table pays two full-array conversion
+    copies per dispatch. Pin the state's mega with `pin_mega_state` first.
 
     Input: (HybridState, Batch) where Batch.dense/labels are batch-sharded on
     `axis` and indices/mask are replicated (every device needs the full batch
@@ -413,8 +449,16 @@ def make_hybrid_train_step(
                 base = lbase[s]
                 nxt = lbase[s + 1] if s + 1 < plan.t_max else end
                 in_tbl = (row_ids >= base) & (row_ids < nxt)
-                w_min = jnp.min(jnp.where(in_tbl, row_min, jnp.inf))
-                w_max = jnp.max(jnp.where(in_tbl, row_max, -jnp.inf))
+                # reduce in the block's own dtype; convert only the SCALAR
+                # extrema to f32 (bf16 min/max is exact; a full f32 block
+                # copy would cost GBs at Terabyte scale — see
+                # dlrm.compute_emb_scales NOTE)
+                w_min = jnp.min(
+                    jnp.where(in_tbl, row_min, jnp.inf)
+                ).astype(jnp.float32)
+                w_max = jnp.max(
+                    jnp.where(in_tbl, row_max, -jnp.inf)
+                ).astype(jnp.float32)
                 valid = lids[s] >= 0
                 w_min = jnp.where(valid, w_min, 0.0)
                 w_max = jnp.where(valid, w_max, 0.0)
@@ -591,6 +635,15 @@ def make_hybrid_train_step(
         mega=P(axis), mlp=P(), qstate=P(), vw=P(axis) if has_vw else None
     )
 
+    def _jit_state_fn(fn):
+        if not pin_mega_layout:
+            return jax.jit(fn, donate_argnums=(0,))
+        spec = _mega_layout_spec(mesh, axis, has_vw)
+        return jax.jit(
+            fn, donate_argnums=(0,),
+            in_shardings=(spec, None), out_shardings=(spec, None),
+        )
+
     if steps_per_dispatch > 1:
         if use_scan:
             # scan-in-shard_map megastep (see comm_grad.make_dp_train_step):
@@ -606,15 +659,14 @@ def make_hybrid_train_step(
                 state, losses = jax.lax.scan(device_step, state, stacked)
                 return state, losses[-1]
 
-            step = jax.jit(
+            step = _jit_state_fn(
                 shard_map(
                     device_scan,
                     mesh=mesh,
                     in_specs=(state_specs, stacked_specs),
                     out_specs=(state_specs, P()),
                     check_vma=False,
-                ),
-                donate_argnums=(0,),
+                )
             )
 
             def run(state: HybridState, batches):
@@ -642,7 +694,7 @@ def make_hybrid_train_step(
             out_specs=(state_specs, P()),
             check_vma=False,
         )
-        return jax.jit(step, donate_argnums=(0,))
+        return _jit_state_fn(step)
 
     step = shard_map(
         device_step,
@@ -651,7 +703,7 @@ def make_hybrid_train_step(
         out_specs=(state_specs, P()),
         check_vma=False,
     )
-    return jax.jit(step, donate_argnums=(0,))
+    return _jit_state_fn(step)
 
 
 def make_hybrid_eval_step(

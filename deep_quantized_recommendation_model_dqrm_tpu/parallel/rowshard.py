@@ -283,8 +283,14 @@ def _local_table_ranges(
         lo = table_base[t]
         hi = lo + table_sizes[t]
         in_tbl = (gid >= lo) & (gid < hi)
-        mins.append(jnp.min(jnp.where(in_tbl, row_min, jnp.inf)))
-        maxs.append(jnp.max(jnp.where(in_tbl, row_max, -jnp.inf)))
+        # scalar extrema in f32 (bf16 blocks: min/max is exact in the
+        # block dtype; only the scalars convert — see hybrid._slot_scales)
+        mins.append(
+            jnp.min(jnp.where(in_tbl, row_min, jnp.inf)).astype(jnp.float32)
+        )
+        maxs.append(
+            jnp.max(jnp.where(in_tbl, row_max, -jnp.inf)).astype(jnp.float32)
+        )
     return jnp.stack(mins), jnp.stack(maxs)
 
 

@@ -1179,3 +1179,48 @@ class TestWeightedPooling:
         cfg = dataclasses.replace(CFG, weighted_pooling="learned")
         step = make_train_step(cfg, TC, sparse_emb_grad=True)
         assert step is not None
+
+
+class TestHybridPinnedLayout:
+    def test_pin_mega_layout_matches_unpinned(self):
+        """pin_mega_layout=True (row-major mega in/out layouts, the
+        Terabyte-scale relayout fix — see comm_grad._pin_format) must be
+        numerically identical to the default step."""
+        cfg = CFG
+        tc = TC.replace(grad_quant_bits=32)
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(cfg.table_sizes, 8)
+        s1 = hybrid.init_hybrid_state(cfg, tc, mesh, plan)
+        s2 = hybrid.pin_mega_state(
+            hybrid.init_hybrid_state(cfg, tc, mesh, plan), mesh
+        )
+        st1 = hybrid.make_hybrid_train_step(cfg, tc, mesh, plan)
+        st2 = hybrid.make_hybrid_train_step(
+            cfg, tc, mesh, plan, pin_mega_layout=True
+        )
+        rng = np.random.RandomState(3)
+        for _ in range(2):
+            b = random_batch(cfg, 64, rng)
+            s1, l1 = st1(s1, b)
+            jax.block_until_ready(s1)
+            s2, l2 = st2(s2, b)
+            jax.block_until_ready(s2)
+            assert float(l1) == float(l2)
+        np.testing.assert_allclose(
+            np.asarray(s1.mega), np.asarray(s2.mega), atol=1e-6
+        )
+
+    def test_pin_scan_megastep(self):
+        cfg = CFG
+        tc = TC.replace(grad_quant_bits=32)
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(cfg.table_sizes, 8)
+        s2 = hybrid.pin_mega_state(
+            hybrid.init_hybrid_state(cfg, tc, mesh, plan), mesh
+        )
+        st2 = hybrid.make_hybrid_train_step(
+            cfg, tc, mesh, plan, steps_per_dispatch=2, pin_mega_layout=True
+        )
+        rng = np.random.RandomState(5)
+        s2, l2 = st2(s2, [random_batch(cfg, 64, rng) for _ in range(2)])
+        assert np.isfinite(float(l2))

@@ -59,6 +59,15 @@ class Workload:
     # (VERDICT r3 weak #1); round 4 measured them at ~30% of the plain
     # step even after batching (scripts/bench_dp_breakdown.py).
     measured_dp_step_ms: float = None
+    # honest hybrid ENGINE step time on a 1-device mesh (mega-table
+    # gather/assemble/scatter structure executing, collectives degenerate)
+    # — round 5: the hybrid tables previously used the PLAIN step here,
+    # assuming the mega-table structure free; measured it at +53% on
+    # Kaggle (0.5329 vs 0.3481) and -53% (!) on Terabyte (4.72 vs 9.96 at
+    # matched k=8: ONE fused mega gather/scatter beats 26 per-table ops
+    # when every table is scatter-latency-bound). scripts/bench_engines.py,
+    # scripts/bench_tb_hybrid.py.
+    measured_hybrid_step_ms: float = None
     pooling: int = 1
 
 
@@ -105,11 +114,12 @@ def hybrid_model(w: Workload, chip: Chip, n: int, a2a_bits: int = 32,
 def table(w: Workload, chip: Chip, engine: str, **kw):
     # the dp ENGINE's measured per-chip step time already contains the
     # quantize/coalesce/pack stages; only the wire time overlaps away
-    compute = (
-        w.measured_dp_step_ms
-        if engine == "dp" and w.measured_dp_step_ms is not None
-        else w.measured_step_ms
-    )
+    if engine == "dp" and w.measured_dp_step_ms is not None:
+        compute = w.measured_dp_step_ms
+    elif engine == "hybrid" and w.measured_hybrid_step_ms is not None:
+        compute = w.measured_hybrid_step_ms
+    else:
+        compute = w.measured_step_ms
     rows = []
     for n in (1, 4, 8, 16, 64, 256):
         comm_ms, wire = (
@@ -139,10 +149,12 @@ def main():
     # dp_commgrad_ms 0.4455 (k=16 scan + batched exchange);
     # scripts/bench_tb_dp.py for the Terabyte dp engine number.
     kaggle = Workload("Kaggle INT4 QAT (B=128/chip)", kaggle_config(), 128,
-                      measured_step_ms=0.3428, measured_dp_step_ms=0.4455)
+                      measured_step_ms=0.3481, measured_dp_step_ms=0.4459,
+                      measured_hybrid_step_ms=0.5329)
     tb = Workload("Terabyte INT4 QAT bf16 (B=2048/chip, pinned layout)",
-                  terabyte_config(), 2048, measured_step_ms=9.25,
-                  measured_dp_step_ms=TB_DP_MS)
+                  terabyte_config(), 2048, measured_step_ms=9.24,
+                  measured_dp_step_ms=TB_DP_MS,
+                  measured_hybrid_step_ms=4.72)
     out = []
     for w, engine, kw in (
         (kaggle, "dp", dict(grad_bits=8)),
