@@ -159,7 +159,11 @@ def make_fused_train_step(
         if batch.mask is not None:
             vals = vals * batch.mask[..., None]
         new_mega = mega.at[flat].add(
-            -lr * vals.reshape(-1, vals.shape[-1]), mode="drop"
+            # cast AFTER scaling: an f32 lr x bf16 mega would promote the
+            # update to f32 and XLA wraps the scatter in a FULL-mega
+            # convert (see parallel/hybrid.py — fatal at Terabyte scale)
+            (-lr * vals.reshape(-1, vals.shape[-1])).astype(mega.dtype),
+            mode="drop",
         )
 
         new_qs = qstate._replace(step=qstate.step + 1)

@@ -712,6 +712,7 @@ def make_hybrid_eval_step(
     plan: TableShardingPlan,
     axis: str = "mp",
     has_mask: bool = False,
+    pin_mega_layout: bool = False,
 ):
     """Sharded inference over the hybrid state: tables STAY sharded (no
     single-chip unpack — Terabyte-scale tables may not fit one device);
@@ -767,4 +768,9 @@ def make_hybrid_eval_step(
         out_specs=P(),
         check_vma=False,
     )
+    if pin_mega_layout:
+        # accept the pinned row-major mega without a per-eval relayout
+        # copy (12.6 GB at Terabyte scale)
+        spec = _mega_layout_spec(mesh, axis, config.weighted_pooling is not None)
+        return jax.jit(fn, in_shardings=(spec, None))
     return jax.jit(fn)

@@ -804,11 +804,11 @@ def run(argv=None) -> dict:
         )
     state = init_train_state(cfg, tc)
     if args.pin_table_layout:
-        if args.parallelism not in ("none", "dp"):
+        if args.parallelism not in ("none", "dp", "hybrid"):
             raise SystemExit(
-                "--pin-table-layout applies to the single-chip megastep "
-                "and the dp engine; hybrid/rowshard manage their own "
-                "mega-table layout"
+                "--pin-table-layout applies to the single-chip megastep, "
+                "the dp engine, and the hybrid mega-table engine; "
+                "rowshard manages its own layout"
             )
         if args.parallelism == "none":
             from deep_quantized_recommendation_model_dqrm_tpu.train_step import (
@@ -994,6 +994,13 @@ def run(argv=None) -> dict:
                 f"resumed sharded hybrid state from {args.load_model} @ "
                 f"epoch {start_epoch} batch {start_batch}",
             )
+        if args.pin_table_layout and step_mode == "hybrid":
+            # row-major mega layout: removes the full-mega relayout copies
+            # around the scatter (the round-5 Terabyte-hybrid path — 4.7
+            # ms/it vs 9.96 per-table; see hybrid.pin_mega_state caveat:
+            # compact + padded copies transiently coexist here, so at
+            # Terabyte scale prefer building the mega pinned per-block)
+            hstate = hybrid.pin_mega_state(hstate, mesh)
 
     # Optional K-step megastep: one dispatch per K batches amortizes the
     # ~0.2 ms host dispatch overhead that otherwise dominates DQRM's ~10 us
@@ -1089,7 +1096,9 @@ def run(argv=None) -> dict:
                 )
             elif step_mode == "hybrid":
                 _step_cache[key] = hybrid.make_hybrid_train_step(
-                    eff, tc, mesh, plan, has_mask=has_mask, steps_per_dispatch=k
+                    eff, tc, mesh, plan, has_mask=has_mask,
+                    steps_per_dispatch=k,
+                    pin_mega_layout=args.pin_table_layout,
                 )
             elif step_mode == "rowshard":
                 _step_cache[key] = rowshard.make_rowshard_train_step(
@@ -1205,7 +1214,8 @@ def run(argv=None) -> dict:
             make_hybrid_eval_step,
         )
 
-        _ev = make_hybrid_eval_step(cfg, mesh, plan, has_mask=has_mask)
+        _ev = make_hybrid_eval_step(cfg, mesh, plan, has_mask=has_mask,
+                                    pin_mega_layout=args.pin_table_layout)
         hybrid_eval_fn = pad_eval(
             lambda s, b, _f=_ev: _f(s, globalize_batch(b)),
             len(mesh.devices.reshape(-1)),
