@@ -273,6 +273,54 @@ def _mega_layout_spec(mesh: Mesh, axis: str, has_vw: bool):
     )
 
 
+def pack_tables_pinned_streaming(
+    tables,  # HOST numpy per-table arrays (QR/MD dicts skipped)
+    plan: TableShardingPlan,
+    mesh: Mesh,
+    axis: str = "mp",
+    chunk_rows: int = 2_000_000,
+) -> jax.Array:
+    """Build the mega-table DIRECTLY in the pinned row-major layout by
+    streaming host chunks into a DONATED dynamic_update_slice — device
+    peak is pinned-mega + one chunk. The alternative (pack_tables then
+    pin_mega_state) transiently holds compact + padded copies, which OOMs
+    a 16 GB chip at Terabyte scale (12.6 GB pinned + 6.3 compact)."""
+    from jax.experimental.layout import Format, Layout
+
+    arrays = [t for t in tables if not isinstance(t, dict)]
+    if arrays:
+        D = arrays[0].shape[-1]
+        dt = jnp.bfloat16 if str(arrays[0].dtype) == "bfloat16" else jnp.float32
+    else:
+        D, dt = 1, jnp.float32
+    fmt = Format(
+        Layout(major_to_minor=(0, 1)), NamedSharding(mesh, P(axis))
+    )
+    mega = jax.jit(
+        lambda: jnp.zeros((plan.n_dev * plan.block_rows, D), dt),
+        out_shardings=fmt,
+    )()
+    mega.block_until_ready()
+    insert = jax.jit(
+        lambda m, t, s: jax.lax.dynamic_update_slice(m, t.astype(m.dtype), (s, 0)),
+        donate_argnums=(0,),
+        in_shardings=(fmt, None, None),
+        out_shardings=fmt,
+    )
+    for k, t in enumerate(tables):
+        if isinstance(t, dict):
+            continue
+        base = int(plan.table_rank[k]) * plan.block_rows + int(plan.table_base[k])
+        n = t.shape[0]
+        for off in range(0, n, chunk_rows):
+            c = jnp.asarray(np.asarray(t[off : off + chunk_rows]))
+            mega = insert(mega, c, base + off)
+            mega.block_until_ready()
+            if hasattr(c, "delete"):
+                c.delete()
+    return mega
+
+
 def pin_mega_state(state: "HybridState", mesh: Mesh, axis: str = "mp"):
     """Relayout the mega-table to row-major, freeing the compact original
     (the Terabyte-scale compact + padded copies cannot coexist — pin small
@@ -307,9 +355,15 @@ def init_hybrid_state(
     plan: TableShardingPlan,
     axis: str = "mp",
     seed: Optional[int] = None,
+    pin_mega_layout: bool = False,
 ) -> HybridState:
     params = dlrm.init_params(config, seed if seed is not None else tc.seed)
-    mega = pack_tables(params["emb"], plan, mesh, axis)
+    if pin_mega_layout:
+        # stream host tables into a DONATED pinned mega (device peak =
+        # pinned mega + one chunk; pack-then-pin would OOM at Terabyte)
+        mega = pack_tables_pinned_streaming(params["emb"], plan, mesh, axis)
+    else:
+        mega = pack_tables(params["emb"], plan, mesh, axis)
     # MLPs + quant state are explicitly replicated over the mesh so their
     # shardings survive checkpoint round-trips (Orbax restores into the
     # `like` arrays' shardings; an uncommitted array would come back pinned

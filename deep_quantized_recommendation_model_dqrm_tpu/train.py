@@ -979,7 +979,10 @@ def run(argv=None) -> dict:
                 len(mesh.devices),
                 kinds=tuple(cfg.table_kind(k) for k in range(cfg.num_tables)),
             )
-            hstate = hybrid.init_hybrid_state(cfg, tc, mesh, plan)
+            hstate = hybrid.init_hybrid_state(
+                cfg, tc, mesh, plan,
+                pin_mega_layout=args.pin_table_layout,
+            )
         if args.load_model:
             from deep_quantized_recommendation_model_dqrm_tpu.utils.checkpoint_orbax import (
                 ShardedCheckpointManager,
@@ -994,13 +997,10 @@ def run(argv=None) -> dict:
                 f"resumed sharded hybrid state from {args.load_model} @ "
                 f"epoch {start_epoch} batch {start_batch}",
             )
-        if args.pin_table_layout and step_mode == "hybrid":
-            # row-major mega layout: removes the full-mega relayout copies
-            # around the scatter (the round-5 Terabyte-hybrid path — 4.7
-            # ms/it vs 9.96 per-table; see hybrid.pin_mega_state caveat:
-            # compact + padded copies transiently coexist here, so at
-            # Terabyte scale prefer building the mega pinned per-block)
-            hstate = hybrid.pin_mega_state(hstate, mesh)
+        # (hybrid + --pin-table-layout: the mega was built DIRECTLY in the
+        # pinned row-major layout above — hybrid.pack_tables_pinned_streaming
+        # — so no post-hoc relayout is needed; the round-5 Terabyte-hybrid
+        # path, 4.7 ms/it vs 9.96 per-table)
 
     # Optional K-step megastep: one dispatch per K batches amortizes the
     # ~0.2 ms host dispatch overhead that otherwise dominates DQRM's ~10 us
