@@ -103,13 +103,22 @@ def unfreeze_ranges(qstate: QuantState) -> QuantState:
 # ---------------------------------------------------------------------------
 
 
-def init_params(config: DLRMConfig, seed: int = 0, dtype=jnp.float32) -> Params:
+def init_params(
+    config: DLRMConfig, seed: int = 0, dtype=jnp.float32, host_emb: bool = False
+) -> Params:
     """Initialize the DLRM parameter pytree.
 
     MLP: W ~ N(0, sqrt(2/(fan_in+fan_out))), b ~ N(0, sqrt(1/fan_out))
     (create_mlp, dlrm_s_pytorch.py:199-238). Embeddings: U(-1/sqrt(n),
     1/sqrt(n)) (create_emb, dlrm_s_pytorch.py:269-276). Uses numpy RNG host-
     side (tables can be GBs; generated per-table then device_put by caller).
+
+    `host_emb=True` keeps the DENSE embedding tables as HOST numpy arrays
+    (bit-identical values; bf16 via ml_dtypes round-to-nearest-even, the
+    same rounding jnp.asarray applies) so Terabyte-scale callers can
+    stream them into a device mega-table without ever holding a full
+    device copy (hybrid.pack_tables_pinned_streaming). QR/MD dict entries
+    and MLPs stay device-resident (small).
     """
     rng = np.random.RandomState(seed)
 
@@ -171,7 +180,17 @@ def init_params(config: DLRMConfig, seed: int = 0, dtype=jnp.float32) -> Params:
             emb.append(entry)
         else:
             w = rng.uniform(-bound, bound, size=(n, config.embedding_dim)).astype(np.float32)
-            emb.append(jnp.asarray(w, t_dtype))
+            if host_emb:
+                import ml_dtypes
+
+                npdt = (
+                    ml_dtypes.bfloat16
+                    if config.table_dtype == "bfloat16"
+                    else np.float32
+                )
+                emb.append(w.astype(npdt))
+            else:
+                emb.append(jnp.asarray(w, t_dtype))
 
     params: Params = {"bot": mlp(config.mlp_bot), "top": mlp(config.mlp_top), "emb": emb}
     if config.weighted_pooling is not None:

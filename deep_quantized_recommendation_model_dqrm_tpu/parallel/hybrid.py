@@ -357,7 +357,13 @@ def init_hybrid_state(
     seed: Optional[int] = None,
     pin_mega_layout: bool = False,
 ) -> HybridState:
-    params = dlrm.init_params(config, seed if seed is not None else tc.seed)
+    params = dlrm.init_params(
+        config, seed if seed is not None else tc.seed,
+        # pinned path: dense tables stay HOST numpy (bit-identical) so the
+        # streaming build never holds a full device copy next to the
+        # pinned mega (12.6 + 6.3 GB would OOM a 16 GB chip at Terabyte)
+        host_emb=pin_mega_layout,
+    )
     if pin_mega_layout:
         # stream host tables into a DONATED pinned mega (device peak =
         # pinned mega + one chunk; pack-then-pin would OOM at Terabyte)
