@@ -802,7 +802,22 @@ def run(argv=None) -> dict:
             "--onehot-update-max-rows: dp-nosync updates via dense "
             "autodiff; only --onehot-lookup-max-rows applies there"
         )
-    state = init_train_state(cfg, tc)
+    if args.parallelism in ("hybrid", "rowshard"):
+        # the mega-table state (hstate, below) owns the real model; a full
+        # single-chip TrainState here would duplicate GBs of HBM — at
+        # Terabyte scale the 6.3 GB of unused device tables OOM'd next to
+        # the 12.6 GB pinned mega (round 5). 1-row placeholders keep every
+        # later `state` reference structurally valid; all hybrid/rowshard
+        # compute (train/eval/checkpoint/documenting) uses hstate.
+        import dataclasses as _dcp
+
+        state = init_train_state(
+            _dcp.replace(cfg, table_sizes=(1,) * cfg.num_tables,
+                         qr_flag=False, md_flag=False),
+            tc,
+        )
+    else:
+        state = init_train_state(cfg, tc)
     if args.pin_table_layout:
         if args.parallelism not in ("none", "dp", "hybrid"):
             raise SystemExit(
