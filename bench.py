@@ -133,7 +133,7 @@ def _serving_preds_per_s(cycles: int = 2, settle_s: float = 15.0):
     most-stalled pair (the same artifact class as the round-3 Terabyte
     pre-drain discovery). That bias is how the retracted 10.03M round-4
     figure outran the 6.31M driver capture. Distribution data:
-    scripts/diag_serving{,2,3,4}.py (larger batches do NOT help — B=32768
+    scripts/diag_serving.py {slopes,estimator,batch,fused} (larger batches do NOT help — B=32768
     ties, B>=65536 regresses; a fused all-table mega-gather is 3x WORSE,
     small-table gathers lose their locality inside the big array).
 
@@ -364,16 +364,17 @@ def main() -> None:
             lambda x: x.delete() if hasattr(x, "delete") else None, st
         )
     del state, dstate
+    tcfg = _dc.replace(
+        terabyte_config(
+            QuantConfig(enabled=True, embedding_bit=4, weight_bit=4,
+                        scale_update_period=1000)
+        ),
+        table_dtype="bfloat16",
+    )
+    ttc = TrainConfig(batch_size=2048, learning_rate=0.1,
+                      onehot_update_max_rows=20000)
+    t_arg = None
     try:
-        tcfg = _dc.replace(
-            terabyte_config(
-                QuantConfig(enabled=True, embedding_bit=4, weight_bit=4,
-                            scale_update_period=1000)
-            ),
-            table_dtype="bfloat16",
-        )
-        ttc = TrainConfig(batch_size=2048, learning_rate=0.1,
-                          onehot_update_max_rows=20000)
         tstate = TrainState(
             params=_fast_device_init(tcfg, table_format=_rowmajor_format()),
             opt_state=None,
@@ -476,6 +477,13 @@ def main() -> None:
             tcfg, ttc, mesh1, tplan, steps_per_dispatch=K,
             pin_mega_layout=True,
         )
+        if t_arg is None:  # plain-terabyte section failed before building it
+            trng2 = np.random.RandomState(1)
+            t_arg = jax.device_put(
+                stack_batches(
+                    [random_batch(tcfg, 2048, trng2) for _ in range(K)]
+                )
+            )
         terabyte_hybrid_ms, thstate = sustained_ms_per_it(
             thstep, thstate, t_arg, K, n1=6, n2=18
         )

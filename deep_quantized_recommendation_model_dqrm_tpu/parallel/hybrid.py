@@ -260,9 +260,10 @@ def _assemble_pooled(
 
 
 
-def _mega_layout_spec(mesh: Mesh, axis: str, has_vw: bool):
+def _mega_layout_spec(mesh: Mesh, axis: str):
     """in/out-shardings pytree pinning ONLY the mega-table leaf row-major
-    (comm_grad._pin_format semantics; vw is 1-D so layout is trivial)."""
+    (comm_grad._pin_format semantics; vw is 1-D so layout is trivial and
+    stays unconstrained)."""
     from jax.experimental.layout import Format, Layout
 
     fmt = Format(
@@ -698,7 +699,7 @@ def make_hybrid_train_step(
     def _jit_state_fn(fn):
         if not pin_mega_layout:
             return jax.jit(fn, donate_argnums=(0,))
-        spec = _mega_layout_spec(mesh, axis, has_vw)
+        spec = _mega_layout_spec(mesh, axis)
         return jax.jit(
             fn, donate_argnums=(0,),
             in_shardings=(spec, None), out_shardings=(spec, None),
@@ -831,6 +832,6 @@ def make_hybrid_eval_step(
     if pin_mega_layout:
         # accept the pinned row-major mega without a per-eval relayout
         # copy (12.6 GB at Terabyte scale)
-        spec = _mega_layout_spec(mesh, axis, config.weighted_pooling is not None)
+        spec = _mega_layout_spec(mesh, axis)
         return jax.jit(fn, in_shardings=(spec, None))
     return jax.jit(fn)

@@ -236,7 +236,7 @@ def _rebuild_serving_model(arrays, meta) -> ServingModel:
     )
 
 
-def _fuse_packed_tables(arrays, meta, cfg):
+def _fuse_packed_tables(arrays, meta):
     """Concatenate all eligible packed tables into ONE uint8 mega-array so
     the per-batch lookup is a single `take` instead of one gather op per
     table (round 5: the serving-side cousin of the training fused
@@ -257,10 +257,12 @@ def _fuse_packed_tables(arrays, meta, cfg):
     if len(bits_dims) != 1:
         return arrays, None
     base = np.zeros(len(ks), np.int64)
+    rows = np.zeros(len(ks), np.int64)
     off = 0
     for i, k in enumerate(ks):
         base[i] = off
-        off += arrays["emb"][k]["data"].shape[0]
+        rows[i] = arrays["emb"][k]["data"].shape[0]
+        off += rows[i]
     fused = {
         "data": jnp.concatenate([arrays["emb"][k]["data"] for k in ks], axis=0),
         "scale": jnp.stack([arrays["emb"][k]["scale"] for k in ks]),
@@ -271,7 +273,8 @@ def _fuse_packed_tables(arrays, meta, cfg):
     ]
     arrays["fused"] = fused
     bits, dim = next(iter(bits_dims))
-    return arrays, {"ks": tuple(ks), "base": base, "bits": bits, "dim": dim}
+    return arrays, {"ks": tuple(ks), "base": base, "rows": rows,
+                    "bits": bits, "dim": dim}
 
 
 def make_serving_fn(sm: ServingModel, use_pallas_lookup: bool = False,
@@ -303,7 +306,7 @@ def make_serving_fn(sm: ServingModel, use_pallas_lookup: bool = False,
     arrays, meta = _serving_arrays(sm)
     fused_meta = None
     if fused_gather and onehot_lookup_max_rows == 0 and not use_pallas_lookup:
-        arrays, fused_meta = _fuse_packed_tables(arrays, meta, cfg)
+        arrays, fused_meta = _fuse_packed_tables(arrays, meta)
 
     def lookup(pt: PackedTable, ids, msk):
         if 0 < pt.rows <= onehot_lookup_max_rows:
@@ -321,7 +324,12 @@ def make_serving_fn(sm: ServingModel, use_pallas_lookup: bool = False,
         ks = fused_meta["ks"]
         sel = jnp.asarray(np.asarray(ks, np.int32))
         base = jnp.asarray(fused_meta["base"])
+        rows_pt = jnp.asarray(fused_meta["rows"])
         ids = jnp.take(batch.indices, sel, axis=0)  # [Tf, B, P]
+        # clip PER TABLE (jnp.take's clip semantics in the per-table
+        # path): an out-of-range id must clamp to its OWN table's last
+        # row, not walk into the next table's region of the fused array
+        ids = jnp.clip(ids, 0, rows_pt[:, None, None] - 1)
         gids = ids + base[:, None, None]
         Tf, B, P = ids.shape
         raw = jnp.take(

@@ -832,6 +832,12 @@ def run(argv=None) -> dict:
 
             state = state._replace(params=pin_params_layout(state.params))
         # dp: the DP replica state is pinned after it is built below
+    if args.debug_mode and args.parallelism in ("hybrid", "rowshard"):
+        raise SystemExit(
+            "--debug-mode prints the single-chip `state`, which is a "
+            "placeholder for the mega-table engines; use "
+            "--documenting-table-weight for their real tables"
+        )
     if args.debug_mode:
         # arch + initial parameter printout (dlrm_s_pytorch.py:1210-1263)
         rank0_print(rank, f"model config: {cfg}")
@@ -909,6 +915,19 @@ def run(argv=None) -> dict:
             rank0_print(rank, f"input audit [{name}]: {rep}")
 
     eval_fn = make_eval_step(cfg)
+    if args.inference_only and args.parallelism in ("hybrid", "rowshard"):
+        # the single-chip inference path below reads `state`, which for the
+        # mega-table engines is a 1-row placeholder (their real weights
+        # live in the sharded hstate built AFTER this point; an Orbax
+        # hybrid checkpoint is not npz-loadable here either) — reject
+        # loudly instead of silently serving placeholder tables
+        raise SystemExit(
+            "--inference-only runs the single-chip serving path; load the "
+            "checkpoint with --parallelism=none (convert a sharded Orbax "
+            "checkpoint by resuming once under hybrid and saving npz via "
+            "--documenting-table-weight, or train with --parallelism=dp "
+            "whose npz checkpoints load directly)"
+        )
     if args.inference_only:
         if args.quantize_emb_with_bit in (4, 8):
             # PTQ serving path (quantize_embedding + quantize_dynamic,
@@ -994,9 +1013,35 @@ def run(argv=None) -> dict:
                 len(mesh.devices),
                 kinds=tuple(cfg.table_kind(k) for k in range(cfg.num_tables)),
             )
+            pin_hybrid = args.pin_table_layout
+            if pin_hybrid and args.load_model:
+                # Orbax restore materializes a SECOND full mega next to the
+                # `like` one, and a post-restore relayout needs compact +
+                # padded copies — at Terabyte scale either pair exceeds
+                # HBM. Resume pinned only when the mega is small enough to
+                # double-buffer; otherwise reject with guidance.
+                mega_bytes = sum(
+                    n * cfg.embedding_dim
+                    * (2 if cfg.table_dtype == "bfloat16" else 4)
+                    for k, n in enumerate(cfg.table_sizes)
+                    if cfg.table_kind(k) == "dense"
+                )
+                if mega_bytes > 4e9:
+                    raise SystemExit(
+                        "--pin-table-layout + --load-model (hybrid): the "
+                        "Orbax restore + relayout would transiently hold "
+                        "multiple full copies of a "
+                        f"{mega_bytes/1e9:.1f} GB mega-table and exceed "
+                        "HBM; resume without --pin-table-layout (slower "
+                        "but correct), or use --parallelism=dp whose "
+                        "per-table pinning restores safely"
+                    )
             hstate = hybrid.init_hybrid_state(
                 cfg, tc, mesh, plan,
-                pin_mega_layout=args.pin_table_layout,
+                # when resuming, init unpinned (restore overwrites the
+                # init values anyway) and pin AFTER restore — small
+                # models only, guarded above
+                pin_mega_layout=pin_hybrid and not args.load_model,
             )
         if args.load_model:
             from deep_quantized_recommendation_model_dqrm_tpu.utils.checkpoint_orbax import (
@@ -1012,10 +1057,13 @@ def run(argv=None) -> dict:
                 f"resumed sharded hybrid state from {args.load_model} @ "
                 f"epoch {start_epoch} batch {start_batch}",
             )
-        # (hybrid + --pin-table-layout: the mega was built DIRECTLY in the
-        # pinned row-major layout above — hybrid.pack_tables_pinned_streaming
-        # — so no post-hoc relayout is needed; the round-5 Terabyte-hybrid
-        # path, 4.7 ms/it vs 9.96 per-table)
+            if step_mode == "hybrid" and args.pin_table_layout:
+                # pin the restored mega (small models — guarded above)
+                hstate = hybrid.pin_mega_state(hstate, mesh)
+        # (hybrid + --pin-table-layout fresh-init path: the mega is built
+        # DIRECTLY in the pinned row-major layout —
+        # hybrid.pack_tables_pinned_streaming — so no post-hoc relayout
+        # is needed; the round-5 Terabyte-hybrid path, 4.7 ms/it vs 9.96)
 
     # Optional K-step megastep: one dispatch per K batches amortizes the
     # ~0.2 ms host dispatch overhead that otherwise dominates DQRM's ~10 us

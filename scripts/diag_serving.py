@@ -1,17 +1,21 @@
-"""Serving-slope distribution diagnostic (VERDICT r4 #1).
+"""Serving-latency diagnostics (round 5, VERDICT r4 #1) — one tool, four
+experiments. These produced the estimator + spread findings recorded in
+bench._serving_preds_per_s / PARITY.md "Serving estimator + spread":
 
-BENCH_r04 captured 6.31M preds/s while the repo claimed 10.03M (best-of-3
-MIN-latency over N=10/30 chains). Hypotheses:
-  (a) short chains (~40 ms slope window) are tunnel-jitter dominated;
-  (b) min-of-slopes is biased HIGH: a stall in the SHORT chain inflates t1,
-      shrinks the slope, and reads as impossibly low latency (same artifact
-      class as the round-3 Terabyte pre-drain discovery).
+  slopes     slope DISTRIBUTION across chain-length pairs: shows raw
+             pair-slopes wandering 1.6-4.8 ms and why min-of-slopes is
+             stall-biased HIGH (a stall in the SHORT chain shrinks that
+             pair's slope; the min then selects the most-stalled pair)
+  estimator  slope-of-MIN-chain-times vs min-of-slopes side by side
+             (chain-time noise is positive-additive, so minima converge
+             on the clean run)
+  batch      batch-size scaling: B=16384 optimal, 32768 ties, >=65536
+             REGRESSES — nothing left to amortize past the serial gather
+  fused      per-table gathers vs ONE fused mega-gather: fused is 3x
+             WORSE (small tables lose gather locality inside the big
+             array) — make_serving_fn(fused_gather=True) stays off
 
-This script measures the slope DISTRIBUTION across chain-length pairs and
-repeats so we can pick a driver-reproducible estimator (long chains +
-median).
-
-Usage: python scripts/diag_serving.py  (real chip, ~2 min)
+Usage: python scripts/diag_serving.py {slopes|estimator|batch|fused}
 """
 
 from __future__ import annotations
@@ -41,18 +45,18 @@ from deep_quantized_recommendation_model_dqrm_tpu.serving import (  # noqa: E402
 )
 
 
-def main() -> None:
-    import jax.numpy as jnp
-
+def _setup():
     scfg = kaggle_config(QuantConfig(enabled=True, embedding_bit=4, weight_bit=4))
     sparams = _fast_device_init(scfg)
     sm = ptq_export(scfg, sparams, emb_bits=4, mlp_bits=8)
     for t in sparams["emb"]:
         if hasattr(t, "delete"):
             t.delete()
-    sfn = make_serving_fn(sm)
-    SB = 16384
-    sb = jax.device_put(random_batch(scfg, SB, np.random.RandomState(2)))
+    return scfg, sm
+
+
+def _runner(sfn, sb):
+    import jax.numpy as jnp
 
     def srun(n):
         b = sb
@@ -61,38 +65,91 @@ def main() -> None:
         for _ in range(n):
             y = sfn(b)
             b = b._replace(dense=sb.dense + y[0] * 0.0)
-        float(jnp.sum(y))
+        float(jnp.sum(y))  # forces completion of the whole chain
         return time.perf_counter() - t0
 
-    srun(2)  # warm
-    srun(3)  # drain
-    srun(3)  # drain again
+    return srun
 
-    results = {}
+
+def _lat_minmin(srun, n1, n2, reps):
+    srun(2)
+    srun(3)
+    t1 = min(srun(n1) for _ in range(reps))
+    t2 = min(srun(n2) for _ in range(reps))
+    return (t2 - t1) / (n2 - n1) * 1e3
+
+
+def cmd_slopes():
+    scfg, sm = _setup()
+    SB = 16384
+    srun = _runner(make_serving_fn(sm),
+                   jax.device_put(random_batch(scfg, SB, np.random.RandomState(2))))
+    srun(2); srun(3); srun(3)
     for (n1, n2) in [(10, 30), (30, 90), (50, 150), (100, 300)]:
         slopes = []
         for _ in range(7):
-            t1 = srun(n1)
-            t2 = srun(n2)
-            lat_ms = (t2 - t1) / (n2 - n1) * 1e3
-            slopes.append(round(lat_ms, 4))
+            t1, t2 = srun(n1), srun(n2)
+            slopes.append(round((t2 - t1) / (n2 - n1) * 1e3, 4))
         arr = np.array(slopes)
-        results[f"{n1}/{n2}"] = {
-            "slopes_ms": slopes,
-            "min": round(float(arr.min()), 4),
-            "median": round(float(np.median(arr)), 4),
-            "max": round(float(arr.max()), 4),
-            "preds_min_lat": round(SB / (arr.min() / 1e3)),
-            "preds_median_lat": round(SB / (np.median(arr) / 1e3)),
-        }
-        print(json.dumps({f"{n1}/{n2}": results[f"{n1}/{n2}"]}), flush=True)
+        print(json.dumps({
+            f"{n1}/{n2}": {
+                "slopes_ms": slopes,
+                "min": round(float(arr.min()), 4),
+                "median": round(float(np.median(arr)), 4),
+                "preds_min_lat": round(SB / (arr.min() / 1e3)),
+                "preds_median_lat": round(SB / (np.median(arr) / 1e3)),
+            }
+        }), flush=True)
 
-    # direct long-run average as a cross-check (includes dispatch overhead
-    # amortized over 300 calls; readback RTT /300 is negligible)
-    t300 = srun(300)
-    print(json.dumps({"direct_300_ms_per_call": round(t300 / 300 * 1e3, 4),
-                      "preds": round(SB / (t300 / 300))}), flush=True)
+
+def cmd_estimator():
+    scfg, sm = _setup()
+    SB = 16384
+    srun = _runner(make_serving_fn(sm),
+                   jax.device_put(random_batch(scfg, SB, np.random.RandomState(2))))
+    srun(2); srun(3); srun(3)
+    n1, n2 = 40, 120
+    t1s = np.array([srun(n1) for _ in range(8)])
+    t2s = np.array([srun(n2) for _ in range(8)])
+    lat_mm = (t2s.min() - t1s.min()) / (n2 - n1) * 1e3
+    slopes = (t2s - t1s) / (n2 - n1) * 1e3
+    print(json.dumps({
+        "lat_slope_of_mins_ms": round(float(lat_mm), 4),
+        "preds_slope_of_mins": round(SB / (lat_mm / 1e3)),
+        "min_of_slopes_ms": round(float(slopes.min()), 4),
+        "median_of_slopes_ms": round(float(np.median(slopes)), 4),
+    }), flush=True)
+
+
+def cmd_batch():
+    scfg, sm = _setup()
+    sfn = make_serving_fn(sm)
+    for SB, (n1, n2, reps) in [
+        (16384, (40, 120, 5)), (32768, (20, 60, 5)),
+        (65536, (10, 30, 5)), (131072, (6, 18, 5)),
+    ]:
+        sb = jax.device_put(random_batch(scfg, SB, np.random.RandomState(2)))
+        lm = _lat_minmin(_runner(sfn, sb), n1, n2, reps)
+        print(json.dumps({"batch": SB, "lat_ms": round(lm, 4),
+                          "preds_per_s": round(SB / (lm / 1e3))}), flush=True)
+        for leaf in sb:
+            if hasattr(leaf, "delete"):
+                leaf.delete()
+
+
+def cmd_fused():
+    scfg, sm = _setup()
+    SB = 16384
+    sb = jax.device_put(random_batch(scfg, SB, np.random.RandomState(2)))
+    for name, kw in [("pertable", {}), ("fused", {"fused_gather": True}),
+                     ("pertable2", {}), ("fused2", {"fused_gather": True})]:
+        lm = _lat_minmin(_runner(make_serving_fn(sm, **kw), sb), 40, 120, 6)
+        print(json.dumps({"variant": name, "lat_ms": round(lm, 4),
+                          "preds_per_s": round(SB / (lm / 1e3))}), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    {"slopes": cmd_slopes, "estimator": cmd_estimator,
+     "batch": cmd_batch, "fused": cmd_fused}[
+        sys.argv[1] if len(sys.argv) > 1 else "estimator"
+    ]()
