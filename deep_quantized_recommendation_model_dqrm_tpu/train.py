@@ -915,20 +915,11 @@ def run(argv=None) -> dict:
             rank0_print(rank, f"input audit [{name}]: {rep}")
 
     eval_fn = make_eval_step(cfg)
-    if args.inference_only and args.parallelism in ("hybrid", "rowshard"):
-        # the single-chip inference path below reads `state`, which for the
-        # mega-table engines is a 1-row placeholder (their real weights
-        # live in the sharded hstate built AFTER this point; an Orbax
-        # hybrid checkpoint is not npz-loadable here either) — reject
-        # loudly instead of silently serving placeholder tables
-        raise SystemExit(
-            "--inference-only runs the single-chip serving path; load the "
-            "checkpoint with --parallelism=none (convert a sharded Orbax "
-            "checkpoint by resuming once under hybrid and saving npz via "
-            "--documenting-table-weight, or train with --parallelism=dp "
-            "whose npz checkpoints load directly)"
-        )
-    if args.inference_only:
+    # mega-table engines: inference-only is DEFERRED until after the
+    # sharded hstate is built/restored below (the `state` here is a 1-row
+    # placeholder; before round 5 this path silently evaluated a FRESH
+    # init and ignored --load-model entirely)
+    if args.inference_only and args.parallelism not in ("hybrid", "rowshard"):
         if args.quantize_emb_with_bit in (4, 8):
             # PTQ serving path (quantize_embedding + quantize_dynamic,
             # dlrm_s_pytorch.py:1446-1471)
@@ -1298,6 +1289,69 @@ def run(argv=None) -> dict:
             len(mesh.devices.reshape(-1)),
         )
     from deep_quantized_recommendation_model_dqrm_tpu.data.prefetch import prefetch
+
+    if args.inference_only and step_mode in ("hybrid", "rowshard"):
+        # deferred mega-table inference (the loaded/initial hstate is now
+        # built): sharded eval over the distributed tables; PTQ packs from
+        # the UNPACKED state (single-process only — the mega's remote
+        # shards are not rank-0-addressable)
+        if args.quantize_emb_with_bit in (4, 8):
+            if jax.process_count() > 1:
+                raise SystemExit(
+                    "--inference-only PTQ is a single-process tool for the "
+                    "mega-table engines (remote shards not addressable); "
+                    "run it on one process"
+                )
+            from deep_quantized_recommendation_model_dqrm_tpu.serving import (
+                make_serving_fn,
+                ptq_export,
+                serving_model_bytes,
+            )
+
+            emb = (
+                hybrid.unpack_tables(hstate.mega, plan, cfg.table_sizes)
+                if step_mode == "hybrid"
+                else rowshard.unpack_rows(hstate.mega, plan, cfg.table_sizes)
+            )
+            trick = hstate.mlp.get("emb_trick", {})
+            sparams = {
+                "bot": hstate.mlp["bot"],
+                "top": hstate.mlp["top"],
+                "emb": [
+                    trick[str(k)] if t is None else t
+                    for k, t in enumerate(emb)
+                ],
+            }
+            if cfg.weighted_pooling is not None:
+                vw_trick = hstate.mlp.get("vw_trick", {})
+                unpacked_vw = (
+                    hybrid.unpack_vw(hstate.vw, plan, cfg.table_sizes)
+                    if step_mode == "hybrid"
+                    else rowshard.unpack_rows_vw(
+                        hstate.vw, plan, cfg.table_sizes
+                    )
+                )
+                sparams["v_W"] = [
+                    vw_trick[str(k)] if v is None else v
+                    for k, v in enumerate(unpacked_vw)
+                ]
+            sm = ptq_export(
+                cfg,
+                sparams,
+                emb_bits=args.quantize_emb_with_bit,
+                mlp_bits=args.quantize_mlp_with_bit
+                if args.quantize_mlp_with_bit in (8,)
+                else 32,
+            )
+            rank0_print(
+                rank, f"PTQ model: {serving_model_bytes(sm)/1e6:.2f} MB"
+            )
+            sfn = make_serving_fn(sm)
+            m = evaluate(cfg, hstate, test_loader, lambda s, b: sfn(b))
+        else:
+            m = evaluate(cfg, hstate, test_loader, hybrid_eval_fn)
+        rank0_print(rank, f"inference: {m}")
+        return m
 
     def document_tables(tag: str) -> None:
         """Dump every embedding table to <log-dir>/table_weights_<tag>.npz

@@ -700,3 +700,41 @@ class TestGradDocumenting:
         )
         with pytest.raises(SystemExit):
             run(argv)
+
+
+class TestHybridInferenceLoadsWeights:
+    def test_inference_only_uses_loaded_hybrid_state(self, tmp_path):
+        """Before round 5, hybrid --inference-only --load-model silently
+        evaluated a FRESH init (the Orbax checkpoint was never read on
+        that path). Now it must reproduce the training run's final eval
+        exactly (same loader, same weights)."""
+        ck = str(tmp_path / "ckh2")
+        argv, _ = _common(
+            tmp_path,
+            ["--parallelism=hybrid", "--test-freq=4", f"--save-model={ck}"],
+        )
+        m = run(argv)
+        argv2, _ = _common(
+            tmp_path,
+            ["--parallelism=hybrid", f"--load-model={ck}",
+             "--inference-only"],
+        )
+        m2 = run(argv2)
+        assert np.isclose(m2["roc_auc"], m["roc_auc"], atol=1e-6), (m, m2)
+
+    def test_inference_only_ptq_from_hybrid_ckpt(self, tmp_path):
+        ck = str(tmp_path / "ckh3")
+        argv, _ = _common(
+            tmp_path,
+            ["--parallelism=hybrid", "--qr-flag", "--qr-threshold=200",
+             "--test-freq=4", f"--save-model={ck}"],
+        )
+        run(argv)
+        argv2, _ = _common(
+            tmp_path,
+            ["--parallelism=hybrid", "--qr-flag", "--qr-threshold=200",
+             f"--load-model={ck}", "--inference-only",
+             "--quantize-emb-with-bit=4", "--quantize-mlp-with-bit=8"],
+        )
+        m2 = run(argv2)
+        assert np.isfinite(m2["roc_auc"])
