@@ -229,6 +229,61 @@ def _fake_quant_pact_bwd(bits, _, g):
 fake_quant_pact.defvjp(_fake_quant_pact_fwd, _fake_quant_pact_bwd)
 
 
+def fake_quant_pact_segmented(
+    block: jax.Array,  # [rows, D] (a mega-table device block)
+    bits: int,
+    seg_ids: jax.Array,  # [rows] int32 table id per row (>= n_segments = pad)
+    n_segments: int,
+) -> jax.Array:
+    """Per-TABLE DoReFa fake-quant over a row-concatenated mega block.
+
+    Numerically identical to applying `fake_quant_pact` to each table
+    slice (the normalization max|tanh| is a per-table segment max), which
+    is how the mega-table engines support quant_scheme='pact': the
+    reference quantizes each table's weights before the gather
+    (quant_pact_dorefa.py:97-105 lookup_all); here ONE tanh pass + a
+    segment max reproduce that per-table normalization without slicing
+    the block (per-device table boundaries are traced under shard_map).
+    Rows with seg_ids >= n_segments (pad / foreign-alias rows) normalize
+    by 1 — their outputs are never selected downstream. Backward is the
+    same identity STE as fake_quant_pact (callers stop-grad the block and
+    scatter g_pooled manually, which the identity STE makes exact)."""
+    t = jnp.tanh(block)
+    seg_max = pact_segment_absmax(t, seg_ids, n_segments)
+    return pact_apply_segmented(t, bits, seg_ids, n_segments, seg_max)
+
+
+def pact_segment_absmax(
+    tanh_block: jax.Array, seg_ids: jax.Array, n_segments: int
+) -> jax.Array:  # [n_segments + 1]
+    """Per-segment max|tanh(w)| of a mega block — the DoReFa normalizer.
+    When a table SPANS device shards (the row-sharded engine), callers
+    must cross-reduce this with `jax.lax.pmax` before applying."""
+    row_absmax = jnp.max(jnp.abs(tanh_block), axis=1)
+    safe_seg = jnp.minimum(seg_ids, n_segments)
+    return (
+        jnp.zeros((n_segments + 1,), tanh_block.dtype)
+        .at[safe_seg]
+        .max(row_absmax)
+    )
+
+
+def pact_apply_segmented(
+    tanh_block: jax.Array,
+    bits: int,
+    seg_ids: jax.Array,
+    n_segments: int,
+    seg_max: jax.Array,  # [n_segments + 1] (possibly cross-device pmax'd)
+) -> jax.Array:
+    safe_seg = jnp.minimum(seg_ids, n_segments)
+    denom = 2.0 * jnp.take(seg_max, safe_seg)[:, None]
+    denom = jnp.where(denom == 0, 1.0, denom)
+    w_n = tanh_block / denom + 0.5
+    n = 2**bits - 1
+    w_q = jnp.round(w_n * n) / n
+    return 2.0 * w_q - 1.0
+
+
 def _grad_scale(x: jax.Array, scale: jax.Array) -> jax.Array:
     """LSQ gradient scaling: value of x, gradient scaled by `scale`
     (quantizer/lsq.py:5-9)."""

@@ -260,6 +260,24 @@ def _assemble_pooled(
 
 
 
+def _pact_segments(
+    plan: TableShardingPlan, table_sizes: Tuple[int, ...]
+) -> np.ndarray:
+    """[n_dev, block_rows] global table id of each mega-block row (T for
+    pad/gap rows) — drives the per-table DoReFa normalization
+    (quant.fake_quant_pact_segmented) under shard_map, where per-device
+    table boundaries are traced and cannot be static slice bounds."""
+    T = len(table_sizes)
+    segs = np.full((plan.n_dev, plan.block_rows), T, np.int32)
+    for k in range(T):
+        r = int(plan.table_rank[k])
+        if r < 0:
+            continue
+        b = int(plan.table_base[k])
+        segs[r, b : b + int(table_sizes[k])] = k
+    return segs
+
+
 def _mega_layout_spec(mesh: Mesh, axis: str):
     """in/out-shardings pytree pinning ONLY the mega-table leaf row-major
     (comm_grad._pin_format semantics; vw is 1-D so layout is trivial and
@@ -461,15 +479,17 @@ def make_hybrid_train_step(
     for its local tables). Output: (HybridState, mean loss).
     """
     qc = config.quant
-    if qc.enabled and qc.quantize_emb and qc.quant_scheme == "pact":
-        # PACT fake-quants the WEIGHT TABLE before the gather
-        # (quant_pact_dorefa.py:99-104, lookup_all); the mega-table engines
-        # gather raw rows and quantize pooled outputs only — running them
-        # would silently train FP32 embeddings.
+    pact = qc.enabled and qc.quantize_emb and qc.quant_scheme == "pact"
+    if pact and config.weighted_pooling == "learned":
+        # learned v_W's analytic grad would need the FAKE-QUANTED rows;
+        # keep this corner on parallelism none/dp (exact there)
         raise NotImplementedError(
-            "quant_scheme='pact' (weight-side emb quant) is not supported "
-            "by the row-sharded engines; use parallelism=none or dp"
+            "quant_scheme='pact' + weighted_pooling='learned' is not "
+            "supported by the mega-table engines; use parallelism=none/dp"
         )
+    pact_segs = (
+        jnp.asarray(_pact_segments(plan, config.table_sizes)) if pact else None
+    )
     has_vw = config.weighted_pooling is not None
     learned_vw = config.weighted_pooling == "learned"
     n_dev = plan.n_dev
@@ -553,8 +573,21 @@ def make_hybrid_train_step(
         vw_block = (
             jax.lax.stop_gradient(state.vw) if state.vw is not None else None
         )
+        gather_block = jax.lax.stop_gradient(block)
+        if pact:
+            # per-table DoReFa weight fake-quant BEFORE the gather (the
+            # reference's lookup_all order, quant_pact_dorefa.py:97-105);
+            # the identity STE makes the raw-block scatter below exact
+            from deep_quantized_recommendation_model_dqrm_tpu.ops import (
+                quant as _q,
+            )
+
+            gather_block = _q.fake_quant_pact_segmented(
+                gather_block, qc.embedding_bit, pact_segs[me],
+                config.num_tables,
+            )
         pooled_local = _local_pooled(
-            jax.lax.stop_gradient(block),
+            gather_block,
             batch.indices,
             batch.mask,
             my_local_ids,
@@ -783,11 +816,25 @@ def make_hybrid_eval_step(
     local_ids_np = jnp.asarray(plan.local_ids)
     local_base_np = jnp.asarray(plan.local_base)
     perm = jnp.asarray(plan.perm)
+    qc = config.quant
+    pact = qc.enabled and qc.quantize_emb and qc.quant_scheme == "pact"
+    pact_segs = (
+        jnp.asarray(_pact_segments(plan, config.table_sizes)) if pact else None
+    )
 
     def device_eval(state: HybridState, batch: dlrm.Batch) -> jax.Array:
         me = jax.lax.axis_index(axis)
+        mega = state.mega
+        if pact:
+            from deep_quantized_recommendation_model_dqrm_tpu.ops import (
+                quant as _q,
+            )
+
+            mega = _q.fake_quant_pact_segmented(
+                mega, qc.embedding_bit, pact_segs[me], config.num_tables
+            )
         pooled_local = _local_pooled(
-            state.mega, batch.indices, batch.mask,
+            mega, batch.indices, batch.mask,
             local_ids_np[me], local_base_np[me], state.vw,
         )
         swapped = jax.lax.all_to_all(

@@ -236,6 +236,21 @@ def _partial_pooled(
     return jnp.sum(rows * w[..., None], axis=2)
 
 
+def _pact_segments_rows(
+    plan: RowShardPlan, table_sizes: Tuple[int, ...]
+) -> np.ndarray:
+    """[n_dev, chunk] global table id per mega row (T for pad rows) for the
+    per-table DoReFa normalization (see hybrid._pact_segments)."""
+    T = len(table_sizes)
+    segs = np.full(plan.n_dev * plan.chunk, T, np.int32)
+    for k in range(T):
+        if plan.dense_mask is not None and not bool(plan.dense_mask[k]):
+            continue
+        b = int(plan.table_base[k])
+        segs[b : b + int(table_sizes[k])] = k
+    return segs.reshape(plan.n_dev, plan.chunk)
+
+
 def _trick_pooled_slice(
     config: DLRMConfig,
     trick_p: dict,  # {str(k): trick params} (differentiable)
@@ -317,13 +332,17 @@ def make_rowshard_train_step(
     from deep_quantized_recommendation_model_dqrm_tpu.ops import quant as q
 
     qc = config.quant
-    if qc.enabled and qc.quantize_emb and qc.quant_scheme == "pact":
-        # see make_hybrid_train_step: PACT quantizes table rows pre-gather,
-        # which the sharded gather here bypasses
+    pact = qc.enabled and qc.quantize_emb and qc.quant_scheme == "pact"
+    if pact and config.weighted_pooling == "learned":
         raise NotImplementedError(
-            "quant_scheme='pact' (weight-side emb quant) is not supported "
-            "by the row-sharded engines; use parallelism=none or dp"
+            "quant_scheme='pact' + weighted_pooling='learned' is not "
+            "supported by the mega-table engines; use parallelism=none/dp"
         )
+    pact_segs = (
+        jnp.asarray(_pact_segments_rows(plan, config.table_sizes))
+        if pact
+        else None
+    )
     n_dev = plan.n_dev
     chunk = plan.chunk
     table_base = jnp.asarray(plan.table_base)
@@ -371,8 +390,23 @@ def make_rowshard_train_step(
         vw_block = (
             jax.lax.stop_gradient(state.vw) if state.vw is not None else None
         )
+        gather_block = jax.lax.stop_gradient(block)
+        if pact:
+            # per-table DoReFa weight fake-quant BEFORE the gather; tables
+            # SPAN chunks here, so the per-table normalizer max|tanh| is a
+            # cross-device pmax of local segment maxima. Identity STE
+            # keeps the raw-block scatter update exact (see
+            # hybrid.make_hybrid_train_step).
+            th = jnp.tanh(gather_block)
+            local_max = q.pact_segment_absmax(
+                th, pact_segs[me], config.num_tables
+            )
+            gmax = jax.lax.pmax(local_max, axis)
+            gather_block = q.pact_apply_segmented(
+                th, qc.embedding_bit, pact_segs[me], config.num_tables, gmax
+            )
         partial = _partial_pooled(
-            jax.lax.stop_gradient(block), gids, batch.mask, me, chunk,
+            gather_block, gids, batch.mask, me, chunk,
             vw_block, dense_sel,
         )  # [T, B, D]
 
@@ -590,11 +624,31 @@ def make_rowshard_eval_step(
         jnp.asarray(np.asarray(plan.dense_mask, bool)) if trick_ks else None
     )
 
+    from deep_quantized_recommendation_model_dqrm_tpu.ops import quant as _q
+
+    qc = config.quant
+    pact = qc.enabled and qc.quantize_emb and qc.quant_scheme == "pact"
+    pact_segs = (
+        jnp.asarray(_pact_segments_rows(plan, config.table_sizes))
+        if pact
+        else None
+    )
+
     def device_eval(state: RowShardState, batch: dlrm.Batch) -> jax.Array:
         me = jax.lax.axis_index(axis)
         gids = batch.indices + table_base[:, None, None]
+        mega = state.mega
+        if pact:
+            th = jnp.tanh(mega)
+            gmax = jax.lax.pmax(
+                _q.pact_segment_absmax(th, pact_segs[me], config.num_tables),
+                axis,
+            )
+            mega = _q.pact_apply_segmented(
+                th, qc.embedding_bit, pact_segs[me], config.num_tables, gmax
+            )
         partial = _partial_pooled(
-            state.mega, gids, batch.mask, me, chunk, state.vw, dense_sel
+            mega, gids, batch.mask, me, chunk, state.vw, dense_sel
         )
         raw_pooled = jax.lax.psum_scatter(
             partial, axis, scatter_dimension=1, tiled=True

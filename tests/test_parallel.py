@@ -352,19 +352,78 @@ class TestSchemeEngines:
         for a, b_ in zip(dstate.mlp["lsq_emb"], sstate.params["lsq_emb"]):
             np.testing.assert_allclose(float(a), float(b_), atol=5e-7)
 
-    def test_pact_rejected_by_rowsharded_engines(self):
+    def test_pact_hybrid_matches_single_chip_exactly(self):
+        """Round 5 closes the last engine carve-out: PACT's per-table
+        DoReFa weight fake-quant runs over the mega block via a segment
+        max (quant.fake_quant_pact_segmented — numerically identical to
+        per-table normalization), and the identity STE makes the raw-block
+        scatter update exact, so hybrid == single chip."""
+        cfg = qcfg(enabled=True, quant_scheme="pact", scale_update_period=2)
+        tc = TC.replace(grad_quant_bits=32)
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(cfg.table_sizes, 8)
+        hstate = hybrid.init_hybrid_state(cfg, tc, mesh, plan)
+        hstep = hybrid.make_hybrid_train_step(cfg, tc, mesh, plan)
+        sstate = init_train_state(cfg, tc)
+        sstep = make_train_step(cfg, tc)
+        rng = np.random.RandomState(19)
+        for _ in range(3):
+            b = random_batch(cfg, 64, rng)
+            hstate, hl = hstep(hstate, b)
+            jax.block_until_ready(hstate)
+            sstate, sl = sstep(sstate, b)
+            assert np.isclose(float(hl), float(sl), rtol=1e-4)
+        back = hybrid.unpack_tables(hstate.mega, plan, cfg.table_sizes)
+        for a, b_ in zip(back, sstate.params["emb"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+    def test_pact_rowshard_matches_single_chip_exactly(self):
         from deep_quantized_recommendation_model_dqrm_tpu.parallel import (
             rowshard,
         )
 
         cfg = qcfg(enabled=True, quant_scheme="pact", scale_update_period=2)
+        tc = TC.replace(grad_quant_bits=32)
+        mesh = make_mesh(8)
+        rplan = rowshard.plan_row_sharding(cfg.table_sizes, 8)
+        rstate = rowshard.init_rowshard_state(cfg, tc, mesh, rplan)
+        rstep = rowshard.make_rowshard_train_step(cfg, tc, mesh, rplan)
+        sstate = init_train_state(cfg, tc)
+        sstep = make_train_step(cfg, tc)
+        rng = np.random.RandomState(29)
+        for _ in range(3):
+            b = random_batch(cfg, 64, rng)
+            rstate, rl = rstep(rstate, b)
+            jax.block_until_ready(rstate)
+            sstate, sl = sstep(sstate, b)
+            assert np.isclose(float(rl), float(sl), rtol=1e-4)
+        back = rowshard.unpack_rows(rstate.mega, rplan, cfg.table_sizes)
+        for a, b_ in zip(back, sstate.params["emb"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+    def test_pact_eval_matches_single_chip(self):
+        cfg = qcfg(enabled=True, quant_scheme="pact", scale_update_period=2)
+        mesh = make_mesh(8)
+        plan = hybrid.plan_table_sharding(cfg.table_sizes, 8)
+        hstate = hybrid.init_hybrid_state(cfg, TC, mesh, plan)
+        ev = hybrid.make_hybrid_eval_step(cfg, mesh, plan)
+        sstate = init_train_state(cfg, TC)
+        b = random_batch(cfg, 64, np.random.RandomState(31))
+        np.testing.assert_allclose(
+            np.asarray(ev(hstate, b)),
+            np.asarray(dlrm.predict(cfg, sstate.params, b, sstate.qstate)),
+            atol=1e-5,
+        )
+
+    def test_pact_learned_vw_still_rejected_by_mega_engines(self):
+        cfg = dataclasses.replace(
+            qcfg(enabled=True, quant_scheme="pact", scale_update_period=2),
+            weighted_pooling="learned",
+        )
         mesh = make_mesh(8)
         plan = hybrid.plan_table_sharding(cfg.table_sizes, 8)
         with pytest.raises(NotImplementedError, match="pact"):
             hybrid.make_hybrid_train_step(cfg, TC, mesh, plan)
-        rplan = rowshard.plan_row_sharding(cfg.table_sizes, 8)
-        with pytest.raises(NotImplementedError, match="pact"):
-            rowshard.make_rowshard_train_step(cfg, TC, mesh, rplan)
 
 
 class TestNoSyncDP:
