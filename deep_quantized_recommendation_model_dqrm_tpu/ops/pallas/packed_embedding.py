@@ -60,12 +60,36 @@ class PackedTable(NamedTuple):
 
 
 def pack_table(
-    table: jax.Array, bits: int = 4, rowwise: bool = False
+    table: jax.Array, bits: int = 4, rowwise: bool = False,
+    row_chunk: int = 0,
 ) -> PackedTable:
-    """Quantize + bit-pack a [rows, D] fp table."""
+    """Quantize + bit-pack a [rows, D] fp table.
+
+    `row_chunk` > 0 (symmetric path only): quantize/pack in row chunks
+    with a device sync per chunk. The whole-table quantize materializes
+    ~4x the table in f32 temporaries (round/clip promote bf16 inputs) —
+    at Terabyte scale a 2.5 GB table's ~10 GB of temps next to a live
+    6.3 GB mega OOMs a 16 GB chip; chunking bounds the transient to one
+    chunk's temps. Output is bit-identical (the per-table scale is
+    computed once over the full table)."""
     rows, D = table.shape
     if bits == 4:
         assert D % 2 == 0, "int4 packing requires even embedding dim"
+    if row_chunk and not rowwise and rows > row_chunk:
+        scale = q.table_scale(bits, table)  # one cheap full reduce
+        parts = []
+        for off in range(0, rows, row_chunk):
+            sl = jax.lax.dynamic_slice(
+                table, (off, 0), (min(row_chunk, rows - off), D)
+            )
+            part = _pack_symmetric_rows(sl, scale, bits, D)
+            part.block_until_ready()
+            parts.append(part)
+        data = jnp.concatenate(parts, axis=0)
+        data.block_until_ready()
+        for part in parts:
+            part.delete()
+        return PackedTable(data=data, scale=scale, bias=None, bits=bits, dim=D)
     if rowwise:
         # ATen embedding_bag_{4bit,byte}_prepack scheme: per-row asymmetric
         # (dlrm_s_pytorch.py:457-474 -> fbgemm FloatToFusedNBitRowwise-
@@ -93,11 +117,10 @@ def pack_table(
         qv = qv.astype(jnp.uint8)
     else:
         scale = q.table_scale(bits, table)
-        bias = None
-        n = q.intmax(bits)
-        qv = jnp.clip(jnp.round(table / scale), -n - 1, n).astype(jnp.int32)
-        # store signed values offset to unsigned nibble/byte range
-        qv = (qv + (2 ** (bits - 1))).astype(jnp.uint8)
+        return PackedTable(
+            data=_pack_symmetric_rows(table, scale, bits, D),
+            scale=scale, bias=None, bits=bits, dim=D,
+        )
     if bits == 4:
         lo_half = qv[:, : D // 2]
         hi_half = qv[:, D // 2 :]
@@ -107,6 +130,22 @@ def pack_table(
     else:
         raise ValueError(f"unsupported pack bits {bits}")
     return PackedTable(data=data, scale=scale, bias=bias, bits=bits, dim=D)
+
+
+def _pack_symmetric_rows(
+    rows_arr: jax.Array, scale: jax.Array, bits: int, D: int
+) -> jax.Array:
+    """Symmetric quantize + nibble/byte pack of [rows, D] at a given
+    per-table scale (shared by the whole-table and chunked paths)."""
+    n = q.intmax(bits)
+    qv = jnp.clip(jnp.round(rows_arr / scale), -n - 1, n).astype(jnp.int32)
+    # store signed values offset to unsigned nibble/byte range
+    qv = (qv + (2 ** (bits - 1))).astype(jnp.uint8)
+    if bits == 4:
+        return (qv[:, : D // 2] | (qv[:, D // 2 :] << 4)).astype(jnp.uint8)
+    if bits == 8:
+        return qv
+    raise ValueError(f"unsupported pack bits {bits}")
 
 
 def _unpack_rows(pt: PackedTable, raw: jax.Array) -> jax.Array:

@@ -85,20 +85,7 @@ def ptq_export(
     if emb_bits not in (4, 8):
         raise ValueError("emb_bits must be 4 or 8 for packed serving")
 
-    def pack_entry(t):
-        if isinstance(t, dict):
-            if "q" in t:
-                return {
-                    "q": pack_table(t["q"], bits=emb_bits, rowwise=rowwise),
-                    "r": pack_table(t["r"], bits=emb_bits, rowwise=rowwise),
-                }
-            out = {"table": pack_table(t["table"], bits=emb_bits, rowwise=rowwise)}
-            if "proj" in t:
-                out["proj"] = t["proj"]
-            return out
-        return pack_table(t, bits=emb_bits, rowwise=rowwise)
-
-    emb = [pack_entry(t) for t in params["emb"]]
+    emb = [_pack_entry(t, emb_bits, rowwise) for t in params["emb"]]
     if mlp_bits == 8:
         bot = [quantize_linear_weights(l["w"], l["b"], 8) for l in params["bot"]]
         top = [quantize_linear_weights(l["w"], l["b"], 8) for l in params["top"]]
@@ -107,6 +94,73 @@ def ptq_export(
     vw = list(params["v_W"]) if config.weighted_pooling is not None else None
     return ServingModel(
         config=config, emb=emb, bot=bot, top=top, mlp_bits=mlp_bits, vw=vw
+    )
+
+
+def _pack_entry(t, emb_bits: int, rowwise: bool, row_chunk: int = 0):
+    if isinstance(t, dict):
+        if "q" in t:
+            return {
+                "q": pack_table(t["q"], bits=emb_bits, rowwise=rowwise,
+                                row_chunk=row_chunk),
+                "r": pack_table(t["r"], bits=emb_bits, rowwise=rowwise,
+                                row_chunk=row_chunk),
+            }
+        out = {"table": pack_table(t["table"], bits=emb_bits,
+                                   rowwise=rowwise, row_chunk=row_chunk)}
+        if "proj" in t:
+            out["proj"] = t["proj"]
+        return out
+    return pack_table(t, bits=emb_bits, rowwise=rowwise, row_chunk=row_chunk)
+
+
+def ptq_export_streaming(
+    config: DLRMConfig,
+    get_table,  # k -> fp table array or QR/MD dict (a fresh slice/copy)
+    bot,
+    top,
+    vw: Optional[List] = None,
+    emb_bits: int = 4,
+    mlp_bits: int = 8,
+    rowwise: bool = False,
+    free_source: bool = True,
+    row_chunk: int = 2_000_000,
+) -> ServingModel:
+    """ptq_export, one table at a time with a device sync per table and
+    the SOURCE slice freed immediately after packing.
+
+    The materialized form (ptq_export(params)) enqueues every table's
+    quantize/pack asynchronously, so the execution-schedule peak holds
+    all fp sources + packing temporaries + packed outputs at once — at
+    Terabyte scale (6.3 GB bf16 sources) that OOMs a 16 GB chip even
+    when the caller deletes sources afterwards (host-order deletes do
+    not bound the device schedule). Streaming bounds the peak to
+    one source table + its temporaries + the packed model."""
+    emb = []
+    for k in range(config.num_tables):
+        t = get_table(k)
+        e = _pack_entry(t, emb_bits, rowwise, row_chunk)
+        for leaf in jax.tree_util.tree_leaves(e):
+            if hasattr(leaf, "block_until_ready"):
+                leaf.block_until_ready()
+        if free_source:
+            kept = e.get("proj") if isinstance(e, dict) else None
+            src = t.values() if isinstance(t, dict) else [t]
+            for leaf in src:
+                # the MD "proj" rides into the packed entry by REFERENCE
+                if (
+                    leaf is not None
+                    and leaf is not kept
+                    and hasattr(leaf, "delete")
+                ):
+                    leaf.delete()
+        emb.append(e)
+    if mlp_bits == 8:
+        bot = [quantize_linear_weights(l["w"], l["b"], 8) for l in bot]
+        top = [quantize_linear_weights(l["w"], l["b"], 8) for l in top]
+    return ServingModel(
+        config=config, emb=emb, bot=bot, top=top, mlp_bits=mlp_bits,
+        vw=list(vw) if vw is not None else None,
     )
 
 

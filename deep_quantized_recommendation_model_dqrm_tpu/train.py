@@ -1304,24 +1304,37 @@ def run(argv=None) -> dict:
                 )
             from deep_quantized_recommendation_model_dqrm_tpu.serving import (
                 make_serving_fn,
-                ptq_export,
+                ptq_export_streaming,
                 serving_model_bytes,
             )
 
-            emb = (
-                hybrid.unpack_tables(hstate.mega, plan, cfg.table_sizes)
-                if step_mode == "hybrid"
-                else rowshard.unpack_rows(hstate.mega, plan, cfg.table_sizes)
-            )
             trick = hstate.mlp.get("emb_trick", {})
-            sparams = {
-                "bot": hstate.mlp["bot"],
-                "top": hstate.mlp["top"],
-                "emb": [
-                    trick[str(k)] if t is None else t
-                    for k, t in enumerate(emb)
-                ],
-            }
+
+            def get_table(k):
+                # fresh device slice of table k out of the mega (packed
+                # and FREED one at a time by ptq_export_streaming — the
+                # whole-model unpack-then-pack holds sources + packing
+                # temporaries + packed outputs at once and OOMs at
+                # Terabyte scale)
+                if step_mode == "hybrid":
+                    if int(plan.table_rank[k]) < 0:
+                        return trick[str(k)]
+                    start = int(plan.table_rank[k]) * plan.block_rows + int(
+                        plan.table_base[k]
+                    )
+                else:
+                    if plan.dense_mask is not None and not bool(
+                        plan.dense_mask[k]
+                    ):
+                        return trick[str(k)]
+                    start = int(plan.table_base[k])
+                return jax.lax.dynamic_slice(
+                    hstate.mega,
+                    (start, 0),
+                    (cfg.table_sizes[k], hstate.mega.shape[1]),
+                )
+
+            vw_list = None
             if cfg.weighted_pooling is not None:
                 vw_trick = hstate.mlp.get("vw_trick", {})
                 unpacked_vw = (
@@ -1331,13 +1344,16 @@ def run(argv=None) -> dict:
                         hstate.vw, plan, cfg.table_sizes
                     )
                 )
-                sparams["v_W"] = [
+                vw_list = [
                     vw_trick[str(k)] if v is None else v
                     for k, v in enumerate(unpacked_vw)
                 ]
-            sm = ptq_export(
+            sm = ptq_export_streaming(
                 cfg,
-                sparams,
+                get_table,
+                bot=hstate.mlp["bot"],
+                top=hstate.mlp["top"],
+                vw=vw_list,
                 emb_bits=args.quantize_emb_with_bit,
                 mlp_bits=args.quantize_mlp_with_bit
                 if args.quantize_mlp_with_bit in (8,)
@@ -1346,6 +1362,8 @@ def run(argv=None) -> dict:
             rank0_print(
                 rank, f"PTQ model: {serving_model_bytes(sm)/1e6:.2f} MB"
             )
+            if hasattr(hstate.mega, "delete"):
+                hstate.mega.delete()
             sfn = make_serving_fn(sm)
             m = evaluate(cfg, hstate, test_loader, lambda s, b: sfn(b))
         else:
